@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship quality-filter query at sf0.001 (smoke).
+queries()      — every implemented operator from SURVEY.md §2 as a named plan.
+oracle_sql()   — matching DuckDB SQL per query (omitted entries → rows-only).
+
+Implementation lives in wikidataquality_spark/ (plans/driver_queries.py for
+the query surface; operators/ + rules/ for the engine itself).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full validation DAG —
+    heuristic stats → rule checks → violations array → keep/drop — returning
+    the kept documents with their stats and decision metadata."""
+    from wikidataquality_spark.operators.heuristics import with_doc_stats
+    from wikidataquality_spark.plans.driver_queries import FLAGSHIP_RULES
+    from wikidataquality_spark.rules.builder import apply_rules
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    checked = apply_rules(with_doc_stats(docs), FLAGSHIP_RULES)
+    return checked.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars_stat",
+        "n_words_stat",
+        "mean_word_len_stat",
+        "stopword_ratio_stat",
+        "distinct_word_ratio_stat",
+        "keep",
+        "violated_rules",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wikidataquality_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wikidataquality_spark.plans.driver_queries import ORACLE
+
+    return dict(ORACLE)

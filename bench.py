@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall time over the headline set. Per-query seconds in "queries".
+Also reports docs/sec for the flagship quality-filter pipeline (the BASELINE.md
+throughput row) under "docs_per_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikidataquality_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "qf_keep_decision",
+    "qf_rule_metrics",
+    "dedup_exact",
+    "scrub_blocklist",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_topk_orders_per_customer",
+    "sessionize_users",
+    "asof_purchase_last_click",
+    "ann_cosine_threshold",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(cpus=cpus, app_name="bench")
+
+    from wikidataquality_spark.plans.driver_queries import QUERIES
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    # flagship docs/sec: full validation DAG over documents
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    QUERIES["qf_keep_decision"](spark, sf_dir).agg(F.count("*")).collect()
+    qf_sec = time.perf_counter() - t0
+    docs_per_sec = round(n_docs / qf_sec, 2) if qf_sec > 0 else None
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

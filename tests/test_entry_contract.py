@@ -1,0 +1,31 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema; every
+queries() entry runs at sf0.001 and every oracle key exists in queries()."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    cols = set(df.columns)
+    assert {"doc_id", "keep", "violated_rules"} <= cols
+
+
+def test_queries_all_run_sf0001(spark, sf0001_dir):
+    qs = entrymod.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        df = fn(spark, sf0001_dir)
+        assert df.count() >= 0, name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)

@@ -1,0 +1,119 @@
+"""Per-rule unit tests — one scenario block per checker, mirroring the
+reference's one-PHPUnit-class-per-checker layout
+(ref≈tests/phpunit/ConstraintCheck/Checker/*Test.php, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.rules.builder import apply_rules, rule_check_column
+from wikidataquality_spark.rules.model import COMPLIANCE, EXCEPTION, VIOLATION, Rule
+
+
+def _statuses(spark, rows, schema, rule):
+    df = spark.createDataFrame(rows, schema)
+    out = df.select(rule_check_column(rule).alias("r")).select("r.status").collect()
+    return [r["status"] for r in out]
+
+
+def test_range_rule(spark):
+    rule = Rule("range.x", "range", {"column": "x", "min": "3", "max": "10"})
+    assert _statuses(spark, [(5.0,), (2.9,), (10.0,), (None,)], "x double", rule) == [
+        COMPLIANCE,
+        VIOLATION,
+        COMPLIANCE,
+        EXCEPTION,
+    ]
+
+
+def test_one_of_rule(spark):
+    rule = Rule("one_of.lang", "one_of", {"column": "lang", "allowed": "en,fr"})
+    assert _statuses(spark, [("en",), ("de",), (None,)], "lang string", rule) == [
+        COMPLIANCE,
+        VIOLATION,
+        EXCEPTION,
+    ]
+
+
+def test_format_rule_must_not_match(spark):
+    rule = Rule(
+        "format.pii", "format", {"column": "t", "pattern": r"\d{3}-\d{4}", "mode": "must_not_match"}
+    )
+    assert _statuses(spark, [("call 555-1234",), ("clean",)], "t string", rule) == [
+        VIOLATION,
+        COMPLIANCE,
+    ]
+
+
+def test_format_rule_must_match(spark):
+    rule = Rule(
+        "format.url", "format", {"column": "t", "pattern": r"^https?://", "mode": "must_match"}
+    )
+    assert _statuses(spark, [("https://x.org",), ("ftp://x",)], "t string", rule) == [
+        COMPLIANCE,
+        VIOLATION,
+    ]
+
+
+def test_diff_range_rule(spark):
+    rule = Rule("diff.ab", "diff_range", {"column_a": "a", "column_b": "b", "min": "0", "max": "5"})
+    assert _statuses(
+        spark, [(10.0, 7.0), (7.0, 10.0), (None, 1.0)], "a double, b double", rule
+    ) == [COMPLIANCE, VIOLATION, EXCEPTION]
+
+
+def test_conflicts_with_rule(spark):
+    rule = Rule("cw.bad", "conflicts_with", {"column": "t", "blocked": "badword,worse"})
+    assert _statuses(
+        spark,
+        [("a badword here",), ("a badwording ok",), ("clean text",)],
+        "t string",
+        rule,
+    ) == [VIOLATION, COMPLIANCE, COMPLIANCE]
+
+
+def test_mandatory_rule(spark):
+    rule = Rule("mand.u", "mandatory", {"column": "u"})
+    assert _statuses(spark, [("x",), ("",), (None,)], "u string", rule) == [
+        COMPLIANCE,
+        VIOLATION,
+        VIOLATION,
+    ]
+
+
+def test_item_cooccur_rule(spark):
+    rule = Rule("item.ab", "item_cooccur", {"column_a": "a", "column_b": "b"})
+    assert _statuses(
+        spark,
+        [("x", "y"), ("x", None), (None, None)],
+        "a string, b string",
+        rule,
+    ) == [COMPLIANCE, VIOLATION, EXCEPTION]
+
+
+def test_unknown_rule_type_raises():
+    with pytest.raises(ValueError, match="unknown rule_type"):
+        rule_check_column(Rule("x", "nope", {}))
+
+
+def test_apply_rules_keep_and_violated(spark):
+    rules = [
+        Rule("r.range", "range", {"column": "x", "min": "0", "max": "10"}),
+        Rule("r.soft", "range", {"column": "x", "min": "5", "max": "10"}, severity="soft"),
+    ]
+    df = spark.createDataFrame([(3.0,), (12.0,)], "x double")
+    out = apply_rules(df, rules).select("keep", "violated_rules").collect()
+    # row 1: hard passes, soft fails → keep=True but violated_rules lists the soft one
+    assert out[0]["keep"] is True
+    assert out[0]["violated_rules"] == ["r.soft"]
+    # row 2: hard fails → dropped
+    assert out[1]["keep"] is False
+    assert set(out[1]["violated_rules"]) == {"r.range", "r.soft"}
+
+
+def test_exception_does_not_drop(spark):
+    rules = [Rule("r.range", "range", {"column": "x", "min": "0", "max": "10"})]
+    df = spark.createDataFrame([(None,)], "x double")
+    out = apply_rules(df, rules).select("keep").collect()
+    assert out[0]["keep"] is True

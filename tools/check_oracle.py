@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every plans.driver_queries entry on Spark and its oracle SQL on DuckDB
+(same parquet, sf0.01 by default), then compares row count, column names, and
+order-insensitive values. Usage: python tools/check_oracle.py [sf_dir] [name...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from wikidataquality_spark.session import get_spark  # noqa: E402
+from wikidataquality_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from wikidataquality_spark.plans.driver_queries import ORACLE, QUERIES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    spark = get_spark(cpus=16)
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if name not in ORACLE:
+            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(ORACLE[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            failures.append(name)
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            failures.append(name)
+            continue
+        s, o = canon(sdf), canon(odf)
+        try:
+            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            print(f"OK   {name}: {len(sdf)} rows")
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")
+            # show first differing rows for debugging
+            neq = (s != o) & ~(s.isna() & o.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print("spark :", s.loc[i].to_dict())
+                print("oracle:", o.loc[i].to_dict())
+            failures.append(name)
+
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

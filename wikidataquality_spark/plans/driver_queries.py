@@ -1,0 +1,747 @@
+"""Named query plans + DuckDB oracle SQL — the driver-facing operator surface.
+
+Each entry pairs an idiomatic-Spark DataFrame plan with an ANSI-SQL oracle
+(DuckDB) over the same parquet tables (SURVEY.md §2C). Conventions that make
+the order-insensitive value-hash comparison exact:
+  - every computed column is aliased identically on both sides;
+  - doubles that aggregate across rows are ROUND()ed identically on both
+    sides (both engines round half-away-from-zero for doubles);
+  - float math is forced to double *before* arithmetic on both sides, and
+    both sides sum sequentially in the same element order, so results are
+    bit-identical pre-rounding;
+  - counts use COUNT(*) FILTER / F.count(F.when(...)) so both sides emit
+    BIGINT (DuckDB's SUM(int) would emit HUGEINT);
+  - timestamps leave the result as unix micros (exact integers) or
+    formatted strings, never raw engine-native timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.heuristics import STOPWORDS, with_doc_stats
+from wikidataquality_spark.rules.builder import apply_rules
+from wikidataquality_spark.rules.model import COMPLIANCE, VIOLATION, Rule
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _unix_us(col: str):
+    """Unix micros from a parquet TIMESTAMP_NTZ column. The session TZ is
+    pinned to UTC (session.py), so NTZ→TZ cast is identity and the integer
+    matches DuckDB's epoch_us() on the same naive value."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter rule set over `documents` (the flagship family).
+# Thresholds are frozen; they define the keep/drop semantics the golden
+# fixtures are built from (BASELINE.md F1 target).
+# ---------------------------------------------------------------------------
+
+ALLOWED_LANGS = ("en", "fr", "es", "de", "zh")
+
+FLAGSHIP_RULES = [
+    Rule("range.mean_word_len", "range", {"column": "mean_word_len_stat", "min": "3", "max": "10"}),
+    Rule("range.stopword_ratio", "range", {"column": "stopword_ratio_stat", "min": "0.02", "max": "1.0"}),
+    Rule("range.doc_len", "range", {"column": "n_chars_stat", "min": "60", "max": "100000"}),
+    Rule("one_of.lang", "one_of", {"column": "lang", "allowed": ",".join(ALLOWED_LANGS)}),
+    Rule("single_value.distinct_words", "single_value", {"column": "distinct_word_ratio_stat", "min": "0.30"}),
+    Rule("multi_value.min_words", "multi_value", {"column": "n_words_stat", "min": "15"}),
+]
+
+# Shared DuckDB CTE computing the same stats as operators/heuristics.py.
+# Both engines: BIGINT token-length sum / DOUBLE count → identical IEEE result.
+_STOPWORD_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+_DOC_STATS_CTE = rf"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+    length(text) AS nc,
+    len(string_split_regex(trim(text), '\s+')) AS nw,
+    list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)), 'sum')
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mwl,
+    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ({_STOPWORD_SQL})))
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS swr,
+    len(list_distinct(string_split_regex(trim(text), '\s+')))
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dwr,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / CAST(length(text) AS DOUBLE) AS alpha
+  FROM documents)
+"""
+
+_LANG_SQL = ",".join(f"'{x}'" for x in ALLOWED_LANGS)
+_RULE_PASS_SQL = {
+    "range.mean_word_len": "(mwl BETWEEN 3 AND 10)",
+    "range.stopword_ratio": "(swr BETWEEN 0.02 AND 1.0)",
+    "range.doc_len": "(nc BETWEEN 60 AND 100000)",
+    "one_of.lang": f"(lang IN ({_LANG_SQL}))",
+    "single_value.distinct_words": "(dwr >= 0.30)",
+    "multi_value.min_words": "(nw >= 15)",
+}
+
+
+@_register(
+    "qf_doc_stats",
+    _DOC_STATS_CTE
+    + """
+SELECT doc_id, nc AS n_chars_stat, nw AS n_words_stat,
+       ROUND(mwl, 6) AS mean_word_len, ROUND(swr, 6) AS stopword_ratio,
+       ROUND(dwr, 6) AS distinct_word_ratio, ROUND(alpha, 6) AS alpha_ratio
+FROM s
+""",
+)
+def qf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic statistics, pure Column expressions (SURVEY §2B)."""
+    df = with_doc_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_chars_stat"),
+        F.col("n_words_stat"),
+        F.round("mean_word_len_stat", 6).alias("mean_word_len"),
+        F.round("stopword_ratio_stat", 6).alias("stopword_ratio"),
+        F.round("distinct_word_ratio_stat", 6).alias("distinct_word_ratio"),
+        F.round("alpha_ratio_stat", 6).alias("alpha_ratio"),
+    )
+
+
+@_register(
+    "qf_keep_decision",
+    _DOC_STATS_CTE
+    + f"""
+SELECT doc_id, lang,
+       ({" AND ".join(_RULE_PASS_SQL.values())}) AS keep,
+       ({" + ".join(f"CASE WHEN {c} THEN 0 ELSE 1 END" for c in _RULE_PASS_SQL.values())}) AS n_violations
+FROM s
+""",
+)
+def qf_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship validation DAG: rules → violations array → keep/drop
+    (DelegatingConstraintChecker recast, SURVEY §2A#19)."""
+    df = apply_rules(with_doc_stats(_t(spark, sf_dir, "documents")), FLAGSHIP_RULES)
+    return df.select(
+        "doc_id",
+        "lang",
+        "keep",
+        F.size("violated_rules").cast("int").alias("n_violations"),
+    )
+
+
+@_register(
+    "qf_rule_metrics",
+    _DOC_STATS_CTE
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{rid}' AS rule_id,
+           COUNT(*) FILTER (WHERE {cond}) AS pass_count,
+           COUNT(*) FILTER (WHERE NOT {cond}) AS fail_count FROM s"""
+        for rid, cond in _RULE_PASS_SQL.items()
+    ),
+)
+def qf_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation statistics: per-rule pass/fail counts
+    (≈ SpecialConstraintReport summaries, SURVEY §2A″)."""
+    df = apply_rules(with_doc_stats(_t(spark, sf_dir, "documents")), FLAGSHIP_RULES)
+    v = df.select(F.explode("violations").alias("v")).select("v.rule", "v.status")
+    return v.groupBy(F.col("rule").alias("rule_id")).agg(
+        F.count(F.when(F.col("status") == COMPLIANCE, 1)).alias("pass_count"),
+        F.count(F.when(F.col("status") == VIOLATION, 1)).alias("fail_count"),
+    )
+
+
+@_register(
+    "dedup_exact",
+    """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level dedup: survivor = min doc_id per identical text
+    (UniqueValueChecker recast, SURVEY §2A#7). At scale the window key is
+    xxhash64(text) so the shuffle moves 8-byte keys, not documents."""
+    df = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    return (
+        df.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+@_register(
+    "scrub_blocklist",
+    r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(slow|big)\b', '[REDACTED]', 'g') AS scrubbed_text
+FROM documents
+""",
+)
+def scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic regex scrub (FormatChecker-as-scrub, SURVEY §2A#1).
+    Spark regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.regexp_replace("text", r"\b(slow|big)\b", "[REDACTED]").alias("scrubbed_text"),
+    )
+
+
+@_register(
+    "token_count_by_source",
+    r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+       ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+FROM documents GROUP BY source
+""",
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rollup per source (training-data pipeline op)."""
+    df = _t(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nw.cast("long")).alias("total_tokens"),
+        F.round(F.avg(nw), 4).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface — TPC-H-ish (SURVEY §2C: joins, aggs, windows, set ops).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → partial+final hash agg (map-side combine
+    is automatic); the shipdate filter pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-01-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "q3_top_revenue_orders",
+    """
+SELECT o.o_orderkey, o.o_orderdate,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim broadcast → fact join → agg → top-k.
+    Customer is tiny → explicit broadcast; ties broken by o_orderkey so the
+    LIMIT is a deterministic total order."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
+    )
+
+
+ORACLE["q3_top_revenue_orders"] = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
+  SELECT o.o_orderkey, o.o_orderdate,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, o.o_orderdate
+  ORDER BY revenue DESC, o.o_orderkey
+  LIMIT 10)
+"""
+
+
+@_register(
+    "q5_nation_revenue",
+    """
+SELECT n.n_name, r.r_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact × three broadcast dims → single shuffle for the agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "semi_join_active_customers",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_register(
+    "anti_join_idle_customers",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+""",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (NOT EXISTS) — customers with no large order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "window_topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k idiom (no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "window_running_customer_spend",
+    """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+""",
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + lag in one window spec (frames, SURVEY §2C)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@_register(
+    "rollup_order_status",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@_register(
+    "distinct_parts_per_flag",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (expand + two-phase agg under the hood)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_register(
+    "setop_segment_overlap",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def setop_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@_register(
+    "setop_segment_except",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def setop_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+@_register(
+    "string_funcs_part",
+    """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_prefix,
+       p_brand || ':' || p_type AS brand_type,
+       length(p_name) AS name_len,
+       levenshtein(p_name, 'red widget') AS lev_dist
+FROM part
+""",
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/substring/concat/length/levenshtein."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_dist"),
+    )
+
+
+@_register(
+    "orders_by_month",
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS month_total
+FROM orders GROUP BY 1
+""",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing: truncate-to-month as a formatted string (TZ-safe vs oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("month_total"),
+    )
+
+
+@_register(
+    "range_join_price_bands",
+    """
+SELECT b.band_id, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS band_total
+FROM orders o
+JOIN (VALUES (0, 0.0, 100000.0), (1, 100000.0, 300000.0), (2, 300000.0, 10000000.0))
+     AS b(band_id, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join against a tiny literal dim — Spark executes
+    it as a BroadcastNestedLoopJoin, which is the right plan for a 3-row dim."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 100000.0), (1, 100000.0, 300000.0), (2, 300000.0, 10000000.0)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("band_total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON, time windows, sessionization, as-of join (SURVEY §2C).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "json_events_filter",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+GROUP BY event_type
+""",
+)
+def json_events_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: extract a JSON field, filter, aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(k > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_register(
+    "events_hourly",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analogue of the streaming hourly agg;
+    the streaming twin lives in streaming/windows.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour_bucket"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@_register(
+    "sessionize_users",
+    """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE gap_us IS NULL OR gap_us > 1800000000) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events)
+GROUP BY user_id
+""",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session. Integer (unix
+    micros) math so both engines agree exactly."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _unix_us("ts")
+    gap = us - F.lag(us).over(w)
+    return (
+        e.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000), 1)).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "asof_purchase_last_click",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM events)
+WHERE event_type = 'purchase'
+""",
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join expressed as a single-pass window — each purchase
+    gets the user's most recent strictly-prior click. One shuffle on user_id,
+    no self-join blowup (SURVEY §2C 'as-of join')."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", _unix_us("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", _unix_us("ts").alias("ts_us"), "last_click_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: vector math + similarity search (training-data pipeline ops).
+# ---------------------------------------------------------------------------
+
+# Both sides: cast each float to double BEFORE multiply, sum sequentially in
+# element order → bit-identical doubles pre-ROUND.
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@_register(
+    "embedding_norms",
+    f"""
+SELECT vec_id, label,
+       ROUND(sqrt({_DOT_SQL.format(a="embedding", b="embedding")}), 4) AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via array HOFs (zip_with + aggregate) — no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 4).alias("l2_norm"),
+    )
+
+
+@_register(
+    "ann_cosine_threshold",
+    f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         {_DOT_SQL.format(a="e.embedding", b="q.q_emb")} /
+         (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}) *
+          sqrt({_DOT_SQL.format(a="q.q_emb", b="q.q_emb")})) AS cs
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, ROUND(cs, 4) AS cos_sim FROM sims WHERE cs >= 0.15
+""",
+)
+def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine similarity vs a query vector (broadcast the 1-row
+    query side; the scan side streams). The LSH-bucketed scale path lives in
+    operators/simsearch.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cs = _dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    return (
+        joined.withColumn("cs", cs)
+        .filter(F.col("cs") >= 0.15)
+        .select("vec_id", F.round("cs", 4).alias("cos_sim"))
+    )

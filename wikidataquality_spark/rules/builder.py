@@ -1,0 +1,68 @@
+"""Validation-DAG builder: compose rules → violations array → keep/drop.
+
+Parity: DelegatingConstraintChecker (ref≈includes/ConstraintCheck/
+DelegatingConstraintChecker.php:~40-200) — fetch constraints, dispatch each to
+its checker, collect CheckResult[]. The reference loops row-at-a-time with
+per-property SQL lookups; here the whole rule set compiles into ONE select of
+Column expressions, so Catalyst evaluates every rule for every row inside a
+single whole-stage-codegen'd projection — no dispatch cost, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.rules.library import RULE_FACTORIES
+from wikidataquality_spark.rules.model import HARD, VIOLATION, Rule
+
+
+def rule_check_column(rule: Rule) -> Column:
+    factory = RULE_FACTORIES.get(rule.rule_type)
+    if factory is None:
+        raise ValueError(f"unknown rule_type {rule.rule_type!r} ({rule.rule_id})")
+    return factory(rule)
+
+
+def violations_column(rules: Sequence[Rule]) -> Column:
+    """All CheckResult structs for the enabled per-row rules, as one array."""
+    return F.array(*[rule_check_column(r) for r in rules])
+
+
+def failed_rules_column(
+    rules: Sequence[Rule], violations: Column, severity: str | None = HARD
+) -> Column:
+    """rule_ids whose status is 'violation' (optionally restricted by severity)."""
+    ids = [r.rule_id for r in rules if severity is None or r.severity == severity]
+    return F.transform(
+        F.filter(
+            violations,
+            lambda v: (v["status"] == VIOLATION) & v["rule"].isin(ids),
+        ),
+        lambda v: v["rule"],
+    )
+
+
+def apply_rules(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    violations_col: str = "violations",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Evaluate every per-row rule; append violations array + keep decision.
+
+    keep = no HARD-severity rule reported a violation (exception status does
+    not drop a doc — same as the reference, where exceptions are excusals).
+    """
+    df = df.withColumn(violations_col, violations_column(rules))
+    hard_fails = failed_rules_column(rules, F.col(violations_col), HARD)
+    return df.withColumn(keep_col, F.size(hard_fails) == 0).withColumn(
+        "violated_rules", failed_rules_column(rules, F.col(violations_col), None)
+    )
+
+
+def decide(df: DataFrame, keep_col: str = "keep") -> DataFrame:
+    """Kept documents only (the pipeline's output side; drops are metrics-only)."""
+    return df.filter(F.col(keep_col))
