@@ -25,9 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full validation DAG —
     heuristic stats → rule checks → violations array → keep/drop — returning
     the kept documents with their stats and decision metadata."""
+    from wikidataquality_spark.deploy import ensure_shipped
     from wikidataquality_spark.operators.heuristics import with_doc_stats
     from wikidataquality_spark.plans.driver_queries import FLAGSHIP_RULES
     from wikidataquality_spark.rules.builder import apply_rules
+
+    ensure_shipped(spark)
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -47,9 +50,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from wikidataquality_spark.deploy import ensure_shipped
     from wikidataquality_spark.plans.driver_queries import QUERIES
 
-    return dict(QUERIES)
+    def _shipped(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)  # UDF-bearing plans need the pkg on workers
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: _shipped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

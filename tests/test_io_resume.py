@@ -1,0 +1,53 @@
+"""Checkpoint/resume + manifest semantics (BASELINE.json:14 resumability)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.io.catalog import (
+    completed_partitions,
+    read_manifest,
+    read_table,
+    resume_filter,
+    write_partitioned,
+)
+
+
+def _mkdf(spark):
+    rows = [(f"u{i}", f"2025-01-{(i % 3) + 1:02d}", i) for i in range(30)]
+    return spark.createDataFrame(rows, "url string, partition string, x long")
+
+
+def test_write_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "t1")
+    df = _mkdf(spark)
+    entry = write_partitioned(df, out, run_id="run1", input_snapshot="snapA")
+    assert set(entry["partitions"]) == {"2025-01-01", "2025-01-02", "2025-01-03"}
+    m = read_manifest(out)
+    assert m["runs"][0]["input_snapshot"] == "snapA"
+    assert read_table(spark, out).count() == 30
+
+
+def test_resume_skips_completed(spark, tmp_path):
+    out = str(tmp_path / "t2")
+    df = _mkdf(spark)
+    first = df.filter(F.col("partition") == "2025-01-01")
+    write_partitioned(first, out, run_id="run1")
+    assert completed_partitions(out) == {"2025-01-01"}
+
+    remaining = resume_filter(df, out)
+    parts = {r[0] for r in remaining.select("partition").distinct().collect()}
+    assert parts == {"2025-01-02", "2025-01-03"}
+
+    write_partitioned(remaining, out, run_id="run2")
+    assert completed_partitions(out) == {"2025-01-01", "2025-01-02", "2025-01-03"}
+    assert read_table(spark, out).count() == 30
+
+
+def test_resume_noop_when_nothing_done(spark, tmp_path):
+    out = str(tmp_path / "t3")
+    df = _mkdf(spark)
+    assert resume_filter(df, out).count() == df.count()

@@ -1,0 +1,47 @@
+"""Ship the package to Spark Python workers (the spark-submit --py-files story).
+
+BASELINE.json:6 deploys via `spark-submit --py-files`; when the engine is
+instead imported into an existing SparkSession (the driver-harness path, or a
+notebook), the Python workers spawned for pandas UDFs need the package on
+their import path — the driver's sys.path does NOT propagate. ensure_shipped()
+zips the package once and registers it with sc.addPyFile, which is exactly
+what --py-files does at submit time.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def package_zip() -> str:
+    """Zip wikidataquality_spark/ (source only, deterministic order)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "wikidataquality_spark_pyfiles.zip")
+    files = []
+    for root, _, names in os.walk(pkg_dir):
+        for n in names:
+            if n.endswith(".py"):
+                full = os.path.join(root, n)
+                rel = os.path.join("wikidataquality_spark", os.path.relpath(full, pkg_dir))
+                files.append((full, rel))
+    files.sort(key=lambda t: t[1])
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for full, rel in files:
+            z.write(full, rel)
+    return out
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotent per-SparkContext: make the package importable on workers."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    sc.addPyFile(package_zip())
+    _SHIPPED.add(key)

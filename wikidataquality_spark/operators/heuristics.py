@@ -45,8 +45,10 @@ def stopword_ratio(words: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Col
 
 
 def symbol_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric or whitespace."""
-    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    """Fraction of characters that are not letters (any script), digits, or
+    whitespace. Unicode classes so CJK text isn't counted as symbols; \\p{L}
+    has identical semantics in Java regex and DuckDB's RE2 (oracle parity)."""
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
     return F.length(stripped) / F.nullif(F.length(text).cast("double"), F.lit(0.0))
 
 

@@ -1,0 +1,59 @@
+"""PII / toxicity regex scrub stage (SURVEY.md §2B "Scrub").
+
+Parity: FormatChecker's regex machinery (ref≈includes/ConstraintCheck/Checker/
+FormatChecker.php:~30-110) recast from check to rewrite: instead of reporting
+a violation for a matching string, the matching span is replaced.
+
+Implementation: a chain of F.regexp_replace Column expressions — JVM-side,
+whole-stage-codegen'd, zero Python. The pattern list is ordered and versioned;
+byte-identical output per url is a hard invariant (BASELINE.json:15), so
+patterns are applied in a fixed sequence (later patterns see earlier
+replacements). Scrubbing is idempotent: replacement tokens never re-match any
+pattern (tested property, tests/test_scrub.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCRUB_VERSION = "1"
+
+# (name, java_regex, replacement) — ORDER MATTERS and is frozen.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+TOXICITY_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("blockwords", r"\b(badword|toxicword|slurword)\b", "<REDACTED>"),
+)
+
+ALL_PATTERNS = PII_PATTERNS + TOXICITY_PATTERNS
+
+
+def scrub_column(
+    text: str | Column = "text",
+    patterns: tuple[tuple[str, str, str], ...] = ALL_PATTERNS,
+) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pattern, repl in patterns:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
+def with_scrubbed(df, text_col: str = "text", out_col: str = "scrubbed_text"):
+    return df.withColumn(out_col, scrub_column(text_col))
+
+
+def pii_hit_count(text: str | Column = "text") -> Column:
+    """How many PII spans a document contains (metrics/violation scoring)."""
+    col = F.col(text) if isinstance(text, str) else text
+    counts = [
+        F.size(F.split(col, pattern, -1)) - 1 for _, pattern, _ in PII_PATTERNS
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total

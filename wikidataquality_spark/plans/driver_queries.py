@@ -84,7 +84,9 @@ WITH s AS (
     len(list_distinct(string_split_regex(trim(text), '\s+')))
       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dwr,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-      / CAST(length(text) AS DOUBLE) AS alpha
+      / CAST(length(text) AS DOUBLE) AS alpha,
+    length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
+      / CAST(length(text) AS DOUBLE) AS symr
   FROM documents)
 """
 
@@ -105,7 +107,8 @@ _RULE_PASS_SQL = {
     + """
 SELECT doc_id, nc AS n_chars_stat, nw AS n_words_stat,
        ROUND(mwl, 6) AS mean_word_len, ROUND(swr, 6) AS stopword_ratio,
-       ROUND(dwr, 6) AS distinct_word_ratio, ROUND(alpha, 6) AS alpha_ratio
+       ROUND(dwr, 6) AS distinct_word_ratio, ROUND(alpha, 6) AS alpha_ratio,
+       ROUND(symr, 6) AS symbol_ratio
 FROM s
 """,
 )
@@ -120,6 +123,7 @@ def qf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stopword_ratio_stat", 6).alias("stopword_ratio"),
         F.round("distinct_word_ratio_stat", 6).alias("distinct_word_ratio"),
         F.round("alpha_ratio_stat", 6).alias("alpha_ratio"),
+        F.round("symbol_ratio_stat", 6).alias("symbol_ratio"),
     )
 
 

@@ -104,7 +104,17 @@ def item_cooccur_rule(rule: Rule) -> Column:
     return check_result(rule, b.isNotNull(), applicable=a.isNotNull())
 
 
+def flag_rule(rule: Rule) -> Column:
+    """Boolean flag column must be false (bridges cross-row ops — dup marks
+    from operators/dedup.py — into the per-row violation framework; this is
+    how UniqueValueChecker's cross-entity verdict re-enters the CheckResult
+    stream, SURVEY §2A#7)."""
+    col = F.col(rule.param("column"))
+    return check_result(rule, ~col, applicable=col.isNotNull())
+
+
 RULE_FACTORIES: dict[str, Callable[[Rule], Column]] = {
+    "flag": flag_rule,
     "format": format_rule,
     "one_of": one_of_rule,
     "range": range_rule,
