@@ -1,0 +1,71 @@
+"""Similarity search: brute-force correctness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.simsearch import (
+    brute_force_topk,
+    cosine,
+    lsh_ann,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+
+
+def test_cosine_self_is_one(spark, emb):
+    row = emb.limit(1).select(cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
+    assert row[0]["c"] == pytest.approx(1.0)
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[ids == 0][0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(c, i) for c, i in zip(cos, ids) if i != 0], key=lambda t: (-t[0], t[1])
+    )
+    expected = [i for _, i in order[:5]]
+
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = (
+        brute_force_topk(emb, queries, k=5)
+        .orderBy("rank")
+        .select("vec_id")
+        .toPandas()["vec_id"]
+        .tolist()
+    )
+    assert got == expected
+
+
+def test_lsh_recall_above_half(spark, emb):
+    """LSH with 4 tables × 8 bits should recover most of the true top-5."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5).select("q_id", "vec_id").toPandas()
+    approx = lsh_ann(emb, queries, k=5).select("q_id", "vec_id").toPandas()
+    exact_set = set(map(tuple, exact.values.tolist()))
+    approx_set = set(map(tuple, approx.values.tolist()))
+    # exclude trivial self matches from lsh side
+    approx_set = {(q, v) for q, v in approx_set if q != v}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_lsh_deterministic(spark, emb):
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = lsh_ann(emb, queries, k=5).select("q_id", "vec_id", "rank").toPandas()
+    b = lsh_ann(emb.repartition(5), queries, k=5).select("q_id", "vec_id", "rank").toPandas()
+    assert a.sort_values(["q_id", "rank"]).values.tolist() == b.sort_values(["q_id", "rank"]).values.tolist()

@@ -1,0 +1,81 @@
+"""Structured Streaming twins: memory-sink runs match batch results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.streaming.windows import (
+    dedup_within_watermark,
+    hourly_counts,
+    run_stream_to_memory,
+    session_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf0001_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    src_file = f"{sf0001_dir}/events.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"wdq_test_stream_{hashlib.md5(src_file.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    schema = spark.read.parquet(src_file).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf0001_dir):
+    return spark.read.parquet(f"{sf0001_dir}/events.parquet")
+
+
+def test_stream_hourly_equals_batch(spark, events_stream, events_batch):
+    streamed = run_stream_to_memory(
+        spark, hourly_counts(events_stream), output_mode="complete"
+    )
+    batch = hourly_counts(events_batch)
+    s = {((r["win"]["start"], r["event_type"]), (r["n"], r["total_value"])) for r in streamed.collect()}
+    b = {((r["win"]["start"], r["event_type"]), (r["n"], r["total_value"])) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_stream_dedup_keeps_unique_ids(spark, events_stream, events_batch):
+    out = run_stream_to_memory(spark, dedup_within_watermark(events_stream))
+    assert out.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_session_windows_complete_mode(spark, events_stream, events_batch):
+    out = run_stream_to_memory(
+        spark, session_windows(events_stream), output_mode="complete"
+    )
+    # session totals must account for every event exactly once
+    assert out.agg(F.sum("n_events")).collect()[0][0] == events_batch.count()
+
+
+def test_incremental_validate_foreachbatch(spark, tmp_path):
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.streaming.windows import incremental_validate
+
+    src_dir = str(tmp_path / "pages_src")
+    import os
+
+    os.makedirs(src_dir)
+    write_pages_parquet(os.path.join(src_dir, "pages.parquet"), 120, seed=3)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_validate(spark, stream, sink, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 120
+    assert {"url", "keep", "scrubbed_text"} <= set(out.columns)

@@ -62,20 +62,33 @@ def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
-    """k-word shingles → stable 61-bit FNV-1a hashes."""
-    toks = text.lower().split()
-    if len(toks) < SHINGLE_K:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h & np.uint64((1 << 61) - 1)
-    return out
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# order-sensitive shingle combiner constants (odd → bijective under mod 2^64)
+_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64)
+
+
+def _shingle_hashes(tokens: list[str], vocab: dict[str, int]) -> np.ndarray:
+    """k-word shingle hashes: memoized per-token FNV + vectorized rolling mix.
+    The token-hash cache amortizes hashing to once per distinct token per
+    batch (Zipf'd corpora → tiny working set)."""
+    th = np.fromiter(
+        (vocab[t] if t in vocab else vocab.setdefault(t, _fnv64(t)) for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    if len(th) < SHINGLE_K:
+        return np.array([th.sum() if len(th) else 0], dtype=np.uint64)
+    n_sh = len(th) - SHINGLE_K + 1
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(SHINGLE_K):
+        acc ^= th[j : j + n_sh] * _SHINGLE_MIX[j]
+    return acc
 
 
 def _minhash_sig(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -87,15 +100,16 @@ def _minhash_sig(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    a, b = _hash_params()  # once per worker
+    a, b = _hash_params()  # once per task
     a = a | np.uint64(1)  # odd multipliers
+    vocab: dict[str, int] = {}
     for texts in batches:
         sigs = []
         for t in texts:
             if t is None:
                 sigs.append(None)
                 continue
-            base = _shingle_hashes(t)
+            base = _shingle_hashes(t.lower().split(), vocab)
             sigs.append(_minhash_sig(base, a, b).tolist())
         yield pd.Series(sigs, index=texts.index)
 
@@ -135,17 +149,32 @@ def minhash_dedup(
 
 
 def dup_marks(
-    df: DataFrame, text_col: str = "text", id_col: str = "url"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    broadcast_flags: bool = True,
 ) -> DataFrame:
     """Non-destructive variant: annotate rows with is_exact_dup / is_near_dup
-    flags so the rule layer can emit violation records instead of dropping."""
-    exact_w = W.partitionBy(F.xxhash64(text_col), F.length(text_col)).orderBy(id_col)
-    marked = df.withColumn("_ern", F.row_number().over(exact_w)).withColumn(
-        "is_exact_dup", F.col("_ern") > 1
+    flags so the rule layer can emit violation records instead of dropping.
+
+    Shuffle hygiene: both flag computations run on a NARROW projection
+    (id + 16-byte hash / 1KB signature) — document bodies never enter a
+    shuffle. One pass computes the minhash signatures and the exact-dup key;
+    flags rejoin the wide rows by id (AQE broadcasts the dropped-id sets
+    when they are small, the common case)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.xxhash64(text_col).alias("_h"),
+        F.length(text_col).alias("_len"),
+        minhash_udf(F.col(text_col)).alias("_sig"),
     )
 
-    sigs = df.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("_sig"))
-    bands = sigs.select(id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key"))
+    exact_w = W.partitionBy("_h", "_len").orderBy(id_col)
+    exact = keyed.select(
+        id_col, "_sig", (F.row_number().over(exact_w) > 1).alias("is_exact_dup")
+    )
+
+    bands = exact.select(id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key"))
     bucket_min = bands.groupBy("_band_key").agg(F.min(id_col).alias("_keep_id"))
     near = (
         bands.join(bucket_min, "_band_key")
@@ -154,11 +183,20 @@ def dup_marks(
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
     )
-    return (
-        marked.join(near, id_col, "left")
+    flags = (
+        exact.drop("_sig")
+        .join(near, id_col, "left")
         .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
-        .drop("_ern")
     )
+    # Rejoin the wide rows WITHOUT shuffling them: flags are (id, bool, bool)
+    # ≈ 20 bytes/row, so broadcast keeps document bodies on the map side.
+    # At 10^12-doc scale the broadcast no longer fits one executor — there the
+    # rejoin rides the bucketed-by-id table layout instead (both sides
+    # bucket-pruned, zero shuffle); broadcast_flags=False selects the
+    # sort-merge path for that regime.
+    if broadcast_flags:
+        flags = F.broadcast(flags)
+    return df.join(flags, id_col)
 
 
 # ---------------------------------------------------------------------------

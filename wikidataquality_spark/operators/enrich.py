@@ -1,0 +1,195 @@
+"""Fused model+stats stage: extract, langid, perplexity, and every per-doc
+heuristic statistic in ONE pandas UDF pass.
+
+Why fused (measured on local[32], 100k docs):
+  - each extra ArrowEvalPython node = its own Python-worker pool + a JVM↔Py
+    Arrow round-trip of the text column (3 chained nodes: 19.7s vs ~2s fused);
+  - Spark's higher-order array functions (aggregate/transform/filter) are
+    CodegenFallback — interpreted, with split() re-evaluated per stat — so the
+    'cheap SQL heuristics' cost more than the models at batch scale. Here the
+    token frame is exploded once and every stat is a C-speed bincount/str op.
+
+The standalone Column-expression operators (operators/heuristics.py) remain
+the relational/query surface (they are what the DuckDB oracle checks, and the
+right choice when stats feed further Catalyst logic); the pipeline hot path
+uses this fused stage. Semantics match: same tokenizer split, same ratio
+definitions, NULL stats for empty docs.
+
+Parity: this one operator implements SURVEY §2B stages Extract/LangID/
+Perplexity/Heuristics with the once-per-worker model lifecycle of
+ref≈TypeChecker's classifier recast (SURVEY §2A#8).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wikidataquality_spark.operators.extract import extract_text_series
+from wikidataquality_spark.operators.heuristics import STOPWORDS
+from wikidataquality_spark.operators.langid import _CJK_RE, _load_model
+from wikidataquality_spark.operators.perplexity import _UNK_LOGP, _load_models
+from wikidataquality_spark.operators.tokenize import tokenize
+
+ENRICH_TYPE = T.StructType(
+    [
+        T.StructField("text_extracted", T.StringType(), True),
+        T.StructField("lang_pred", T.StringType(), True),
+        T.StructField("lang_conf", T.DoubleType(), True),
+        T.StructField("perplexity", T.DoubleType(), True),
+        T.StructField("n_chars_stat", T.LongType(), True),
+        T.StructField("n_words_stat", T.LongType(), True),
+        T.StructField("mean_word_len_stat", T.DoubleType(), True),
+        T.StructField("stopword_ratio_stat", T.DoubleType(), True),
+        T.StructField("symbol_ratio_stat", T.DoubleType(), True),
+        T.StructField("distinct_word_ratio_stat", T.DoubleType(), True),
+        T.StructField("distinct_line_ratio_stat", T.DoubleType(), True),
+        T.StructField("alpha_ratio_stat", T.DoubleType(), True),
+        T.StructField("has_blockword", T.BooleanType(), True),
+        T.StructField("has_pii_email", T.BooleanType(), True),
+    ]
+)
+
+_SYMBOL_RE = re.compile(r"[^\w\s]", re.UNICODE)  # non-letter/digit/underscore/ws
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_BLOCKWORD_RE = re.compile(r"\b(badword|toxicword|slurword)\b")
+_PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+
+
+class _FusedScorer:
+    """One vocab index + lookup tables = langid, perplexity, and stopword
+    ratio from a single get_indexer pass over the exploded token frame."""
+
+    def __init__(self) -> None:
+        self.lid = _load_model()
+        self.lm = _load_models()
+        vocab = sorted(set(self.lid.vocab_ix) | set(self.lm.vocab_ix) | set(STOPWORDS))
+        self.ix = pd.Index(vocab)
+        n = len(vocab)
+        self.langs = self.lid.langs
+        self.membership = np.zeros((n + 1, len(self.langs)))
+        self.logp = np.full(n + 1, _UNK_LOGP)
+        self.is_stopword = np.zeros(n + 1)
+        lid_pos = self.lid.vocab_ix.get_indexer(vocab)
+        lm_pos = self.lm.vocab_ix.get_indexer(vocab)
+        stop = set(STOPWORDS)
+        for i, w in enumerate(vocab):
+            if lid_pos[i] >= 0:
+                self.membership[i] = self.lid.membership[lid_pos[i]]
+            if lm_pos[i] >= 0:
+                self.logp[i] = self.lm.logp_arr[lm_pos[i]]
+            if w in stop:
+                self.is_stopword[i] = 1.0
+
+    def score(self, texts: pd.Series) -> pd.DataFrame:
+        n_rows = len(texts)
+        filled = texts.fillna("")
+        isna = texts.isna().to_numpy()
+
+        tok = tokenize(texts)
+        words = tok.exploded.to_numpy()
+        codes = tok.codes
+        idx = self.ix.get_indexer(words)
+        idx[idx < 0] = len(self.ix)  # OOV sentinel row
+
+        counts = np.bincount(codes, minlength=n_rows).astype(np.int64)
+        safe_counts = np.maximum(counts, 1)
+        empty = counts == 0
+
+        # perplexity: mean log-prob per doc
+        lp_sum = np.bincount(codes, weights=self.logp[idx], minlength=n_rows)
+        mean_lp = np.where(empty, _UNK_LOGP, lp_sum / safe_counts)
+        ppl = np.exp(-mean_lp)
+
+        # language ID: marker-hit rate per lang; CJK ratio override
+        scores = np.empty((n_rows, len(self.langs)))
+        for j in range(len(self.langs)):
+            hits = np.bincount(codes, weights=self.membership[idx, j], minlength=n_rows)
+            scores[:, j] = hits / safe_counts
+        best_j = scores.argmax(axis=1)
+        total = scores.sum(axis=1)
+        conf = np.where(total > 0, scores.max(axis=1) / np.where(total > 0, total, 1), 0.0)
+        pred = pd.Series(np.array(self.langs, dtype=object)[best_j], index=texts.index)
+        cjk_ratio = (filled.str.count(_CJK_RE) / filled.str.len().clip(lower=1)).to_numpy()
+        pred = pred.where(cjk_ratio <= 0.3, "zh").where(~texts.isna(), None)
+        conf = np.where(cjk_ratio > 0.3, 0.99, conf)
+
+        # heuristics — all bincounts / vectorized str ops over the same frame
+        word_lens = tok.exploded.str.len().to_numpy()
+        mwl = np.where(empty, np.nan, np.bincount(codes, weights=word_lens, minlength=n_rows) / safe_counts)
+        swr = np.where(empty, np.nan, np.bincount(codes, weights=self.is_stopword[idx], minlength=n_rows) / safe_counts)
+
+        # distinct words per doc: unique (doc, token-id) pairs; OOV tokens get
+        # distinct ids via factorize so they count individually
+        tcodes, _ = pd.factorize(tok.exploded, sort=False)
+        pair = codes.astype(np.int64) * (tcodes.max() + 2 if len(tcodes) else 1) + tcodes
+        uniq_docs = np.bincount(
+            codes[np.unique(pair, return_index=True)[1]], minlength=n_rows
+        )
+        dwr = np.where(empty, np.nan, uniq_docs / safe_counts)
+
+        n_chars = filled.str.len().to_numpy().astype(np.int64)
+        safe_chars = np.maximum(n_chars, 1)
+        sym = filled.str.count(_SYMBOL_RE).to_numpy()
+        alpha = filled.str.count(_ALPHA_RE).to_numpy()
+        zero_chars = n_chars == 0
+        symbol_ratio = np.where(zero_chars, np.nan, sym / safe_chars)
+        alpha_ratio = np.where(zero_chars, np.nan, alpha / safe_chars)
+
+        # distinct-line ratio: explode lines once
+        lines = filled.str.split("\n")
+        line_lens = lines.str.len().to_numpy()
+        line_codes = np.repeat(np.arange(n_rows), line_lens)
+        line_vals = lines.explode()
+        line_vals = line_vals[line_vals.notna()]
+        lcodes_tok, _ = pd.factorize(line_vals, sort=False)
+        lpair = line_codes.astype(np.int64) * (lcodes_tok.max() + 2 if len(lcodes_tok) else 1) + lcodes_tok
+        uniq_lines = np.bincount(
+            line_codes[np.unique(lpair, return_index=True)[1]], minlength=n_rows
+        )
+        dlr = np.where(line_lens == 0, np.nan, uniq_lines / np.maximum(line_lens, 1))
+
+        has_block = filled.str.contains(_BLOCKWORD_RE).to_numpy()
+        has_pii = filled.str.contains(_PII_EMAIL_RE).to_numpy()
+
+        def _nullable(arr):
+            return pd.Series(arr, index=texts.index).where(~texts.isna(), np.nan)
+
+        return pd.DataFrame(
+            {
+                "lang_pred": pred,
+                "lang_conf": _nullable(conf),
+                "perplexity": _nullable(ppl),
+                "n_chars_stat": pd.Series(n_chars, index=texts.index).where(~texts.isna(), pd.NA).astype("Int64"),
+                "n_words_stat": pd.Series(counts, index=texts.index).where(~texts.isna(), pd.NA).astype("Int64"),
+                "mean_word_len_stat": _nullable(mwl),
+                "stopword_ratio_stat": _nullable(swr),
+                "symbol_ratio_stat": _nullable(symbol_ratio),
+                "distinct_word_ratio_stat": _nullable(dwr),
+                "distinct_line_ratio_stat": _nullable(dlr),
+                "alpha_ratio_stat": _nullable(alpha_ratio),
+                "has_blockword": pd.Series(has_block, index=texts.index).where(~texts.isna(), pd.NA).astype("boolean"),
+                "has_pii_email": pd.Series(has_pii, index=texts.index).where(~texts.isna(), pd.NA).astype("boolean"),
+            }
+        )
+
+
+@F.pandas_udf(ENRICH_TYPE)
+def enrich_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    scorer = _FusedScorer()  # once per task, reused across batches
+    for html in batches:
+        text = extract_text_series(html)
+        scored = scorer.score(text)
+        scored.insert(0, "text_extracted", text)
+        yield scored
+
+
+def enriched(html_col: str | Column = "html") -> Column:
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    return enrich_udf(col)

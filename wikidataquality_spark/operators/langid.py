@@ -39,29 +39,40 @@ _CJK_RE = re.compile(r"[一-鿿]")
 
 
 class _MarkerModel:
-    """Deterministic stand-in for a fastText langid model."""
+    """Deterministic stand-in for a fastText langid model.
+
+    Scoring is one vocabulary-index lookup over the exploded token frame
+    (pd.Index.get_indexer, C-speed) + a (vocab × langs) membership table —
+    no per-token Python."""
 
     def __init__(self) -> None:
         self.markers = {
             lang: set(words) for lang, words in WORDLISTS.items() if lang != "zh"
         }
         self.langs = sorted(self.markers)
+        vocab = sorted(set().union(*self.markers.values()))
+        self.vocab_ix = pd.Index(vocab)
+        self.membership = np.zeros((len(vocab) + 1, len(self.langs)))
+        for j, lang in enumerate(self.langs):
+            for w in self.markers[lang]:
+                self.membership[self.vocab_ix.get_loc(w), j] = 1.0
+        # last row = OOV sentinel (all zeros)
 
-    def predict(self, texts: pd.Series) -> pd.DataFrame:
+    def predict(self, texts: pd.Series, tok=None) -> pd.DataFrame:
+        from wikidataquality_spark.operators.tokenize import tokenize
+
         # CJK channel: fraction of CJK chars decides 'zh' outright.
-        cjk = texts.fillna("").str.count(_CJK_RE)
-        total_chars = texts.fillna("").str.len().clip(lower=1)
-        cjk_ratio = cjk / total_chars
+        filled = texts.fillna("")
+        cjk_ratio = filled.str.count(_CJK_RE) / filled.str.len().clip(lower=1)
 
-        # Function-word channel, computed batch-wise: explode token lists once,
-        # score every language against the same exploded frame (no per-row loop).
-        tokens = texts.fillna("").str.lower().str.split()
-        n_tokens = tokens.str.len().clip(lower=1)
-        scores = pd.DataFrame(index=texts.index)
-        for lang in self.langs:
-            marker = self.markers[lang]
-            scores[lang] = tokens.map(lambda ts, m=marker: sum(t in m for t in ts))
-        scores = scores.div(n_tokens, axis=0)
+        tok = tok or tokenize(texts)
+        idx = self.vocab_ix.get_indexer(tok.exploded.to_numpy())
+        idx[idx < 0] = len(self.vocab_ix)  # OOV → zero row
+        hits = pd.DataFrame(
+            self.membership[idx], index=tok.exploded.index, columns=self.langs
+        )
+        scores = hits.groupby(level=0).sum().reindex(texts.index, fill_value=0.0)
+        scores = scores.div(tok.n_tokens, axis=0)
 
         best = scores.idxmax(axis=1)
         total = scores.sum(axis=1)

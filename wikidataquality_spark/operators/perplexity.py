@@ -42,22 +42,27 @@ def _build_logprobs() -> dict[str, float]:
 
 
 class _UnigramLM:
-    def __init__(self) -> None:
-        self.logp = _build_logprobs()
+    """Scores via one vocabulary-index lookup (C-speed get_indexer) + a log-
+    probability array; CJK chars are unigram units (tokenize() handles the
+    splitting)."""
 
-    def perplexity(self, texts: pd.Series) -> pd.Series:
-        # CJK scripts have no whitespace tokens: split CJK chars into unigram
-        # units first so the zh model scores characters, not concatenations.
-        norm = texts.fillna("").str.lower().str.replace(
-            r"([一-鿿])", r" \1 ", regex=True
-        )
-        tokens = norm.str.split()
-        exploded = tokens.explode()
-        lp = exploded.map(self.logp).fillna(_UNK_LOGP)
-        mean_lp = lp.groupby(level=0).mean()
-        ppl = np.exp(-mean_lp)
-        out = pd.Series(ppl, index=texts.index).astype(float)
-        return out.where(~texts.isna(), np.nan)
+    def __init__(self) -> None:
+        logp = _build_logprobs()
+        words = sorted(logp)
+        self.vocab_ix = pd.Index(words)
+        self.logp_arr = np.array([logp[w] for w in words] + [_UNK_LOGP])
+
+    def perplexity(self, texts: pd.Series, tok=None) -> pd.Series:
+        from wikidataquality_spark.operators.tokenize import tokenize
+
+        tok = tok or tokenize(texts)
+        idx = self.vocab_ix.get_indexer(tok.exploded.to_numpy())
+        idx[idx < 0] = len(self.vocab_ix)  # OOV → UNK slot
+        lp = pd.Series(self.logp_arr[idx], index=tok.exploded.index)
+        mean_lp = lp.groupby(level=0).mean().reindex(texts.index)
+        # empty docs (no tokens) → treat as all-UNK
+        ppl = np.exp(-mean_lp.fillna(_UNK_LOGP))
+        return pd.Series(ppl, index=texts.index).astype(float).where(~texts.isna(), np.nan)
 
 
 def _load_models() -> _UnigramLM:

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (SURVEY.md §2C + training-data ops).
+
+Two tiers, as mandated by the task brief:
+  - brute-force cosine top-k: exact baseline, broadcast the query side;
+    O(N·d) per query — correct at any N, bounded by scan speed.
+  - LSH-bucketed ANN (random hyperplanes / SimHash): the 100 TB path —
+    candidates meet only inside matching sign-pattern buckets, so the
+    cross join never materializes. Recall tunable via n_tables × n_bits.
+
+All vector math is pure Column HOFs (zip_with/aggregate, double-cast before
+multiply) so results are bit-deterministic and oracle-comparable; the
+hyperplane projection is a deterministic seeded matrix built driver-side and
+broadcast as literal arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (bit-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k per query: broadcast queries × scan embeddings → window.
+    Ties broken by candidate id (deterministic total order). exclude_self
+    drops candidate==query rows BEFORE ranking so they don't eat a rank slot."""
+    from pyspark.sql import Window as W
+
+    joined = embeddings.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 13) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def simhash_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each hyperplane, packed into a long."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    acc = F.lit(0).cast("long")
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def lsh_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share a SimHash bucket in ≥1 of n_tables
+    hash tables; exact cosine re-rank inside the candidate set.
+
+    Per-table collision probability for angle θ is (1-θ/π)^n_bits — pick
+    n_bits by the similarity regime: clustered embeddings (θ small) tolerate
+    8-16 bits; near-uniform data (θ≈60-90°, like the synthetic test vectors)
+    needs 4 bits or recall collapses. Defaults favor recall.
+
+    Scale shape: the bucket join is an equi-join on (table, bucket) — shuffle
+    or broadcast by size, never a cross join. Bucket skew (dense regions)
+    is AQE-splittable because re-rank cost is per-candidate-pair."""
+    from pyspark.sql import Window as W
+
+    tables = [hyperplanes(dim, n_bits, seed=13 + t) for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, vcol: str, icol: str) -> DataFrame:
+        rows = [
+            df.select(
+                F.col(icol),
+                F.col(vcol),
+                F.lit(t).alias("_table"),
+                simhash_bucket(F.col(vcol), planes).alias("_bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    cand = bucketed(embeddings, vec_col, id_col).join(
+        bucketed(queries, query_vec_col, query_id_col), on=["_table", "_bucket"]
+    )
+    scored = (
+        cand.select(
+            query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.first("cos_sim").alias("cos_sim"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b). Exact self-join
+    baseline; at scale, pre-bucket both sides with lsh_ann's simhash first."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

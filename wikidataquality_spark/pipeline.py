@@ -27,10 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wikidataquality_spark.operators.dedup import dup_marks
-from wikidataquality_spark.operators.extract import extracted_text
-from wikidataquality_spark.operators.heuristics import with_doc_stats
-from wikidataquality_spark.operators.langid import langid_udf
-from wikidataquality_spark.operators.perplexity import perplexity_udf
+from wikidataquality_spark.operators.enrich import enriched
 from wikidataquality_spark.operators.scrub import scrub_column
 from wikidataquality_spark.rules.builder import apply_rules
 from wikidataquality_spark.rules.model import Rule
@@ -50,12 +47,18 @@ PIPELINE_RULES: tuple[Rule, ...] = (
     Rule("range.doc_len", "range", {"column": "n_chars_stat", "min": "50", "max": "20000"}),
     Rule("range.symbol_ratio", "range", {"column": "symbol_ratio_stat", "min": "0", "max": "0.1"}),
     Rule("range.line_dup", "range", {"column": "distinct_line_ratio_stat", "min": "0.5", "max": "1.0"}),
-    Rule("conflicts_with.blockwords", "conflicts_with", {"column": "text_extracted", "blocked": "badword,toxicword,slurword"}),
+    # Regex conditions are precomputed once into boolean columns before the
+    # persist barrier (see validate()); referencing them as flags keeps the
+    # collapsed rules projection free of repeated regex evaluation.
+    Rule("conflicts_with.blockwords", "flag", {"column": "has_blockword"}),
     Rule("unique_value.exact_dup", "flag", {"column": "is_exact_dup"}),
     Rule("unique_value.near_dup", "flag", {"column": "is_near_dup"}),
     # PII presence is recorded but scrubbed rather than dropped → soft.
-    Rule("format.pii_email", "format", {"column": "text_extracted", "pattern": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "mode": "must_not_match"}, severity="soft"),
+    Rule("format.pii_email", "flag", {"column": "has_pii_email"}, severity="soft"),
 )
+
+BLOCKWORD_PATTERN = r"\b(badword|toxicword|slurword)\b"
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
 @dataclass
@@ -63,6 +66,15 @@ class PipelineConfig:
     rules: tuple[Rule, ...] = PIPELINE_RULES
     allowed_langs: tuple[str, ...] = ALLOWED_LANGS
     id_col: str = "url"
+    # Persist the narrow post-UDF projection: the dedup stage consumes the
+    # pipeline twice (flag computation + rejoin), and without a persist the
+    # whole extract/langid/perplexity chain re-executes per consumer. At
+    # cluster scale the equivalent is materializing the stage boundary to
+    # Iceberg (which the resume story wants anyway).
+    persist_intermediate: bool = True
+    # Drop the fat html column once text is extracted (column pruning by
+    # construction — html must never travel through the dedup shuffles).
+    drop_html: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -72,23 +84,36 @@ def validate(pages: DataFrame, config: PipelineConfig | None = None) -> DataFram
     stats, model scores, dup flags, violations, keep, scrubbed_text."""
     cfg = config or PipelineConfig()
 
-    # Stage 1 — extract (pandas UDF) + model stages (iterator pandas UDFs).
-    # One select: all three UDFs run in the same Python-worker pass per batch.
-    lid = langid_udf(F.col("text_extracted"))
-    df = (
-        pages.withColumn("text_extracted", extracted_text("html"))
-        .withColumn("_lid", lid)
-        .withColumn("perplexity", perplexity_udf(F.col("text_extracted")))
-        .select(
-            "*",
-            F.col("_lid.lang_pred").alias("lang_pred"),
-            F.col("_lid.lang_conf").alias("lang_conf"),
-        )
-        .drop("_lid")
-    )
-
-    # Stage 2 — pure-SQL heuristics over the extracted text (codegen).
-    df = with_doc_stats(df, text_col="text_extracted")
+    # Stages 1+2 — fused: extract + langid + perplexity + every heuristic
+    # stat + the regex conditions, all in ONE pandas-UDF pass (one
+    # ArrowEvalPython node; operators/enrich.py documents why fusing beats
+    # chained UDFs and interpreted HOF stats by ~5-10× at batch scale).
+    # Everything expensive lands BEFORE the persist barrier: downstream rule
+    # projections (violations array / keep / violated_rules) reference these
+    # as plain cached attributes, so Catalyst's projection collapse can
+    # inline them repeatedly at zero cost.
+    enrich_cols = [
+        "text_extracted", "lang_pred", "lang_conf", "perplexity",
+        "n_chars_stat", "n_words_stat", "mean_word_len_stat",
+        "stopword_ratio_stat", "symbol_ratio_stat", "distinct_word_ratio_stat",
+        "distinct_line_ratio_stat", "alpha_ratio_stat",
+        "has_blockword", "has_pii_email",
+    ]
+    df = pages.withColumn("_enriched", enriched("html")).select(
+        "*", *[F.col(f"_enriched.{c}").alias(c) for c in enrich_cols]
+    ).drop("_enriched")
+    if cfg.drop_html:
+        df = df.drop("html")
+    if cfg.persist_intermediate:
+        # Eager materialization: the dedup stage fans out into several
+        # consumers (flag branch, broadcast build, rejoin) that Spark launches
+        # CONCURRENTLY (broadcast exchanges run on separate scheduler
+        # threads). Against a cold cache each consumer races to compute the
+        # whole UDF+stats plan — event logs showed 4 identical 12s stages
+        # running side by side. Sealing the cache with one count() makes every
+        # branch a cache read.
+        df = df.persist()
+        df.count()
 
     # Stage 3 — cross-row dedup marks (the shuffle stages).
     df = dup_marks(df, text_col="text_extracted", id_col=cfg.id_col)

@@ -749,3 +749,346 @@ def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cs") >= 0.15)
         .select("vec_id", F.round("cs", 4).alias("cos_sim"))
     )
+
+
+@_register(
+    "knn_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DOT_SQL.format(a="e.embedding", b="q.q_vec")} /
+         (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}) *
+          sqrt({_DOT_SQL.format(a="q.q_vec", b="q.q_vec")})) AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, ROUND(cs, 4) AS cos_sim, rank FROM (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN per query vector (brute-force baseline of the similarity-
+    search family; operators/simsearch.py holds the LSH scale path)."""
+    from wikidataquality_spark.operators.simsearch import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(e, q, k=5, exclude_self=True)
+    return out.select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+@_register(
+    "embedding_neardup_pairs",
+    f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) >= 0.5
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b). Exact self-join at test
+    scale; simsearch.lsh_ann buckets make it linear at corpus scale."""
+    from wikidataquality_spark.operators import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = simsearch.embedding_neardup_pairs(e, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: fingerprints, n-gram similarity, quality scores, tokenization.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_fingerprints",
+    rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [CAST(ascii(c) AS BIGINT) for c in string_split(word, '')]),
+      (acc, x) -> (acc * 131 + x) % {1_099_511_627_689})
+     for word in words]),
+    (acc, x) -> (acc * 31 + x) % {1_099_511_627_689}) AS fingerprint
+FROM w
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (whitespace-invariant content id)."""
+    from wikidataquality_spark.operators.textstats import rolling_fingerprint
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    r"""
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, len(words)-2)]) AS grams
+  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+        FROM documents)
+  WHERE len(words) >= 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.grams, b.grams)) /
+             CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) /
+      CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.01
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard similarity between documents of the same source
+    (n-gram near-dup family; blocked on `source` so the self-join is
+    per-partition, not corpus²)."""
+    from wikidataquality_spark.operators.textstats import ngram_jaccard, word_ngrams
+
+    df = _t(spark, sf_dir, "documents")
+    g = df.select(
+        "doc_id",
+        "source",
+        F.array_distinct(word_ngrams(F.col("text"), 3)).alias("grams"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nw"),
+    ).filter(F.col("nw") >= 3)
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("grams").alias("gb"))
+    pairs = a.join(b, ["source"]).filter(F.col("id_a") < F.col("id_b"))
+    jac = ngram_jaccard(F.col("ga"), F.col("gb"))
+    return (
+        pairs.withColumn("j", jac)
+        .filter(F.col("j") >= 0.01)
+        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
+    )
+
+
+@_register(
+    "quality_scores",
+    _DOC_STATS_CTE
+    + """
+SELECT doc_id,
+       ROUND((CASE WHEN mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.2
+             + LEAST(swr * 5, 1.0) * 0.2
+             + GREATEST(1.0 - symr * 5, 0.0) * 0.2
+             + dwr * 0.2
+             + alpha * 0.2, 6) AS quality_score
+FROM s
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score (curriculum-sampling signal)."""
+    from wikidataquality_spark.operators.textstats import quality_score
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality_score"))
+
+
+@_register(
+    "bpe_token_counts",
+    r"""
+SELECT source,
+       SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS total_pieces,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+""",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer piece counts per source."""
+    from wikidataquality_spark.operators.textstats import bpe_ish_token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return df.groupBy("source").agg(
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_pieces"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_register("minhash_neardup_docs", None)  # UDF signature path — rows-only check
+def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup survivors over documents (the corpus-scale dedup
+    operator; no SQL oracle — signatures are a pandas-UDF computation)."""
+    from wikidataquality_spark.operators.dedup import minhash_dedup
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup(df, text_col="text", id_col="doc_id").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# More relational/statistical surface.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cube_lineitem_status",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@_register(
+    "pivot_orders_status",
+    """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-status columns per priority (explicit value list so the
+    plan is a single agg, no extra distinct pass)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+
+
+@_register(
+    "median_price_by_status",
+    """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — matches quantile_cont)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@_register(
+    "stats_by_returnflag",
+    """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_discount), 6) AS var_disc,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins (run the real Structured Streaming path on the bounded
+# events table; memory sink driven to completion inside the query fn).
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    # streaming file sources want a directory: shim via a symlink dir
+    key = hashlib.md5(src_file.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"wdq_stream_events_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+
+    schema = _t(spark, sf_dir, "events").schema
+    src = spark.readStream.schema(schema).parquet(d)
+    # parquet gives TIMESTAMP_NTZ; watermarks/windows need TIMESTAMP (UTC session)
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@_register(
+    "stream_hourly_counts",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts (complete mode over the
+    bounded source → equals the batch group-by, so it is oracle-checkable)."""
+    from wikidataquality_spark.streaming.windows import run_stream_to_memory
+
+    src = _events_stream(spark, sf_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_stream_to_memory(spark, agg, output_mode="complete")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour_bucket"),
+        "event_type",
+        "n",
+    )
+
+
+@_register(
+    "stream_dedup_event_ids",
+    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+)
+def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the stream; count survivors."""
+    from wikidataquality_spark.streaming.windows import (
+        dedup_within_watermark,
+        run_stream_to_memory,
+    )
+
+    src = _events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(src)
+    out = run_stream_to_memory(spark, deduped, output_mode="append")
+    return out.agg(F.count_distinct("event_id").alias("n_unique"))
+
+
+@_register("stream_session_windows", None)  # session_window start/end are
+# engine-defined; rows-only check
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows per user over the stream (30-min gap)."""
+    from wikidataquality_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_windows,
+    )
+
+    src = _events_stream(spark, sf_dir)
+    out = run_stream_to_memory(spark, session_windows(src), output_mode="complete")
+    return out.select(
+        "user_id", F.col("sess.start").cast("long").alias("sess_start_s"), "n_events"
+    )
