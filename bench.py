@@ -23,7 +23,9 @@ HEADLINE = [
     "qf_keep_decision",
     "qf_rule_metrics",
     "dedup_exact",
-    "scrub_blocklist",
+    "minhash_neardup_docs",
+    "simhash_neardup_docs",
+    "scrub_pii_all",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
@@ -31,6 +33,8 @@ HEADLINE = [
     "sessionize_users",
     "asof_purchase_last_click",
     "ann_cosine_threshold",
+    "ivf_ann_topk",
+    "grouped_map_source_zscore",
 ]
 
 

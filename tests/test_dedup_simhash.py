@@ -1,0 +1,79 @@
+"""SimHash near-dup: signature properties + dedup semantics + determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.dedup import (
+    SIMHASH_MAX_HAMMING,
+    simhash_dedup,
+    simhash_udf,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the green field while birds sing in the morning light near the river"
+    )
+    near = base.replace("morning", "evening")  # one token changed
+    far = (
+        "completely different content about spark dataframes shuffles and "
+        "catalyst optimizer rules for large scale distributed query planning"
+    )
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near dup of 0 (hamming small)
+        (3, far),
+        (4, None),        # null text must survive untouched
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_signature_properties(spark, docs):
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_udf("text").alias("s")).collect()
+    }
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    assert hamming(sigs[0], sigs[2]) <= SIMHASH_MAX_HAMMING  # 1-token edit → tiny distance
+    assert hamming(sigs[0], sigs[3]) > SIMHASH_MAX_HAMMING  # unrelated → far
+    assert sigs[4] is None
+
+
+def test_dedup_drops_near_and_exact(spark, docs):
+    kept = sorted(
+        r["doc_id"] for r in simhash_dedup(docs, id_col="doc_id").select("doc_id").collect()
+    )
+    # 0 survives (min id); 1 (exact) and 2 (near) drop; 3 distinct; 4 null survives
+    assert kept == [0, 3, 4]
+
+
+def test_dedup_repartition_invariant(spark, docs):
+    a = sorted(r["doc_id"] for r in simhash_dedup(docs, id_col="doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in simhash_dedup(docs.repartition(7, "doc_id"), id_col="doc_id").collect()
+    )
+    assert a == b
+
+
+def test_far_pair_not_dropped_even_if_bucketed(spark):
+    """Banding may collide unrelated docs; the exact hamming verify must
+    reject them — survivors only shrink for true near-dups."""
+    rows = [(i, f"unique document number {i} with distinct content token{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash_udf("text").alias("s")).collect()}
+    kept = {r["doc_id"] for r in simhash_dedup(df, id_col="doc_id").collect()}
+    dropped = set(sigs) - kept
+    for d in dropped:
+        assert any(
+            hamming(sigs[d], sigs[k]) <= SIMHASH_MAX_HAMMING for k in sigs if k < d
+        )

@@ -69,3 +69,29 @@ def test_lsh_deterministic(spark, emb):
     a = lsh_ann(emb, queries, k=5).select("q_id", "vec_id", "rank").toPandas()
     b = lsh_ann(emb.repartition(5), queries, k=5).select("q_id", "vec_id", "rank").toPandas()
     assert a.sort_values(["q_id", "rank"]).values.tolist() == b.sort_values(["q_id", "rank"]).values.tolist()
+
+
+def test_ivf_exhaustive_equals_brute_force(spark, emb):
+    """n_probe = n_lists ⇒ IVF must return exactly the brute-force top-k."""
+    from wikidataquality_spark.operators.simsearch import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5).select("q_id", "vec_id", "rank").toPandas()
+    ivf = ivf_topk(emb, queries, k=5, n_lists=4, n_probe=4).select("q_id", "vec_id", "rank").toPandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    assert key(ivf) == key(exact)
+
+
+def test_ivf_probe_subset_recall(spark, emb):
+    """Restricted probing keeps ≥40% of the true top-5 on the synthetic
+    near-uniform vectors (recall floor, not a quality claim)."""
+    from wikidataquality_spark.operators.simsearch import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = set(map(tuple, brute_force_topk(emb, queries, k=5).select("q_id", "vec_id").toPandas().values.tolist()))
+    approx = set(map(tuple, ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).select("q_id", "vec_id").toPandas().values.tolist()))
+    assert len(approx & exact) / len(exact) >= 0.4

@@ -200,6 +200,97 @@ def dup_marks(
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup (the third dedup family: exact / MinHash-Jaccard / SimHash-
+# cosine-of-token-multisets). 64-bit signature; Hamming distance ≤ k ⇒ near-dup.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ SIMHASH_BANDS-1 ⇒ ≥1 identical band
+SIMHASH_MAX_HAMMING = 3
+
+_BIT_SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over the token multiset: each token votes ±1 per bit
+    position by its 64-bit hash; the sign vector packs into one long.
+    Memoized per-token hashing (same cache discipline as minhash_udf)."""
+    vocab: dict[str, int] = {}
+    for texts in batches:
+        out = np.zeros(len(texts), dtype=np.int64)
+        mask = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            mask[i] = True
+            tokens = t.lower().split()
+            if not tokens:
+                continue
+            th = np.fromiter(
+                (vocab[w] if w in vocab else vocab.setdefault(w, _fnv64(w)) for w in tokens),
+                dtype=np.uint64,
+                count=len(tokens),
+            )
+            bits = ((th[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes >= 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig.astype(np.int64)
+        # nullable Int64, NOT .where(..., None): int64→float64 promotion would
+        # round 64-bit signatures to 53-bit mantissas, batch-layout-dependently
+        s = pd.Series(out, index=texts.index).astype("Int64")
+        s[~mask] = pd.NA
+        yield s
+
+
+def simhash_band_keys(sig_col: str | Column = "simhash") -> Column:
+    """SIMHASH_BANDS keys of 16 bits each, tagged by band index so different
+    bands never collide into the same bucket."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    keys = [
+        F.xxhash64(F.lit(i), F.shiftrightunsigned(sig, i * width).bitwiseAND(F.lit((1 << width) - 1)))
+        for i in range(SIMHASH_BANDS)
+    ]
+    return F.array(*keys)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Drop SimHash near-duplicates: candidate pairs share ≥1 of 4 16-bit
+    bands (pigeonhole-complete for hamming ≤ 3); candidates are VERIFIED by
+    exact Hamming distance (bit_count(xor)) before anything is dropped —
+    banding only bounds the candidate set, it never decides.
+
+    Plan shape (narrow end-to-end): signatures are one pandas-UDF projection
+    of (id, 8-byte sig); banding explodes to 4 key rows/doc; the bucket
+    groupBy, verify join, and final left_anti all move ≤16-byte rows."""
+    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh"))
+    bands = sigs.select(id_col, "_sh", F.explode(simhash_band_keys("_sh")).alias("_bk"))
+    bucket_min = bands.groupBy("_bk").agg(F.min(id_col).alias("_keep_id"))
+    cand = (
+        bands.join(bucket_min, "_bk")
+        .filter(F.col(id_col) != F.col("_keep_id"))
+        .select(id_col, "_sh", "_keep_id")
+        .distinct()
+    )
+    keep_sigs = sigs.select(F.col(id_col).alias("_keep_id"), F.col("_sh").alias("_keep_sh"))
+    dropped = (
+        cand.join(keep_sigs, "_keep_id")
+        .filter(F.bit_count(F.col("_sh").bitwiseXOR(F.col("_keep_sh"))) <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Skew handling (BASELINE.json:6: hash-partition by url-host with salting)
 # ---------------------------------------------------------------------------
 

