@@ -98,20 +98,33 @@ def _minhash_sig(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1).astype(np.int64)
 
 
+def minhash_sig_series(
+    texts: pd.Series, a: np.ndarray, b: np.ndarray, vocab: dict[str, int]
+) -> pd.Series:
+    """Signatures for one batch (shared by minhash_udf and the fused enrich
+    stage — operators/enrich.py — so the algorithm, and therefore every
+    near-dup decision, is bit-identical on both paths)."""
+    sigs = []
+    for t in texts:
+        if t is None:
+            sigs.append(None)
+            continue
+        base = _shingle_hashes(t.lower().split(), vocab)
+        sigs.append(_minhash_sig(base, a, b).tolist())
+    return pd.Series(sigs, index=texts.index)
+
+
+def minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    a, b = _hash_params()
+    return a | np.uint64(1), b  # odd multipliers
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    a, b = _hash_params()  # once per task
-    a = a | np.uint64(1)  # odd multipliers
+    a, b = minhash_params()  # once per task
     vocab: dict[str, int] = {}
     for texts in batches:
-        sigs = []
-        for t in texts:
-            if t is None:
-                sigs.append(None)
-                continue
-            base = _shingle_hashes(t.lower().split(), vocab)
-            sigs.append(_minhash_sig(base, a, b).tolist())
-        yield pd.Series(sigs, index=texts.index)
+        yield minhash_sig_series(texts, a, b, vocab)
 
 
 def band_keys(sig_col: str | Column = "minhash_sig") -> Column:
@@ -153,20 +166,28 @@ def dup_marks(
     text_col: str = "text",
     id_col: str = "url",
     broadcast_flags: bool = True,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Non-destructive variant: annotate rows with is_exact_dup / is_near_dup
     flags so the rule layer can emit violation records instead of dropping.
 
     Shuffle hygiene: both flag computations run on a NARROW projection
     (id + 16-byte hash / 1KB signature) — document bodies never enter a
-    shuffle. One pass computes the minhash signatures and the exact-dup key;
-    flags rejoin the wide rows by id (AQE broadcasts the dropped-id sets
-    when they are small, the common case)."""
+    shuffle. When the caller already carries minhash signatures (the fused
+    enrich stage emits them — pass sig_col), NO python stage runs here at
+    all: the keyed projection is pure JVM expressions over the cached frame.
+
+    Plan shape: one shuffle for the exact window, one for the band window,
+    one small distinct; the near flag uses min(id) OVER (PARTITION BY bucket)
+    instead of groupBy+self-join (one exchange fewer, no join)."""
+    sig_expr = (
+        F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
+    )
     keyed = df.select(
         F.col(id_col),
         F.xxhash64(text_col).alias("_h"),
         F.length(text_col).alias("_len"),
-        minhash_udf(F.col(text_col)).alias("_sig"),
+        sig_expr.alias("_sig"),
     )
 
     exact_w = W.partitionBy("_h", "_len").orderBy(id_col)
@@ -175,9 +196,9 @@ def dup_marks(
     )
 
     bands = exact.select(id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key"))
-    bucket_min = bands.groupBy("_band_key").agg(F.min(id_col).alias("_keep_id"))
+    bucket_w = W.partitionBy("_band_key")
     near = (
-        bands.join(bucket_min, "_band_key")
+        bands.withColumn("_keep_id", F.min(id_col).over(bucket_w))
         .filter(F.col(id_col) != F.col("_keep_id"))
         .select(id_col)
         .distinct()

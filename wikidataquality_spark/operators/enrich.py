@@ -53,6 +53,14 @@ ENRICH_TYPE = T.StructType(
         T.StructField("alpha_ratio_stat", T.DoubleType(), True),
         T.StructField("has_blockword", T.BooleanType(), True),
         T.StructField("has_pii_email", T.BooleanType(), True),
+        # MinHash signature computed in the SAME python pass: the dedup stage
+        # then projects it straight out of the cached frame instead of paying
+        # a second Arrow round-trip of every document body (measured: the
+        # standalone minhash stage was the worst-scaling stage of the whole
+        # DAG — concurrent with the enrich stage it oversubscribed the python
+        # workers 2×, and its per-task python time inflated up to 8× at
+        # local[32]).
+        T.StructField("minhash_sig", T.ArrayType(T.LongType()), True),
     ]
 )
 
@@ -182,11 +190,19 @@ class _FusedScorer:
 
 @F.pandas_udf(ENRICH_TYPE)
 def enrich_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    from wikidataquality_spark.operators.dedup import (
+        minhash_params,
+        minhash_sig_series,
+    )
+
     scorer = _FusedScorer()  # once per task, reused across batches
+    mh_a, mh_b = minhash_params()
+    mh_vocab: dict[str, int] = {}
     for html in batches:
         text = extract_text_series(html)
         scored = scorer.score(text)
         scored.insert(0, "text_extracted", text)
+        scored["minhash_sig"] = minhash_sig_series(text, mh_a, mh_b, mh_vocab)
         yield scored
 
 

@@ -97,7 +97,7 @@ def validate(pages: DataFrame, config: PipelineConfig | None = None) -> DataFram
         "n_chars_stat", "n_words_stat", "mean_word_len_stat",
         "stopword_ratio_stat", "symbol_ratio_stat", "distinct_word_ratio_stat",
         "distinct_line_ratio_stat", "alpha_ratio_stat",
-        "has_blockword", "has_pii_email",
+        "has_blockword", "has_pii_email", "minhash_sig",
     ]
     df = pages.withColumn("_enriched", enriched("html")).select(
         "*", *[F.col(f"_enriched.{c}").alias(c) for c in enrich_cols]
@@ -115,8 +115,12 @@ def validate(pages: DataFrame, config: PipelineConfig | None = None) -> DataFram
         df = df.persist()
         df.count()
 
-    # Stage 3 — cross-row dedup marks (the shuffle stages).
-    df = dup_marks(df, text_col="text_extracted", id_col=cfg.id_col)
+    # Stage 3 — cross-row dedup marks (the shuffle stages). Signatures come
+    # from the fused enrich pass (sig_col), so this stage is pure JVM: no
+    # second python pass over document bodies, no concurrent UDF stages.
+    df = dup_marks(
+        df, text_col="text_extracted", id_col=cfg.id_col, sig_col="minhash_sig"
+    )
 
     # Stage 4 — rule checks → violations array → keep decision (codegen).
     df = apply_rules(df, list(cfg.rules))
