@@ -73,6 +73,17 @@ def _fnv64(s: str) -> int:
 _SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64)
 
 
+def _shingles_from_hashes(th: np.ndarray) -> np.ndarray:
+    """k-gram shingle hashes from per-token hashes (rolling xor-mix)."""
+    if len(th) < SHINGLE_K:
+        return np.array([th.sum() if len(th) else 0], dtype=np.uint64)
+    n_sh = len(th) - SHINGLE_K + 1
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(SHINGLE_K):
+        acc ^= th[j : j + n_sh] * _SHINGLE_MIX[j]
+    return acc
+
+
 def _shingle_hashes(tokens: list[str], vocab: dict[str, int]) -> np.ndarray:
     """k-word shingle hashes: memoized per-token FNV + vectorized rolling mix.
     The token-hash cache amortizes hashing to once per distinct token per
@@ -82,13 +93,7 @@ def _shingle_hashes(tokens: list[str], vocab: dict[str, int]) -> np.ndarray:
         dtype=np.uint64,
         count=len(tokens),
     )
-    if len(th) < SHINGLE_K:
-        return np.array([th.sum() if len(th) else 0], dtype=np.uint64)
-    n_sh = len(th) - SHINGLE_K + 1
-    acc = np.zeros(n_sh, dtype=np.uint64)
-    for j in range(SHINGLE_K):
-        acc ^= th[j : j + n_sh] * _SHINGLE_MIX[j]
-    return acc
+    return _shingles_from_hashes(th)
 
 
 def _minhash_sig(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -103,7 +108,15 @@ def minhash_sig_series(
 ) -> pd.Series:
     """Signatures for one batch (shared by minhash_udf and the fused enrich
     stage — operators/enrich.py — so the algorithm, and therefore every
-    near-dup decision, is bit-identical on both paths)."""
+    near-dup decision, is bit-identical on both paths).
+
+    Per-token hashing is memoized in `vocab`, which the caller keeps alive
+    across batches — each distinct token is FNV-hashed once per worker
+    lifetime. (Two batch-vectorized variants were tried and measured SLOWER
+    than this loop: a batch-wide factorize — building the flat token list
+    costs more than the residual dict lookups — and a blocked
+    minimum.reduceat over concatenated shingles — the non-contiguous
+    per-doc column extraction eats the saving.)"""
     sigs = []
     for t in texts:
         if t is None:

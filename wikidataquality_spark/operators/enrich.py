@@ -101,10 +101,15 @@ class _FusedScorer:
         isna = texts.isna().to_numpy()
 
         tok = tokenize(texts)
-        words = tok.exploded.to_numpy()
         codes = tok.codes
-        idx = self.ix.get_indexer(words)
-        idx[idx < 0] = len(self.ix)  # OOV sentinel row
+        # one factorize over the exploded frame; every per-token lookup
+        # (vocab index, word length, distinct-word ids) then runs over the
+        # DISTINCT tokens only and gathers back — Zipf'd text makes the
+        # distinct set 5-20× smaller than the token stream
+        tcodes, uniques = pd.factorize(tok.exploded, sort=False)
+        idx_u = self.ix.get_indexer(uniques)
+        idx_u[idx_u < 0] = len(self.ix)  # OOV sentinel row
+        idx = idx_u[tcodes] if len(tcodes) else np.empty(0, dtype=np.int64)
 
         counts = np.bincount(codes, minlength=n_rows).astype(np.int64)
         safe_counts = np.maximum(counts, 1)
@@ -129,13 +134,13 @@ class _FusedScorer:
         conf = np.where(cjk_ratio > 0.3, 0.99, conf)
 
         # heuristics — all bincounts / vectorized str ops over the same frame
-        word_lens = tok.exploded.str.len().to_numpy()
+        uniq_lens = np.fromiter((len(w) for w in uniques), dtype=np.int64, count=len(uniques))
+        word_lens = uniq_lens[tcodes] if len(tcodes) else np.empty(0, dtype=np.int64)
         mwl = np.where(empty, np.nan, np.bincount(codes, weights=word_lens, minlength=n_rows) / safe_counts)
         swr = np.where(empty, np.nan, np.bincount(codes, weights=self.is_stopword[idx], minlength=n_rows) / safe_counts)
 
-        # distinct words per doc: unique (doc, token-id) pairs; OOV tokens get
-        # distinct ids via factorize so they count individually
-        tcodes, _ = pd.factorize(tok.exploded, sort=False)
+        # distinct words per doc: unique (doc, token-id) pairs over the same
+        # factorized codes
         pair = codes.astype(np.int64) * (tcodes.max() + 2 if len(tcodes) else 1) + tcodes
         uniq_docs = np.bincount(
             codes[np.unique(pair, return_index=True)[1]], minlength=n_rows
