@@ -1470,6 +1470,85 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_props_map",
+    """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       len(json_keys(props)) AS n_keys
+FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 7 = 0
+""",
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JSON-map surface: from_json to MapType, element_at, map_keys
+    (vs the lighter get_json_object path in json_events_filter)."""
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    return (
+        e.withColumn("_m", m)
+        .select(
+            "event_id",
+            F.element_at("_m", "k").alias("k_val"),
+            F.size(F.map_keys("_m")).alias("n_keys"),
+        )
+        .filter(F.col("k_val") % 7 == 0)
+    )
+
+
+@_register(
+    "null_safe_user_join",
+    """
+WITH a AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS u
+           FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS u
+           FROM events WHERE event_type = 'purchase')
+SELECT COUNT(*) AS n_matched,
+       COUNT(*) FILTER (WHERE a.u IS NULL) AS n_null_matched
+FROM a JOIN b ON a.u IS NOT DISTINCT FROM b.u
+""",
+)
+def null_safe_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other, unlike `=`."""
+    e = _t(spark, sf_dir, "events")
+    u = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    a = e.filter(F.col("event_type") == "click").select(u.alias("u")).distinct()
+    b = e.filter(F.col("event_type") == "purchase").select(u.alias("ub")).distinct()
+    j = a.join(b, a.u.eqNullSafe(b.ub))
+    return j.agg(
+        F.count("*").alias("n_matched"),
+        F.count(F.when(F.col("u").isNull(), 1)).alias("n_null_matched"),
+    )
+
+
+@_register(
+    "posexplode_embedding",
+    """
+SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+FROM embeddings, generate_series(1, 4096) AS t(i)
+WHERE vec_id < 3 AND i <= len(embedding)
+""",
+)
+def posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, value) rows; float widened to double is
+    exact on both engines."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+
+
+@_register("approx_percentile_price", None)  # sketch output — rows-only check
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest class sketch): the 10^12-row quantile path
+    — exact percentile is a full sort per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("p50_p90")
+    ).select("o_orderstatus", F.col("p50_p90")[0].alias("p50"), F.col("p50_p90")[1].alias("p90"))
+
+
+@_register(
     "union_by_name_sources",
     """
 SELECT kind, COUNT(*) AS n FROM (
