@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true", help="skip completed partitions")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (sandbox only)")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--salt-hot",
+        type=int,
+        default=0,
+        metavar="N_PARTITIONS",
+        help="pre-spread skewed url-hosts over N partitions before validation "
+        "(hash-partition by host with per-url salting for hosts above 5%% of "
+        "rows — BASELINE's explicit-skew mandate; 0 = off)",
+    )
     args = ap.parse_args(argv)
 
     from wikidataquality_spark.deploy import ensure_shipped
@@ -55,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     pages = partition_column(pages, by=args.partition_by)
     if args.resume:
         pages = resume_filter(pages, args.output)
+    if args.salt_hot:
+        from wikidataquality_spark.operators.dedup import repartition_by_host_salted
+
+        pages = repartition_by_host_salted(pages, args.salt_hot)
 
     n_in = pages.count()
     if n_in == 0:

@@ -217,20 +217,27 @@ def dup_marks(
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
     )
+    # SPARSE flags: only rows that ARE duplicates enter the broadcast — a row
+    # absent from the flag set is non-dup by construction (left join + false
+    # fill below). The dup set is a small fraction of the corpus, so the
+    # driver-side broadcast build (the one serial step of the whole dedup
+    # stage — measured ~1.5s for a dense 200k-row build) shrinks with the dup
+    # rate, and the broadcast path stays feasible far deeper into the
+    # 10^12-doc regime. Beyond that, broadcast_flags=False selects the
+    # sort-merge rejoin riding the bucketed-by-id table layout (both sides
+    # bucket-pruned, zero shuffle).
     flags = (
         exact.drop("_sig")
         .join(near, id_col, "left")
         .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+        .filter(F.col("is_exact_dup") | F.col("is_near_dup"))
     )
-    # Rejoin the wide rows WITHOUT shuffling them: flags are (id, bool, bool)
-    # ≈ 20 bytes/row, so broadcast keeps document bodies on the map side.
-    # At 10^12-doc scale the broadcast no longer fits one executor — there the
-    # rejoin rides the bucketed-by-id table layout instead (both sides
-    # bucket-pruned, zero shuffle); broadcast_flags=False selects the
-    # sort-merge path for that regime.
     if broadcast_flags:
         flags = F.broadcast(flags)
-    return df.join(flags, id_col)
+    out = df.join(flags, id_col, "left")
+    return out.withColumn(
+        "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
+    ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
 
 
 # ---------------------------------------------------------------------------

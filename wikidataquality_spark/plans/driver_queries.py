@@ -1112,6 +1112,33 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count_distinct("event_id").alias("n_unique"))
 
 
+@_register(
+    "stream_sliding_avg",
+    """
+SELECT (epoch_us(ts) // 600000000 - i) * 600000000 AS win_start_us,
+       event_type, ROUND(AVG(value), 4) AS avg_value
+FROM events, generate_series(0, 2) AS t(i)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (30 min / 10 min slide) in
+    complete mode over the bounded source — equals the batch overlap-bucket
+    aggregation, so the integer-bucket oracle applies."""
+    from wikidataquality_spark.streaming.windows import (
+        run_stream_to_memory,
+        sliding_value_avg,
+    )
+
+    src = _events_stream(spark, sf_dir)
+    out = run_stream_to_memory(spark, sliding_value_avg(src), output_mode="complete")
+    return out.select(
+        F.unix_micros("win.start").alias("win_start_us"),
+        "event_type",
+        "avg_value",
+    )
+
+
 @_register("stream_session_windows", None)  # session_window start/end are
 # engine-defined; rows-only check
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
