@@ -45,8 +45,10 @@ def main() -> None:
 
     from wikidataquality_spark.plans.driver_queries import QUERIES
 
-    # warm the JVM + parquet footers once (excluded from timings)
+    # warm the JVM + parquet footers + python UDF workers once (excluded from
+    # timings — worker spawn/numpy import is session overhead, not query cost)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    QUERIES["minhash_neardup_docs"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -51,3 +51,24 @@ def test_resume_noop_when_nothing_done(spark, tmp_path):
     out = str(tmp_path / "t3")
     df = _mkdf(spark)
     assert resume_filter(df, out).count() == df.count()
+
+
+def test_read_run_prunes_to_run_partitions(spark, tmp_path):
+    """read_run = parquet-manifest VERSION AS OF: only that run's partitions."""
+    from wikidataquality_spark.io.catalog import read_run, write_partitioned
+
+    d = str(tmp_path / "runs_table")
+    df1 = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, partition string")
+    e1 = write_partitioned(df1, d, run_id="run1")
+    df2 = spark.createDataFrame([(4, "c")], "id long, partition string")
+    e2 = write_partitioned(df2, d, run_id="run2")
+
+    got1 = sorted(r["id"] for r in read_run(spark, d, "run1").collect())
+    got2 = sorted(r["id"] for r in read_run(spark, d, "run2").collect())
+    assert got1 == [1, 2, 3] and got2 == [4]
+    assert e1["partitions"] == ["a", "b"] and e2["partitions"] == ["c"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_run(spark, d, "nope")

@@ -104,3 +104,15 @@ def resume_filter(
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(table_dir)
+
+
+def read_run(spark: SparkSession, table_dir: str, run_id: str) -> DataFrame:
+    """Read ONLY the partitions a given run completed (the parquet-manifest
+    analogue of Iceberg's `VERSION AS OF <snapshot>`): the partition filter
+    prunes directories, so unrelated partitions are never scanned."""
+    manifest = read_manifest(table_dir)
+    runs = {r["run_id"]: r for r in manifest["runs"]}
+    if run_id not in runs:
+        raise KeyError(f"run {run_id!r} not in manifest ({sorted(runs)})")
+    parts = runs[run_id]["partitions"]
+    return spark.read.parquet(table_dir).filter(F.col("partition").isin(parts))

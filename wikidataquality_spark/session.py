@@ -31,6 +31,9 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # saveAsTable target for bucketed tables (io/bucketed.py) — keep the
+    # metastore/warehouse out of the repo tree.
+    "spark.sql.warehouse.dir": "/tmp/wdq_warehouse",
 }
 
 
