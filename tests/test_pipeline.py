@@ -141,3 +141,16 @@ def test_repeated_line_pages_flagged(vpdf):
     rep = vpdf[vpdf.text.map(lambda t: len(set(t.split("\n"))) / max(len(t.split("\n")), 1) < 0.5)]
     assert len(rep) > 10
     assert rep.violated_rules.map(lambda v: "range.line_dup" in v).all()
+
+
+def test_validate_empty_input(spark):
+    """Zero-row input: the full DAG must produce a zero-row, full-schema
+    result (a resumed run whose partitions are all complete hits this)."""
+    from wikidataquality_spark.pipeline import results, validate
+
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = results(validate(empty))
+    assert out.count() == 0
+    assert "keep" in out.columns and "scrubbed_text" in out.columns
