@@ -20,13 +20,15 @@ _SHIPPED: set[str] = set()
 
 
 def package_zip() -> str:
-    """Zip wikidataquality_spark/ (source only, deterministic order)."""
+    """Zip wikidataquality_spark/ (source + model artifacts, deterministic
+    order). The frozen LM .npz ships with the code — workers load it via
+    pkgutil so the zip-import path works (operators/perplexity.py)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "wikidataquality_spark_pyfiles.zip")
     files = []
     for root, _, names in os.walk(pkg_dir):
         for n in names:
-            if n.endswith(".py"):
+            if n.endswith((".py", ".npz")):
                 full = os.path.join(root, n)
                 rel = os.path.join("wikidataquality_spark", os.path.relpath(full, pkg_dir))
                 files.append((full, rel))

@@ -314,9 +314,10 @@ def simhash_dedup(
     groupBy, verify join, and final left_anti all move ≤16-byte rows."""
     sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh"))
     bands = sigs.select(id_col, "_sh", F.explode(simhash_band_keys("_sh")).alias("_bk"))
-    bucket_min = bands.groupBy("_bk").agg(F.min(id_col).alias("_keep_id"))
+    # min(id) OVER (PARTITION BY bucket) instead of groupBy+self-join: one
+    # exchange on the band key, no join (same rewrite as dup_marks' near path)
     cand = (
-        bands.join(bucket_min, "_bk")
+        bands.withColumn("_keep_id", F.min(id_col).over(W.partitionBy("_bk")))
         .filter(F.col(id_col) != F.col("_keep_id"))
         .select(id_col, "_sh", "_keep_id")
         .distinct()

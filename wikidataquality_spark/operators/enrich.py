@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from wikidataquality_spark.operators.extract import extract_text_series
 from wikidataquality_spark.operators.heuristics import STOPWORDS
 from wikidataquality_spark.operators.langid import _CJK_RE, _load_model
-from wikidataquality_spark.operators.perplexity import _UNK_LOGP, _load_models
+from wikidataquality_spark.operators.perplexity import _load_models
 from wikidataquality_spark.operators.tokenize import tokenize
 
 ENRICH_TYPE = T.StructType(
@@ -82,7 +82,8 @@ class _FusedScorer:
         n = len(vocab)
         self.langs = self.lid.langs
         self.membership = np.zeros((n + 1, len(self.langs)))
-        self.logp = np.full(n + 1, _UNK_LOGP)
+        # joint row -> LM token id (LM's V = <unk>, also the OOV sentinel row)
+        self.lm_id = np.full(n + 1, self.lm.V, dtype=np.int64)
         self.is_stopword = np.zeros(n + 1)
         lid_pos = self.lid.vocab_ix.get_indexer(vocab)
         lm_pos = self.lm.vocab_ix.get_indexer(vocab)
@@ -91,7 +92,7 @@ class _FusedScorer:
             if lid_pos[i] >= 0:
                 self.membership[i] = self.lid.membership[lid_pos[i]]
             if lm_pos[i] >= 0:
-                self.logp[i] = self.lm.logp_arr[lm_pos[i]]
+                self.lm_id[i] = lm_pos[i]
             if w in stop:
                 self.is_stopword[i] = 1.0
 
@@ -115,9 +116,12 @@ class _FusedScorer:
         safe_counts = np.maximum(counts, 1)
         empty = counts == 0
 
-        # perplexity: mean log-prob per doc
-        lp_sum = np.bincount(codes, weights=self.logp[idx], minlength=n_rows)
-        mean_lp = np.where(empty, _UNK_LOGP, lp_sum / safe_counts)
+        # perplexity: sequence-aware interpolated-bigram log-probs (the SAME
+        # _BigramLM.logprobs the standalone perplexity stage uses), mean per doc
+        ids_lm = self.lm_id[idx]
+        tok_lp = self.lm.logprobs(ids_lm, codes)
+        lp_sum = np.bincount(codes, weights=tok_lp, minlength=n_rows)
+        mean_lp = np.where(empty, self.lm.unk_logp, lp_sum / safe_counts)
         ppl = np.exp(-mean_lp)
 
         # language ID: marker-hit rate per lang; CJK ratio override

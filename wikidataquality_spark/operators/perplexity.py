@@ -1,19 +1,25 @@
 """KenLM-style n-gram perplexity stage (SURVEY.md §2B "Perplexity").
 
-Iterator pandas UDF with once-per-worker model load (same lifecycle as
-langid.py). The stand-in model is an interpolated unigram LM per language:
-probabilities from Zipf-ranked wordlist frequencies with add-k smoothing over
-an open vocabulary — enough to separate in-domain prose from gibberish
-deterministically, with zero external deps. A real KenLM binary drops into
-_load_models() behind the same dict-of-callables interface.
+Iterator pandas UDF with once-per-worker model load — the exact KenLM
+deployment lifecycle: an offline training job (tools/train_lm.py) freezes a
+binary model artifact (models/bigram_lm_v2.npz, 129KB); each Python worker
+memory-maps it once and scores whole Arrow batches vectorized.
 
-Scoring is vectorized: one str.split + explode per batch, a single dict
-lookup via pd.Series.map over the exploded token frame, then a groupby-mean
-back to row grain — no per-row Python loop.
+Model: interpolated bigram with add-k unigram backoff over an open
+vocabulary:  p(w2 | w1) = λ·c(w1,w2)/c(w1) + (1−λ)·p_uni(w2).
+Scoring is sequence-aware and fully vectorized: one vocabulary get_indexer,
+one searchsorted into the sorted bigram-key table, one bincount back to doc
+grain — no per-token Python. A real KenLM .bin drops into _load_models()
+behind the same (token_ids, logprobs) interface.
+
+Parity: recasts TypeChecker/ValueTypeChecker's "classifier membership" family
+(ref≈includes/ConstraintCheck/Checker/TypeChecker.php:~30-130) — the quality
+class is the model's perplexity bucket (SURVEY §2A#8/9).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,51 +28,87 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from wikidataquality_spark.datagen import TOPIC_WORDS, WORDLISTS
-
-MODEL_VERSION = "1"
-_UNK_LOGP = np.log(1e-7)
-
-
-def _build_logprobs() -> dict[str, float]:
-    """One shared unigram table: function words (per lang) + topic words,
-    Zipf-weighted by list rank, renormalized, log-space."""
-    weights: dict[str, float] = {}
-    for words in WORDLISTS.values():
-        for rank, w in enumerate(words):
-            weights[w] = max(weights.get(w, 0.0), 1.0 / (rank + 2))
-    for rank, w in enumerate(TOPIC_WORDS):
-        weights[w] = max(weights.get(w, 0.0), 1.0 / (rank + 5))
-    total = sum(weights.values()) * 1.05  # reserve 5% mass for <unk>
-    return {w: float(np.log(v / total)) for w, v in weights.items()}
+MODEL_VERSION = "2"
+_MODEL_NAME = f"bigram_lm_v{MODEL_VERSION}.npz"
+_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "models", _MODEL_NAME
+)
 
 
-class _UnigramLM:
-    """Scores via one vocabulary-index lookup (C-speed get_indexer) + a log-
-    probability array; CJK chars are unigram units (tokenize() handles the
-    splitting)."""
+def _open_model():
+    """Load the frozen artifact whether the package is a directory or a
+    --py-files zip (workers import from sc.addPyFile's zip — pkgutil reads
+    through zipimport)."""
+    if os.path.exists(_MODEL_PATH):
+        return np.load(_MODEL_PATH, allow_pickle=True)
+    import io
+    import pkgutil
+
+    blob = pkgutil.get_data("wikidataquality_spark", f"models/{_MODEL_NAME}")
+    if blob is None:
+        raise FileNotFoundError(f"model artifact {_MODEL_NAME} not packaged")
+    return np.load(io.BytesIO(blob), allow_pickle=True)
+
+
+class _BigramLM:
+    """Frozen interpolated-bigram LM (see tools/train_lm.py for training)."""
 
     def __init__(self) -> None:
-        logp = _build_logprobs()
-        words = sorted(logp)
-        self.vocab_ix = pd.Index(words)
-        self.logp_arr = np.array([logp[w] for w in words] + [_UNK_LOGP])
+        z = _open_model()
+        self.vocab_ix = pd.Index(z["vocab"].tolist())
+        self.uni_logp = z["uni_logp"]  # length V+1; slot V = <unk>
+        self.bigram_keys = z["bigram_keys"]  # sorted packed (id1·(V+1)+id2)
+        self.bigram_cond = z["bigram_cond"]  # c(w1,w2)/c(w1)
+        self.lam = float(z["lam"][0])
+        self.V = len(self.vocab_ix)
+        self.unk_logp = float(self.uni_logp[self.V])
+
+    def token_ids(self, exploded: pd.Series) -> np.ndarray:
+        ids = self.vocab_ix.get_indexer(exploded.to_numpy())
+        ids[ids < 0] = self.V
+        return ids
+
+    def logprobs(self, ids: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """Per-token log-probs for a (doc-id, token-id) stream. First token
+        of each document scores as unigram; transitions never cross docs."""
+        n = len(ids)
+        if n == 0:
+            return np.empty(0)
+        uni_p = np.exp(self.uni_logp[ids])
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = codes[1:] != codes[:-1]
+
+        keys = np.empty(n, dtype=np.int64)
+        keys[0] = 0
+        keys[1:] = ids[:-1].astype(np.int64) * (self.V + 1) + ids[1:]
+        pos = np.searchsorted(self.bigram_keys, keys)
+        pos_c = np.minimum(pos, len(self.bigram_keys) - 1)
+        hit = (len(self.bigram_keys) > 0) & (self.bigram_keys[pos_c] == keys)
+        cond = np.where(hit, self.bigram_cond[pos_c], 0.0)
+
+        p = self.lam * cond + (1.0 - self.lam) * uni_p
+        return np.where(first, self.uni_logp[ids], np.log(p))
 
     def perplexity(self, texts: pd.Series, tok=None) -> pd.Series:
         from wikidataquality_spark.operators.tokenize import tokenize
 
         tok = tok or tokenize(texts)
-        idx = self.vocab_ix.get_indexer(tok.exploded.to_numpy())
-        idx[idx < 0] = len(self.vocab_ix)  # OOV → UNK slot
-        lp = pd.Series(self.logp_arr[idx], index=tok.exploded.index)
-        mean_lp = lp.groupby(level=0).mean().reindex(texts.index)
-        # empty docs (no tokens) → treat as all-UNK
-        ppl = np.exp(-mean_lp.fillna(_UNK_LOGP))
+        ids = self.token_ids(tok.exploded)
+        lp = self.logprobs(ids, tok.codes)
+        n_rows = len(texts)
+        counts = np.bincount(tok.codes, minlength=n_rows).astype(np.int64)
+        lp_sum = np.bincount(tok.codes, weights=lp, minlength=n_rows)
+        mean_lp = np.where(counts == 0, self.unk_logp, lp_sum / np.maximum(counts, 1))
+        ppl = np.exp(-mean_lp)
         return pd.Series(ppl, index=texts.index).astype(float).where(~texts.isna(), np.nan)
 
 
-def _load_models() -> _UnigramLM:
-    return _UnigramLM()
+_UNK_LOGP = _BigramLM().unk_logp  # module-level: shared with enrich's empty-doc convention
+
+
+def _load_models() -> _BigramLM:
+    return _BigramLM()
 
 
 @F.pandas_udf(T.DoubleType())
