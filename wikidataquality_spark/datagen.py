@@ -102,7 +102,18 @@ def render_html(text: str) -> bytes:
 
 def generate_pages(n_rows: int, seed: int = SEED) -> pd.DataFrame:
     """Build the pages corpus as pandas (driver-side; test scale only —
-    at production scale this table *is* the input, not something we make)."""
+    at production scale this table *is* the input, not something we make).
+    Output columns are EXACTLY the input contract (url, warc_ts, html, text,
+    lang) — BASELINE.json:15."""
+    return generate_pages_with_meta(n_rows, seed)[
+        ["url", "warc_ts", "html", "text", "lang"]
+    ]
+
+
+def generate_pages_with_meta(n_rows: int, seed: int = SEED) -> pd.DataFrame:
+    """Same corpus + ground-truth columns (true_lang, defect) for model
+    training / evaluation (tools/train_langid.py). Identical RNG sequence to
+    generate_pages — the extra columns are recorded, never drawn."""
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
     texts: list[str] = []
@@ -113,27 +124,34 @@ def generate_pages(n_rows: int, seed: int = SEED) -> pd.DataFrame:
         n_sent = int(rng.integers(4, 10))
         sents = [_sentence(rng, lang, int(rng.integers(8, 18))) for _ in range(n_sent)]
 
+        defect_kind = "none"
         if defect < 0.06 and i > 10:
             # exact duplicate of an earlier page
+            defect_kind = "exact_dup"
             text = texts[int(rng.integers(0, i))]
         elif defect < 0.12 and i > 10:
             # near duplicate: copy an earlier page, perturb one sentence
+            defect_kind = "near_dup"
             src = texts[int(rng.integers(0, i))]
             lines = src.split("\n")
             lines[int(rng.integers(0, len(lines)))] = _sentence(rng, lang, 10)
             text = "\n".join(lines)
         elif defect < 0.18:
             # gibberish (high perplexity)
+            defect_kind = "gibberish"
             text = "\n".join(_gibberish(rng, int(rng.integers(10, 20))) for _ in range(3))
         elif defect < 0.24:
             # repeated-line page (boilerplate spam)
+            defect_kind = "repeated_lines"
             line = sents[0]
             text = "\n".join([line] * int(rng.integers(5, 9)))
         elif defect < 0.28:
             # too short
+            defect_kind = "too_short"
             text = _sentence(rng, lang, int(rng.integers(1, 4)))
         elif defect < 0.32:
             # high symbol ratio
+            defect_kind = "symbol_spam"
             text = "\n".join(
                 s + " " + "".join(rng.choice(list("!@#$%^&*()[]{}<>"), size=30))
                 for s in sents[:3]
@@ -163,6 +181,8 @@ def generate_pages(n_rows: int, seed: int = SEED) -> pd.DataFrame:
                 "html": render_html(text),
                 "text": text,
                 "lang": claimed_lang,
+                "true_lang": lang,
+                "defect": defect_kind,
             }
         )
         texts.append(text)

@@ -1565,6 +1565,21 @@ def posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
 
 
+@_register("langid_ngram_docs", None)  # model inference — rows-only check
+def langid_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style char-trigram language ID over documents (frozen
+    supervised model, operators/langid_ngram.py; 'und' = junk class)."""
+    from wikidataquality_spark.operators.langid_ngram import ngram_langid
+
+    df = _t(spark, sf_dir, "documents")
+    res = ngram_langid("text")
+    return df.select(
+        "doc_id",
+        res["lang_pred"].alias("lang_pred"),
+        F.round(res["lang_conf"], 4).alias("lang_conf"),
+    )
+
+
 @_register("approx_percentile_price", None)  # sketch output — rows-only check
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest class sketch): the 10^12-row quantile path
