@@ -1043,6 +1043,81 @@ def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "window_rank_functions",
+    """
+SELECT o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank / dense_rank / percent_rank / ntile."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_register(
+    "array_ops_embedding",
+    """
+SELECT vec_id,
+       len(embedding) AS dim,
+       list_transform(embedding[1:5], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head5,
+       list_transform(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1:3],
+                      x -> ROUND(x, 4)) AS top3,
+       ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS vmax
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def array_ops_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: size / slice / sort_array desc / transform /
+    array_max — all JVM-side HOFs, no UDF."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.transform(F.slice("embedding", 1, 5), lambda x: F.round(x.cast("double"), 4)).alias("head5"),
+        F.transform(F.slice(F.sort_array(dbl, asc=False), 1, 3), lambda x: F.round(x, 4)).alias("top3"),
+        F.round(F.array_max(dbl), 4).alias("vmax"),
+    )
+
+
+@_register(
+    "orders_date_arithmetic",
+    """
+SELECT o_orderkey,
+       date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
+       strftime(o_orderdate::DATE + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+       EXTRACT(quarter FROM o_orderdate) AS q
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: datediff / date_add / last_day / quarter."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_95"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming twins (run the real Structured Streaming path on the bounded
 # events table; memory sink driven to completion inside the query fn).
