@@ -1230,6 +1230,43 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("stream_incremental_validate", None)  # model pipeline — rows-only
+def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental validation (EvaluateConstraintReportJob recast,
+    SURVEY §2A″): a pages corpus streams in as 3 micro-batches
+    (maxFilesPerTrigger=1); foreachBatch runs the FULL batch pipeline per
+    micro-batch and appends to the sink exactly-once via the checkpoint.
+    Returns the per-batch-accumulated results — deterministic, so the
+    driver's repeated rows-only runs agree (sink is rebuilt per call)."""
+    import shutil
+    import tempfile
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.streaming.windows import incremental_validate
+
+    base = tempfile.gettempdir()
+    corpus = write_pages_parquet(f"{base}/wdq_incr/pages_300.parquet", 300, seed=99)
+    split_dir = f"{base}/wdq_incr/split"
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        spark.read.parquet(corpus).repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    sink = f"{base}/wdq_incr/sink"
+    ckpt = f"{base}/wdq_incr/ckpt"
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    q = incremental_validate(spark, stream, sink, ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select("url", "keep", F.size("violated_rules").cast("int").alias("n_violations"))
+
+
 @_register(
     "stateful_user_stats",
     """
