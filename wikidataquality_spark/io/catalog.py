@@ -66,16 +66,24 @@ def write_partitioned(
     run_id: str | None = None,
     input_snapshot: str | None = None,
 ) -> dict:
-    """Append df partitioned by partition_col; record completed partitions in
-    the manifest. Returns the manifest entry (the 'snapshot')."""
+    """Write df partitioned by partition_col — dynamic partition OVERWRITE
+    (a re-run of the same partition replaces it, the idempotent-resume
+    semantic; untouched partitions are left alone) — and record completed
+    partitions in the manifest. Returns the manifest entry (the 'snapshot').
+    df is persisted around the two actions (partition listing + write) so
+    its lineage computes once."""
     run_id = run_id or uuid.uuid4().hex[:12]
-    parts = [r[0] for r in df.select(partition_col).distinct().collect()]
-    (
-        df.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(table_dir)
-    )
+    df = df.persist()
+    try:
+        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(table_dir)
+        )
+    finally:
+        df.unpersist()
     manifest = read_manifest(table_dir)
     entry = {
         "run_id": run_id,
@@ -106,7 +114,12 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(table_dir)
 
 
-def read_run(spark: SparkSession, table_dir: str, run_id: str) -> DataFrame:
+def read_run(
+    spark: SparkSession,
+    table_dir: str,
+    run_id: str,
+    partition_col: str = "partition",
+) -> DataFrame:
     """Read ONLY the partitions a given run completed (the parquet-manifest
     analogue of Iceberg's `VERSION AS OF <snapshot>`): the partition filter
     prunes directories, so unrelated partitions are never scanned."""
@@ -115,4 +128,4 @@ def read_run(spark: SparkSession, table_dir: str, run_id: str) -> DataFrame:
     if run_id not in runs:
         raise KeyError(f"run {run_id!r} not in manifest ({sorted(runs)})")
     parts = runs[run_id]["partitions"]
-    return spark.read.parquet(table_dir).filter(F.col("partition").isin(parts))
+    return spark.read.parquet(table_dir).filter(F.col(partition_col).isin(parts))

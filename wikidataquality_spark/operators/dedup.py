@@ -305,9 +305,17 @@ def simhash_dedup(
     max_hamming: int = SIMHASH_MAX_HAMMING,
 ) -> DataFrame:
     """Drop SimHash near-duplicates: candidate pairs share ≥1 of 4 16-bit
-    bands (pigeonhole-complete for hamming ≤ 3); candidates are VERIFIED by
-    exact Hamming distance (bit_count(xor)) before anything is dropped —
-    banding only bounds the candidate set, it never decides.
+    bands (pigeonhole: any pair with hamming ≤ 3 shares a band); candidates
+    are VERIFIED by exact Hamming distance (bit_count(xor)) before anything
+    is dropped — banding only bounds the candidate set, it never decides.
+
+    Greedy min-anchor semantics (same as minhash_dedup, standard LSH dedup):
+    each doc is verified against its buckets' MINIMUM id only. A true pair
+    (B, C) sharing a bucket whose min is an unrelated A > hamming-3 from
+    both is not compared, so B and C can both survive — recall is bounded by
+    the anchor choice, never precision (no false drops). Full within-bucket
+    pairing would be quadratic in bucket size, the wrong trade at corpus
+    scale.
 
     Plan shape (narrow end-to-end): signatures are one pandas-UDF projection
     of (id, 8-byte sig); banding explodes to 4 key rows/doc; the bucket
@@ -353,18 +361,20 @@ def repartition_by_host_salted(
     rows so no partition is dominated by one domain (explicit-salting mandate
     of BASELINE.json:6; AQE skew-join remains on as the safety net).
 
-    The hot-host set comes from a cheap pre-aggregation (count per host) —
-    at production scale that is a sample-based sketch; the set is tiny and is
-    broadcast inside the `isin` literal."""
+    The hot-host set comes from ONE cheap pre-aggregation (count per host;
+    the total derives from the same result, so the upstream lineage computes
+    once) — at production scale that is a sample-based sketch; the set is
+    tiny and is broadcast inside the `isin` literal."""
     host = host_of(url_col)
-    total = df.count()
-    hot = [
-        r["host"]
-        for r in df.groupBy(host.alias("host"))
-        .count()
-        .filter(F.col("count") > hot_fraction * total)
-        .collect()
-    ]
+    per_host = df.groupBy(host.alias("host")).count().persist()
+    try:
+        total = per_host.agg(F.sum("count")).first()[0] or 0
+        hot = [
+            r["host"]
+            for r in per_host.filter(F.col("count") > hot_fraction * total).collect()
+        ]  # only the (tiny) hot set ever reaches the driver
+    finally:
+        per_host.unpersist()
     salt = F.when(
         host.isin(hot), F.pmod(F.xxhash64(url_col), F.lit(n_salts))
     ).otherwise(F.lit(0))

@@ -12,8 +12,12 @@ Why fused (measured on local[32], 100k docs):
 The standalone Column-expression operators (operators/heuristics.py) remain
 the relational/query surface (they are what the DuckDB oracle checks, and the
 right choice when stats feed further Catalyst logic); the pipeline hot path
-uses this fused stage. Semantics match: same tokenizer split, same ratio
-definitions, NULL stats for empty docs.
+uses this fused stage. Semantics match for any doc with ≥1 token; the KNOWN
+divergence is empty/whitespace-only text: split(trim(''), '\\s+') in the
+Column surface yields [''] (n_words=1, ratios defined) while tokenize()
+yields zero tokens (n_words=0, NULL ratios). Each surface is internally
+consistent with its own oracle (DuckDB resp. golden fixtures); both drop
+such docs anyway via the doc-length rule.
 
 Parity: this one operator implements SURVEY §2B stages Extract/LangID/
 Perplexity/Heuristics with the once-per-worker model lifecycle of

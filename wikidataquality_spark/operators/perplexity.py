@@ -104,9 +104,6 @@ class _BigramLM:
         return pd.Series(ppl, index=texts.index).astype(float).where(~texts.isna(), np.nan)
 
 
-_UNK_LOGP = _BigramLM().unk_logp  # module-level: shared with enrich's empty-doc convention
-
-
 def _load_models() -> _BigramLM:
     return _BigramLM()
 

@@ -4,8 +4,10 @@ Parity: the reference re-checks entities incrementally as edits arrive
 (ref≈includes/EvaluateConstraintReportJob.php:~15-80 — one job per touched
 entity, violation counts accumulated in SQL tables). The Spark-native
 recast keeps per-key accumulators in the state store: counts survive across
-micro-batches exactly-once, and GroupStateTimeout evicts idle keys so state
-is bounded (the 10^12-doc concern: state ∝ active keys, not corpus size).
+micro-batches exactly-once, and the opt-in idle_timeout (ProcessingTime
+eviction with a final-snapshot emit) bounds state by ACTIVE keys, not keys
+ever seen (the 10^12-doc concern). Default is NoTimeout — exact running
+totals, the oracle-checked mode.
 
 `running_user_stats` is the flagship: per-user event count + value sum +
 last-seen timestamp, updated per micro-batch, emitted on every update.
@@ -45,6 +47,15 @@ def _update_user_stats(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle-key eviction (ProcessingTimeTimeout mode): emit the final
+        # snapshot once, then drop the state entry — bounded state
+        n, total, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total, "last_seen_us": last}]
+        )
+        return
     if state.exists:
         n, total, last = state.get
     else:
@@ -61,10 +72,15 @@ def _update_user_stats(
     )
 
 
-def running_user_stats(events: DataFrame) -> DataFrame:
+def running_user_stats(events: DataFrame, idle_timeout: str | None = None) -> DataFrame:
     """Streaming: per-user running (count, sum(value), last ts) via the state
     store. Batch DataFrame input falls back to the equivalent groupBy.agg —
-    same output schema, so the oracle check runs against the batch twin."""
+    same output schema, so the oracle check runs against the batch twin.
+
+    idle_timeout (e.g. '30 minutes') enables ProcessingTimeTimeout eviction:
+    keys quiet for that long emit a final snapshot and leave the store, so
+    state is bounded by ACTIVE keys, not all keys ever seen. Default None =
+    NoTimeout (exact running totals forever — the oracle-checked mode)."""
     src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if not src.isStreaming:
         return src.groupBy("user_id").agg(
@@ -72,13 +88,28 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("double")).alias("total_value"),
             F.max(F.unix_micros("ts")).alias("last_seen_us"),
         )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    fn = _update_user_stats if not idle_timeout else _make_timeout_update(idle_timeout)
     return (
         src.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_stats,
+            fn,
             outputStructType=USER_STATS_OUTPUT,
             stateStructType=USER_STATS_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
+
+
+def _make_timeout_update(idle_timeout: str):
+    def update(key, pdfs, state: GroupState):
+        yield from _update_user_stats(key, pdfs, state)
+        if state.exists:
+            state.setTimeoutDuration(idle_timeout)
+
+    return update

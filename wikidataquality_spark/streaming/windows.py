@@ -87,13 +87,23 @@ def incremental_validate(
     checkpoint_dir: str,
 ):
     """foreachBatch incremental validation: each micro-batch runs the full
-    batch pipeline and appends to the sink (the EvaluateConstraintReportJob
-    analogue — re-check only what changed, exactly-once via checkpoint)."""
+    batch pipeline (the EvaluateConstraintReportJob analogue — re-check only
+    what changed). Exactly-once: the sink is partitioned by epoch_id with
+    dynamic partition overwrite, so a batch that is retried after a partial
+    write REPLACES its own partition instead of appending duplicates — the
+    checkpoint alone only gives at-least-once for blind parquet appends."""
+    from pyspark.sql import functions as SF
+
     from wikidataquality_spark.pipeline import results, validate
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        out = results(validate(batch_df))
-        out.write.mode("append").parquet(sink_dir)
+        out = results(validate(batch_df)).withColumn("_epoch", SF.lit(epoch_id))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
 
     return (
         pages_stream.writeStream.foreachBatch(_process)
