@@ -72,3 +72,40 @@ def test_read_run_prunes_to_run_partitions(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         read_run(spark, d, "nope")
+
+
+def test_run_pipeline_cli_end_to_end(spark, tmp_path):
+    """The spark-submit entrypoint: run → resume no-op → run-scoped read."""
+    import json
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.io.catalog import read_run
+
+    corpus = write_pages_parquet(str(tmp_path / "pages.parquet"), 200, seed=7)
+    out_dir, met_dir = str(tmp_path / "out"), str(tmp_path / "met")
+
+    def run(args):
+        buf, old = StringIO(), sys.stdout
+        sys.stdout = buf
+        try:
+            rc = run_pipeline.main(args)
+        finally:
+            sys.stdout = old
+        line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+        return rc, json.loads(line)
+
+    rc, res = run(["--input", corpus, "--output", out_dir, "--metrics", met_dir,
+                   "--run-id", "r1"])
+    assert rc == 0 and res["status"] == "ok" and res["docs"] == 200
+
+    rows = read_run(spark, out_dir, "r1").count()
+    assert rows == 200
+
+    rc2, res2 = run(["--input", corpus, "--output", out_dir, "--metrics", met_dir,
+                     "--resume"])
+    assert rc2 == 0 and res2["status"] == "nothing_to_do"

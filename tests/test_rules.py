@@ -117,3 +117,39 @@ def test_exception_does_not_drop(spark):
     df = spark.createDataFrame([(None,)], "x double")
     out = apply_rules(df, rules).select("keep").collect()
     assert out[0]["keep"] is True
+
+
+def test_qualifiers_rule(spark):
+    from wikidataquality_spark.rules.builder import apply_rules
+    from wikidataquality_spark.rules.model import Rule
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "x"]), (3, None)],
+        "id long, quals array<string>",
+    )
+    out = apply_rules(df, [Rule("q.whitelist", "qualifiers", {"column": "quals", "allowed": "a,b,c"})])
+    rows = {r["id"]: (r["keep"], r["violations"][0]["status"]) for r in out.collect()}
+    assert rows[1] == (True, "compliance")
+    assert rows[2][1] == "violation" and rows[2][0] is False
+    assert rows[3][1] == "exception" and rows[3][0] is True  # NULL → not applicable
+
+
+def test_url_wellformed_rule(spark):
+    from wikidataquality_spark.rules.builder import apply_rules
+    from wikidataquality_spark.rules.model import Rule
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/p/1"),
+            (2, "ftp://example.com/x"),
+            (3, "https://nohost"),
+            (4, None),
+        ],
+        "id long, url string",
+    )
+    out = apply_rules(df, [Rule("u.wf", "url_wellformed", {"column": "url"})])
+    rows = {r["id"]: r["violations"][0]["status"] for r in out.collect()}
+    assert rows[1] == "compliance"
+    assert rows[2] == "violation"
+    assert rows[3] == "violation"
+    assert rows[4] == "exception"

@@ -12,6 +12,8 @@ reconstructed, SURVEY.md §2A):
   conflicts_with  ≈ Checker/ConflictsWithChecker.php:~30-110 (blocklist)
   mandatory       ≈ Checker/MandatoryQualifiersChecker.php:~30-90 (non-null field)
   item_cooccur    ≈ Checker/ItemChecker.php:~30-100     (column co-occurrence)
+  qualifiers      ≈ Checker/QualifiersChecker.php:~30-90 (array ⊆ whitelist)
+  url_wellformed  ≈ Checker/CommonsLinkChecker.php:~30-110 (well-formed link)
 
 Each factory takes a Rule (params is a str→str map, parsed here — the same
 dynamic-parameters pattern as ref≈Helper/ConstraintParameterParser.php) and
@@ -104,6 +106,31 @@ def item_cooccur_rule(rule: Rule) -> Column:
     return check_result(rule, b.isNotNull(), applicable=a.isNotNull())
 
 
+def qualifiers_rule(rule: Rule) -> Column:
+    """Array column may contain ONLY whitelisted values (QualifiersChecker
+    recast, ref≈Checker/QualifiersChecker.php:~30-90): violation when
+    array_except(values, allowed) is non-empty."""
+    col = F.col(rule.param("column"))
+    allowed = _split_list(rule.param("allowed"))
+    extras = F.array_except(col, F.array(*[F.lit(v) for v in allowed]))
+    return check_result(
+        rule,
+        F.size(extras) == 0,
+        detail=F.array_join(extras, ","),
+        applicable=col.isNotNull(),
+    )
+
+
+def url_wellformed_rule(rule: Rule) -> Column:
+    """URL must parse: http(s) scheme + a dotted, extractable host
+    (CommonsLinkChecker recast, ref≈Checker/CommonsLinkChecker.php:~30-110 —
+    'string must be a well-formed link')."""
+    col = F.col(rule.param("column", "url"))
+    host = F.parse_url(col, F.lit("HOST"))
+    ok = col.rlike(r"^https?://") & host.isNotNull() & host.contains(".")
+    return check_result(rule, ok, detail=host, applicable=col.isNotNull())
+
+
 def flag_rule(rule: Rule) -> Column:
     """Boolean flag column must be false (bridges cross-row ops — dup marks
     from operators/dedup.py — into the per-row violation framework; this is
@@ -124,4 +151,6 @@ RULE_FACTORIES: dict[str, Callable[[Rule], Column]] = {
     "conflicts_with": conflicts_with_rule,
     "mandatory": mandatory_rule,
     "item_cooccur": item_cooccur_rule,
+    "qualifiers": qualifiers_rule,
+    "url_wellformed": url_wellformed_rule,
 }
