@@ -154,3 +154,30 @@ def test_validate_empty_input(spark):
     out = results(validate(empty))
     assert out.count() == 0
     assert "keep" in out.columns and "scrubbed_text" in out.columns
+
+
+def test_pipeline_plan_shape(spark):
+    """Architectural regression gate: the whole validation DAG runs exactly
+    ONE Python (Arrow) stage — the fused enrich pass; dedup signatures come
+    from it, so no second Arrow round-trip of document bodies — and the dup
+    flags rejoin via broadcast (document bodies never shuffle)."""
+    from wikidataquality_spark.datagen import generate_pages
+    from wikidataquality_spark.pipeline import results, validate
+
+    pages = spark.createDataFrame(generate_pages(50, seed=3))
+    out = results(validate(pages))  # default config: enrich persisted+sealed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    try:
+        # every consumer branch (exact window, near-dup bands, final result)
+        # must read the sealed cache: the only ArrowEvalPython occurrences
+        # allowed are INSIDE InMemoryRelation definitions (the cached plan's
+        # stored child), never as a live node a consumer re-executes
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "ArrowEvalPython" in line:
+                context = "\n".join(lines[max(0, i - 4) : i])
+                assert "InMemoryRelation" in context, plan
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.catalog.clearCache()
