@@ -58,3 +58,24 @@ def test_stateful_matches_batch_twin(spark, events_batch, sf0001_dir, tmp_path):
 def test_batch_twin_schema(spark, events_batch):
     out = running_user_stats(events_batch)
     assert set(out.columns) == {"user_id", "n_events", "total_value", "last_seen_us"}
+
+
+def test_stateful_with_idle_timeout_smoke(spark, events_batch, tmp_path):
+    """ProcessingTimeTimeout mode: same totals as NoTimeout when no key goes
+    idle long enough to evict (exercises the setTimeoutDuration path; the
+    hasTimedOut eviction branch needs wall-clock idle gaps a bounded test
+    can't produce deterministically)."""
+    src_dir = str(tmp_path / "events_split_t")
+    events_batch.repartition(2).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = run_stream_to_memory(
+        spark, running_user_stats(stream, idle_timeout="10 minutes"), output_mode="update"
+    )
+    got = {r["user_id"]: r["n_events"] for r in _final_per_user(out).collect()}
+    expected = {r["user_id"]: r["n_events"] for r in running_user_stats(events_batch).collect()}
+    assert got == expected

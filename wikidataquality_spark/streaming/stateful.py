@@ -106,10 +106,22 @@ def running_user_stats(events: DataFrame, idle_timeout: str | None = None) -> Da
     )
 
 
+_DURATION_MS = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
+                "hour": 3_600_000, "hours": 3_600_000}
+
+
+def _duration_ms(spec: str) -> int:
+    """'10 minutes' → 600000 (setTimeoutDuration takes int milliseconds)."""
+    qty, unit = spec.split()
+    return int(qty) * _DURATION_MS[unit]
+
+
 def _make_timeout_update(idle_timeout: str):
+    ms = _duration_ms(idle_timeout)
+
     def update(key, pdfs, state: GroupState):
         yield from _update_user_stats(key, pdfs, state)
         if state.exists:
-            state.setTimeoutDuration(idle_timeout)
+            state.setTimeoutDuration(ms)
 
     return update
