@@ -109,3 +109,17 @@ def test_run_pipeline_cli_end_to_end(spark, tmp_path):
     rc2, res2 = run(["--input", corpus, "--output", out_dir, "--metrics", met_dir,
                      "--resume"])
     assert rc2 == 0 and res2["status"] == "nothing_to_do"
+
+
+def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
+    """FAILFAST readers: corrupt rows raise instead of silently nulling."""
+    import pytest as _pytest
+    from pyspark.sql.types import StructType
+
+    from wikidataquality_spark.io.formats import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,3\n")
+    schema = StructType.fromDDL("a int, b int")
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+        read_csv(spark, str(p), schema).collect()

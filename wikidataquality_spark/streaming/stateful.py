@@ -80,7 +80,12 @@ def running_user_stats(events: DataFrame, idle_timeout: str | None = None) -> Da
     idle_timeout (e.g. '30 minutes') enables ProcessingTimeTimeout eviction:
     keys quiet for that long emit a final snapshot and leave the store, so
     state is bounded by ACTIVE keys, not all keys ever seen. Default None =
-    NoTimeout (exact running totals forever — the oracle-checked mode)."""
+    NoTimeout (exact running totals forever — the oracle-checked mode).
+
+    CAUTION: use idle_timeout only on genuinely unbounded streams. With
+    ProcessingTimeTimeout the engine schedules timeout-check micro-batches
+    indefinitely, so driving a BOUNDED source with processAllAvailable()
+    livelocks (tests exercise the eviction branch python-side instead)."""
     src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if not src.isStreaming:
         return src.groupBy("user_id").agg(
