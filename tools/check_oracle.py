@@ -20,10 +20,18 @@ from wikidataquality_spark.tables import TABLE_NAMES  # noqa: E402
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's canonicalizer as closely as we can observe it:
+    sort columns by name, sort rows by all columns, and do NOT coerce dtypes —
+    the driver's value hash is dtype-sensitive (r01: DuckDB HUGEINT→float64
+    '1435.0' hashed differently from Spark int64 '1435'), and its row sort
+    crashes on unhashable cells (r01: array_ops_embedding list columns)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, tuple, dict, set))).any():
+            raise TypeError(
+                f"column {c!r} holds non-scalar values — the driver's canonicalizer "
+                "cannot hash these (emit concat_ws/array_to_string scalars instead)"
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -67,9 +75,16 @@ def main() -> int:
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             failures.append(name)
             continue
-        s, o = canon(sdf), canon(odf)
         try:
-            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            s, o = canon(sdf), canon(odf)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            failures.append(name)
+            continue
+        try:
+            # check_dtype=True: the driver's hash is dtype-sensitive (see r01
+            # token_count_by_source HUGEINT incident) — the replica must be too.
+            pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
             print(f"OK   {name}: {len(sdf)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 
+# Upper bound on distinct partition values collected to the driver per write.
+# 16k date- or host-grained partitions ≈ 44 years of daily partitions; a
+# column exceeding it is almost certainly a mis-chosen (row-grained) key.
+MAX_PARTITIONS_PER_RUN = 16384
+
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
@@ -75,7 +80,17 @@ def write_partitioned(
     run_id = run_id or uuid.uuid4().hex[:12]
     df = df.persist()
     try:
-        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+        # Driver-side partition listing is bounded: partitions are
+        # date/host-grained (thousands at most), never row-grained. The cap
+        # turns an accidental high-cardinality partition column (e.g. doc_id)
+        # into a loud error instead of an OOM-ing collect at 100 TB.
+        parts_df = df.select(partition_col).distinct().limit(MAX_PARTITIONS_PER_RUN + 1)
+        parts = [r[0] for r in parts_df.collect()]
+        if len(parts) > MAX_PARTITIONS_PER_RUN:
+            raise ValueError(
+                f"write_partitioned: >{MAX_PARTITIONS_PER_RUN} distinct values in "
+                f"partition column {partition_col!r} — choose a coarser partition key"
+            )
         (
             df.write.mode("overwrite")
             .partitionBy(partition_col)
@@ -120,9 +135,15 @@ def read_run(
     run_id: str,
     partition_col: str = "partition",
 ) -> DataFrame:
-    """Read ONLY the partitions a given run completed (the parquet-manifest
-    analogue of Iceberg's `VERSION AS OF <snapshot>`): the partition filter
-    prunes directories, so unrelated partitions are never scanned."""
+    """Read the CURRENT contents of the partitions a given run completed.
+
+    This is partition filtering, not a point-in-time snapshot: because
+    write_partitioned uses dynamic partition overwrite, a later run that
+    rewrites one of this run's partitions changes what read_run returns.
+    True `VERSION AS OF` time travel needs an Iceberg catalog (file-level
+    snapshots); the parquet-manifest fallback only tracks partition sets.
+    The partition filter still prunes directories, so unrelated partitions
+    are never scanned."""
     manifest = read_manifest(table_dir)
     runs = {r["run_id"]: r for r in manifest["runs"]}
     if run_id not in runs:

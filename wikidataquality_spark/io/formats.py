@@ -23,6 +23,12 @@ def read_csv(
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("mode", "FAILFAST")  # corrupt rows fail loudly, never silently null
+        # multiLine + explicit quote/escape: write_csv quotes embedded
+        # newlines, so the reader must parse quoted multi-line records or any
+        # free-text column (e.g. document bodies) splits rows under FAILFAST.
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
         .csv(path)
     )
 
@@ -32,7 +38,16 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
-    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+    # RFC-4180 quoting (escape = double-quote) to mirror read_csv's options;
+    # Spark's writer default escape is backslash, which the reader would
+    # misparse for text columns containing quotes.
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str) -> None:

@@ -79,12 +79,18 @@ class _BigramLM:
         first[0] = True
         first[1:] = codes[1:] != codes[:-1]
 
+        if len(self.bigram_keys) == 0:
+            # Pure-unigram fallback: numpy `&` doesn't short-circuit, so the
+            # indexing below would hit pos_c=-1 into a zero-length array.
+            p = (1.0 - self.lam) * uni_p
+            return np.where(first, self.uni_logp[ids], np.log(p))
+
         keys = np.empty(n, dtype=np.int64)
         keys[0] = 0
         keys[1:] = ids[:-1].astype(np.int64) * (self.V + 1) + ids[1:]
         pos = np.searchsorted(self.bigram_keys, keys)
         pos_c = np.minimum(pos, len(self.bigram_keys) - 1)
-        hit = (len(self.bigram_keys) > 0) & (self.bigram_keys[pos_c] == keys)
+        hit = self.bigram_keys[pos_c] == keys
         cond = np.where(hit, self.bigram_cond[pos_c], 0.0)
 
         p = self.lam * cond + (1.0 - self.lam) * uni_p

@@ -186,7 +186,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy(F.xxhash64("text")).orderBy("doc_id")
     return (
         df.select("doc_id", "text")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") == 1)
         .select("doc_id")
     )
@@ -215,7 +215,7 @@ def scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
 FROM documents GROUP BY source
 """,
@@ -395,7 +395,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -518,8 +518,8 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("name_upper"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
-        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_dist"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias("lev_dist"),
     )
 
 
@@ -777,7 +777,9 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     out = brute_force_topk(e, q, k=5, exclude_self=True)
-    return out.select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), F.col("rank").cast("long").alias("rank")
+    )
 
 
 @_register(
@@ -897,7 +899,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_counts",
     r"""
 SELECT source,
-       SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS total_pieces,
+       CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_pieces,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source
 """,
@@ -1061,10 +1063,10 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -1073,23 +1075,30 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT vec_id,
        len(embedding) AS dim,
-       list_transform(embedding[1:5], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head5,
-       list_transform(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1:3],
-                      x -> ROUND(x, 4)) AS top3,
+       array_to_string(list_transform(embedding[1:5], x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,4))), ',') AS head5,
+       array_to_string(list_transform(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1:3],
+                      x -> CAST(x AS DECIMAL(18,4))), ',') AS top3,
        ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS vmax
 FROM embeddings WHERE vec_id < 10
 """,
 )
 def array_ops_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: size / slice / sort_array desc / transform /
-    array_max — all JVM-side HOFs, no UDF."""
+    array_max — all JVM-side HOFs, no UDF. Array outputs are joined to scalar
+    strings (concat_ws) so the driver's pandas canonicalizer can hash them."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
-        F.transform(F.slice("embedding", 1, 5), lambda x: F.round(x.cast("double"), 4)).alias("head5"),
-        F.transform(F.slice(F.sort_array(dbl, asc=False), 1, 3), lambda x: F.round(x, 4)).alias("top3"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.concat_ws(
+            ",",
+            F.transform(F.slice("embedding", 1, 5), lambda x: x.cast("double").cast("decimal(18,4)")),
+        ).alias("head5"),
+        F.concat_ws(
+            ",",
+            F.transform(F.slice(F.sort_array(dbl, asc=False), 1, 3), lambda x: x.cast("decimal(18,4)")),
+        ).alias("top3"),
         F.round(F.array_max(dbl), 4).alias("vmax"),
     )
 
@@ -1111,7 +1120,7 @@ def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.datediff(d, F.lit("1995-01-01")).alias("days_since_95"),
+        F.datediff(d, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
         F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.quarter("o_orderdate").cast("long").alias("q"),
@@ -1459,7 +1468,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     out = ivf_topk(e, q, k=5, n_lists=4, n_probe=4)
-    return out.select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), F.col("rank").cast("long").alias("rank")
+    )
 
 
 @_register("approx_distinct_users", None)  # sketch output — rows-only check
@@ -1632,7 +1643,7 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             F.element_at("_m", "k").alias("k_val"),
-            F.size(F.map_keys("_m")).alias("n_keys"),
+            F.size(F.map_keys("_m")).cast("long").alias("n_keys"),
         )
         .filter(F.col("k_val") % 7 == 0)
     )
@@ -1677,7 +1688,7 @@ def posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.col("v").cast("double").alias("val"))
 
 
 @_register("langid_ngram_docs", None)  # model inference — rows-only check
