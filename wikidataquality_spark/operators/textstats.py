@@ -79,6 +79,94 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def jaccard_pairs_prefix_filtered(
+    docs,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """All document pairs with n-gram Jaccard ≥ threshold, via LOSSLESS
+    prefix filtering (the PPJoin family, Xiao et al., WWW'08) — exact output,
+    no probabilistic recall, no all-pairs join.
+
+    Theorem: order every gram by a global total order (rarest-first); if
+    J(A,B) ≥ t then the first |A| − ⌈t·|A|⌉ + 1 grams of A and the first
+    |B| − ⌈t·|B|⌉ + 1 grams of B share at least one element. So candidates
+    are an EQUI-JOIN on prefix grams; everything else is provably below t.
+
+    Plan shape at corpus scale:
+      1. one explode + groupBy(gram) for global frequencies (linear, one
+         shuffle; at 10^12 docs this is a sampled sketch);
+      2. one join + re-group to order each doc's grams rarest-first;
+      3. prefix explode (≈(1−t)·|g|+1 rows/doc — small for near-dup t) and
+         a self equi-join ON the gram — rarest-first ordering keeps gram
+         buckets tiny, so no quadratic hub blowup;
+      4. size filter (t·|A| ≤ |B| ≤ |A|/t, necessary for J ≥ t) prunes
+         candidates before the exact verify;
+      5. exact Jaccard verification on the surviving candidate pairs only.
+    Replaces the r01 within-`source` O(block²) theta join (VERDICT #6)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (docs: DataFrame)
+    import math  # noqa: F401
+
+    g = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
+    ).filter(F.size(words_col(F.col(text_col))) >= n)
+
+    # 1. global gram frequencies
+    freq = (
+        g.select(F.explode("_grams").alias("_gram"))
+        .groupBy("_gram")
+        .agg(F.count("*").alias("_freq"))
+    )
+    # 2. rarest-first ordering per doc: sort by (freq, gram) — a total order
+    ordered = (
+        g.select("_id", F.explode("_grams").alias("_gram"))
+        .join(freq, "_gram")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_freq", "_gram"))),
+                lambda s: s["_gram"],
+            ).alias("_ordered"),
+            F.count("*").alias("_sz"),
+        )
+    )
+    # 3. prefix explode: |g| − ⌈t·|g|⌉ + 1 rarest grams
+    prefix_len = (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1).cast("int")
+    pref = ordered.select(
+        "_id", "_sz", F.explode(F.slice("_ordered", 1, prefix_len)).alias("_gram")
+    )
+    a = pref.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), "_gram"
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), "_gram"
+    )
+    # 4. candidate pairs: shared prefix gram + size filter
+    cand = (
+        a.join(b, "_gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_szb") * F.lit(threshold) <= F.col("_sza"))
+            & (F.col("_sza") * F.lit(threshold) <= F.col("_szb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # 5. exact verification
+    ga = ordered.select(F.col("_id").alias("id_a"), F.col("_ordered").alias("_ga"))
+    gb = ordered.select(F.col("_id").alias("id_b"), F.col("_ordered").alias("_gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("_ga"), F.col("_gb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: weighted blend of the Gopher/C4
     heuristic signals (a cheap ranking signal for curriculum sampling)."""
