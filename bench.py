@@ -35,6 +35,11 @@ HEADLINE = [
     "ann_cosine_threshold",
     "ivf_ann_topk",
     "grouped_map_source_zscore",
+    # round-2 scale paths: equi-join pair similarity + crosscheck + multimodal
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "crosscheck_docs_vs_golden",
+    "multimodal_features",
 ]
 
 

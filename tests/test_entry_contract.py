@@ -20,10 +20,19 @@ def test_entry_smoke(spark):
 
 def test_queries_all_run_sf0001(spark, sf0001_dir):
     qs = entrymod.queries()
-    assert len(qs) >= 20
     for name, fn in qs.items():
         df = fn(spark, sf0001_dir)
         assert df.count() >= 0, name
+
+
+def test_query_surface_is_driver_sized():
+    """The r01 driver evaluated exactly the first 50 registered queries —
+    the surface must stay ≤50 so every operator gets a CORRECTNESS row, and
+    ≤2 entries may lack an oracle twin (engine-specific sketches only)."""
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert 20 <= len(qs) <= 50
+    rows_only = set(qs) - set(os_)
+    assert rows_only <= {"approx_sketches"}, rows_only
 
 
 def test_oracle_keys_subset_of_queries():

@@ -34,10 +34,57 @@ def test_image_features_resize_shape(spark, media):
     assert row["resized_w"] == 8 and row["resized_h"] == 4
 
 
-def test_real_decode_is_stubbed(spark, media):
-    """Without the fake flag the decode must fail loudly, not fabricate."""
-    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        image_features(media, deterministic_fake=False).collect()
+def test_ppm_codec_roundtrip():
+    """Real codec: encode → decode is pixel-exact; PPMV demux yields every
+    frame as a decodable P6."""
+    import numpy as np
+
+    from wikidataquality_spark.operators.multimodal import (
+        decode_ppm,
+        demux_ppmv,
+        encode_ppm,
+        encode_ppmv,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(5)]
+    out = list(demux_ppmv(encode_ppmv(frames)))
+    assert [i for i, _ in out] == list(range(5))
+    for (_, fb), orig in zip(out, frames):
+        assert (decode_ppm(fb) == orig).all()
+
+
+def test_image_features_real_decode(spark, media):
+    """Real path end-to-end: mean_luma equals the numpy-computed luma of the
+    stride-resized decoded pixels (no fakes anywhere)."""
+    import numpy as np
+
+    from wikidataquality_spark.operators.multimodal import decode_ppm
+
+    imgs = media.filter(F.col("meta.kind") == "image")
+    got = {r["media_id"]: r["mean_luma"] for r in image_features(imgs).collect()}
+    for row in imgs.select("media_id", "blob").collect():
+        px = decode_ppm(bytes(row["blob"]))
+        luma = (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+        sy, sx = max(luma.shape[0] // 16, 1), max(luma.shape[1] // 16, 1)
+        want = float(luma[::sy, ::sx][:16, :16].mean())
+        assert got[row["media_id"]] == pytest.approx(want)
+
+
+def test_frame_sample_real_demux_composes_with_image_features(spark, media):
+    """Sampled frames are themselves valid P6 blobs → the image feature
+    operator runs unchanged on them (decode pipeline composition)."""
+    vids = media.filter(F.col("meta.kind") == "video")
+    frames = sample_frames(vids, every_nth=20)
+    renamed = frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_blob").alias("blob"),
+    )
+    feats = image_features(renamed)
+    assert feats.count() == frames.count() > 0
+    assert feats.filter(F.col("mean_luma").isNull()).count() == 0
 
 
 def test_frame_sample_expands_rows(spark, media):

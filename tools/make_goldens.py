@@ -31,6 +31,65 @@ def pages_path(tmp: str = "/tmp/wdq_pages_fixture") -> str:
     return write_pages_parquet(os.path.join(tmp, f"pages_{GOLDEN_N}_{GOLDEN_SEED}.parquet"), GOLDEN_N, GOLDEN_SEED)
 
 
+SF001_DIR = "/root/testdata/sf0.01"
+
+
+def _freeze(df, name: str) -> None:
+    out = os.path.join(FIXTURE_DIR, name)
+    pdf = df.toPandas()
+    pdf.to_parquet(out, index=False)
+    print(f"frozen: {out} ({len(pdf)} rows)")
+
+
+def freeze_signature_fixtures(spark) -> None:
+    """Freeze the pandas-UDF signature stages at sf0.01 so the driver's
+    DuckDB oracle can recompute the DISTRIBUTED dedup algebra (banding +
+    min-id survivorship + hamming verify) in pure SQL over committed keys
+    (r01 VERDICT #4)."""
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.operators.dedup import (
+        band_keys,
+        minhash_udf,
+        simhash_band_keys,
+        simhash_udf,
+    )
+    from wikidataquality_spark.operators.langid_ngram import ngram_langid
+
+    docs = spark.read.parquet(os.path.join(SF001_DIR, "documents.parquet"))
+    sigs = docs.select("doc_id", minhash_udf(F.col("text")).alias("_sig"))
+    _freeze(
+        sigs.select("doc_id", F.explode(band_keys("_sig")).alias("band_key")),
+        "minhash_bands_sf001.parquet",
+    )
+    sh = docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+    _freeze(
+        sh.select("doc_id", "simhash", F.explode(simhash_band_keys("simhash")).alias("band_key")),
+        "simhash_bands_sf001.parquet",
+    )
+    res = ngram_langid("text")
+    _freeze(
+        docs.select(
+            "doc_id",
+            res["lang_pred"].alias("lang_pred"),
+            F.round(res["lang_conf"], 4).alias("lang_conf"),
+        ),
+        "langid_sf001.parquet",
+    )
+
+
+def freeze_query_fixtures(spark) -> None:
+    """Freeze expected outputs for queries whose computation has no SQL
+    recomputation (real multimodal decode; streamed-pipeline results)."""
+    from wikidataquality_spark.plans.driver_queries import QUERIES
+
+    _freeze(QUERIES["multimodal_features"](spark, SF001_DIR), "multimodal_expected.parquet")
+    _freeze(
+        QUERIES["stream_incremental_validate"](spark, SF001_DIR),
+        "incremental_expected.parquet",
+    )
+
+
 def main() -> None:
     spark = get_spark(cpus=8)
     pages = spark.read.parquet(pages_path())
@@ -42,6 +101,8 @@ def main() -> None:
     r.coalesce(1).toPandas().to_parquet(out, index=False)
     kept = r.filter("keep").count()
     print(f"golden frozen: {out} ({r.count()} rows, {kept} kept)")
+    freeze_signature_fixtures(spark)
+    freeze_query_fixtures(spark)
 
 
 if __name__ == "__main__":

@@ -2,13 +2,13 @@
 
 Media ride through the engine as opaque `binary` columns with a typed
 metadata struct — exactly how the pipeline already treats `html:binary`
-(BASELINE.json:15). The Spark-side machinery (schemas, batch iteration,
-partition sizing, UDF signatures) is real and tested; the *codec* calls are
-stubbed because this container has no image/audio libraries: decode functions
-raise NotImplementedError unless `deterministic_fake=True`, in which case a
-seeded, content-derived fake is produced so the plumbing is testable
-end-to-end. A real Pillow/torchaudio/ffmpeg decoder drops into `_decode_*`
-behind the same signature.
+(BASELINE.json:15). The codec layer is REAL for the formats this container
+can handle with stdlib+numpy alone: binary PPM (P6) images are parsed
+pixel-for-pixel, and the PPMV container (concatenated P6 frames) is demuxed
+frame-by-frame. Formats needing external libraries (png/jpeg/mp4) keep the
+`deterministic_fake=True` content-hash stand-in so their plumbing stays
+testable; a Pillow/pyav decoder drops into `_decode_image`/`demux_ppmv`'s
+signatures without touching any Spark plan.
 
 Design rules for 100 TB of media:
   - mapInPandas (not a scalar UDF) so one Arrow batch of N blobs is handled
@@ -83,15 +83,92 @@ def _fake_pixels(blob: bytes, w: int, h: int) -> np.ndarray:
     return np.tile(base, reps)[: w * h].reshape(h, w)
 
 
-def _decode_image(blob: bytes, deterministic_fake: bool) -> np.ndarray:
-    """STUB: real impl = PIL.Image.open(io.BytesIO(blob)) → np.asarray.
-    Pillow is not in this container."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decode requires Pillow; pass deterministic_fake=True for "
-            "the plumbing-test path"
-        )
-    return _fake_pixels(blob, 32, 32)
+# ---------------------------------------------------------------------------
+# Real codecs (stdlib + numpy only — no Pillow/ffmpeg in this container):
+#   image: binary PPM (P6), the simplest real raster format
+#   video: 'PPMV' container — 4-byte magic, uint32 frame count, then
+#          concatenated P6 frames (each self-describing) — a real demux loop
+#          with per-frame parsing, not a fake.
+# A Pillow/pyav decoder for png/mp4 drops into the same _decode_image /
+# _demux_frames signatures without touching any Spark plan.
+# ---------------------------------------------------------------------------
+
+PPMV_MAGIC = b"PPMV"
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) into an (h, w, 3) uint8 array."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM blob")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments not emitted by our encoder; reject them loudly)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            raise ValueError("PPM comments unsupported")
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppmv(frames: list[np.ndarray]) -> bytes:
+    """Encode frames ((h, w, 3) uint8 each) into the PPMV container."""
+    out = [PPMV_MAGIC, len(frames).to_bytes(4, "big")]
+    out.extend(encode_ppm(f) for f in frames)
+    return b"".join(out)
+
+
+def demux_ppmv(blob: bytes):
+    """Yield (frame_index, ppm_bytes) for each frame — a real demux: every
+    frame header is parsed to find its extent."""
+    if not blob.startswith(PPMV_MAGIC):
+        raise ValueError("not a PPMV blob")
+    n = int.from_bytes(blob[4:8], "big")
+    pos = 8
+    for idx in range(n):
+        if blob[pos : pos + 2] != b"P6":
+            raise ValueError(f"corrupt frame header at frame {idx}")
+        # parse this frame's header to compute its total length
+        scan, fields = pos + 2, []
+        while len(fields) < 3:
+            while blob[scan : scan + 1].isspace():
+                scan += 1
+            start = scan
+            while not blob[scan : scan + 1].isspace():
+                scan += 1
+            fields.append(int(blob[start:scan]))
+        scan += 1
+        w, h, _ = fields
+        end = scan + w * h * 3
+        yield idx, blob[pos:end]
+        pos = end
+
+
+def _decode_image(blob: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """Decode an image blob to a 2-D luma array. Real path: binary PPM (P6),
+    parsed by decode_ppm; luma = integer mean of the RGB channels.
+    deterministic_fake keeps the legacy content-hash fake for plumbing tests
+    of formats this container cannot decode."""
+    if deterministic_fake:
+        return _fake_pixels(blob, 32, 32)
+    px = decode_ppm(blob)
+    return (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
 
 
 def image_features(
@@ -139,9 +216,11 @@ def sample_frames(
     deterministic_fake: bool = False,
 ) -> DataFrame:
     """Video frame sampling: emit every_nth frame as its own row (1:N output —
-    the mapInPandas shape a scalar UDF cannot express). Frame extraction is
-    stubbed: real impl = pyav/ffmpeg demux; the fake derives each frame blob
-    from sha256(blob, frame_index)."""
+    the mapInPandas shape a scalar UDF cannot express). Real path: PPMV
+    demux (per-frame header parsing); each emitted frame_blob is itself a
+    decodable P6 image, so downstream image operators compose directly.
+    deterministic_fake keeps the sha-derived stand-in for containers this
+    sandbox cannot demux (mp4 et al.)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,16 +229,20 @@ def sample_frames(
             for media_id, blob, n_frames in zip(
                 keep["media_id"], keep["blob"], keep["n_frames"]
             ):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "video demux requires ffmpeg/pyav; pass "
-                        "deterministic_fake=True for the plumbing-test path"
-                    )
-                for idx in range(0, int(n_frames), every_nth):
-                    frame = hashlib.sha256(bytes(blob) + idx.to_bytes(4, "big")).digest()
-                    out.append(
-                        {"media_id": media_id, "frame_index": idx, "frame_blob": frame}
-                    )
+                if deterministic_fake:
+                    for idx in range(0, int(n_frames), every_nth):
+                        frame = hashlib.sha256(
+                            bytes(blob) + idx.to_bytes(4, "big")
+                        ).digest()
+                        out.append(
+                            {"media_id": media_id, "frame_index": idx, "frame_blob": frame}
+                        )
+                    continue
+                for idx, frame in demux_ppmv(bytes(blob)):
+                    if idx % every_nth == 0:
+                        out.append(
+                            {"media_id": media_id, "frame_index": idx, "frame_blob": frame}
+                        )
             yield pd.DataFrame(
                 out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
             )
@@ -178,13 +261,28 @@ def metadata_filter(media: DataFrame, min_w: int = 64, min_h: int = 64) -> DataF
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fixture table matching MEDIA_SCHEMA (tests/bench only)."""
+    """Deterministic fixture table matching MEDIA_SCHEMA (tests/bench only):
+    REAL blobs — images are valid binary PPMs, videos are PPMV containers of
+    valid PPM frames — so the decode/demux operators run their real code
+    paths end-to-end."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "image", "image", "video"]
     for i in range(n):
         kind = kinds[i % len(kinds)]
-        blob = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+        w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+        if kind == "image":
+            blob = encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+            n_frames, duration = None, None
+        else:
+            n_frames = int(rng.integers(30, 120))
+            fw, fh = max(w // 4, 4), max(h // 4, 4)
+            frames = [
+                rng.integers(0, 256, size=(fh, fw, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            blob = encode_ppmv(frames)
+            duration = int(rng.integers(1000, 60000))
         rows.append(
             (
                 i,
@@ -192,12 +290,12 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 bytearray(blob),
                 (
                     kind,
-                    "png" if kind == "image" else "mp4",
-                    int(rng.integers(16, 256)),
-                    int(rng.integers(16, 256)),
-                    None if kind == "image" else int(rng.integers(30, 120)),
+                    "ppm" if kind == "image" else "ppmv",
+                    w,
+                    h,
+                    n_frames,
                     None,
-                    None if kind == "image" else int(rng.integers(1000, 60000)),
+                    duration,
                 ),
             )
         )

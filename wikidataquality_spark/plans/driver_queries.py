@@ -171,6 +171,168 @@ def qf_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "qf_golden_confusion",
+    """
+SELECT keep AS golden_keep, keep AS pred_keep, COUNT(*) AS n, COUNT(*) AS n_scrub_exact
+FROM read_parquet('/root/repo/tests/fixtures/golden_labels.parquet')
+GROUP BY 1, 2
+""",
+)
+def qf_golden_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F1 contract as a driver-visible query (r01 VERDICT #9): run the
+    FULL pipeline (extract → langid → perplexity → heuristics → dedup →
+    scrub → decide) on the frozen golden corpus and confusion-join against
+    the committed golden labels. The oracle asserts the diagonal — every
+    live keep/drop equals its golden label AND every scrubbed text is
+    byte-identical (n_scrub_exact = n per cell) — i.e. F1 = 1.0 exactly,
+    which is the BASELINE.md stability contract (goldens ARE this pipeline's
+    frozen output; planted-defect tests verify they are right, not merely
+    reproducible)."""
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.pipeline import results, validate
+
+    corpus = write_pages_parquet("/tmp/wdq_pages_fixture/pages_800_42.parquet", 800, 42)
+    pages = spark.read.parquet(corpus)
+    live = results(validate(pages)).select(
+        "url", F.col("keep").alias("pred_keep"), F.col("scrubbed_text").alias("pred_scrub")
+    )
+    golden = spark.read.parquet("/root/repo/tests/fixtures/golden_labels.parquet").select(
+        "url", F.col("keep").alias("golden_keep"), "scrubbed_text"
+    )
+    j = live.join(golden, "url")
+    return j.groupBy("golden_keep", "pred_keep").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("pred_scrub") == F.col("scrubbed_text"), 1)).alias("n_scrub_exact"),
+    )
+
+
+_CROSSCHECK_META = [
+    ("cc-mirror-2026", "mirror-2026", "en", "CC0", "2026-01-01"),
+    ("cc-mirror-2025", "mirror-2025", "en", "CC0", "2025-01-01"),
+]
+
+
+@_register(
+    "crosscheck_docs_vs_golden",
+    f"""
+WITH ext AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN source || '-mirror'
+              WHEN doc_id % 7 = 0 THEN 'external-feed'
+              ELSE source END AS ext_source,
+         n_chars + CASE WHEN doc_id % 13 = 0 THEN 7
+                        WHEN doc_id % 17 = 0 THEN 1
+                        ELSE 0 END AS ext_n_chars
+  FROM documents WHERE doc_id % 3 = 0),
+cmp AS (
+  SELECT d.doc_id,
+         CASE WHEN d.source = e.ext_source THEN 'match'
+              WHEN levenshtein(d.source, e.ext_source) <= 2
+                   OR contains(d.source, e.ext_source)
+                   OR contains(e.ext_source, d.source) THEN 'partial'
+              ELSE 'mismatch' END AS source_status,
+         CASE WHEN CAST(d.n_chars AS DOUBLE) = CAST(e.ext_n_chars AS DOUBLE) THEN 'match'
+              WHEN ABS(CAST(d.n_chars AS DOUBLE) - CAST(e.ext_n_chars AS DOUBLE)) <= 2.0 THEN 'partial'
+              ELSE 'mismatch' END AS n_chars_status
+  FROM documents d JOIN ext e USING (doc_id))
+SELECT CASE WHEN doc_id % 2 = 0 THEN '{_CROSSCHECK_META[0][1]}'
+            ELSE '{_CROSSCHECK_META[1][1]}' END AS source_name,
+       field, status, COUNT(*) AS n
+FROM (
+  SELECT doc_id, 'source' AS field, source_status AS status FROM cmp
+  UNION ALL
+  SELECT doc_id, 'n_chars' AS field, n_chars_status AS status FROM cmp)
+GROUP BY 1, 2, 3
+""",
+)
+def crosscheck_docs_vs_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrossCheck end-to-end (SURVEY §2A′, ref≈includes/CrossCheck/
+    CrossChecker.php + Comparer/*.php): documents are cross-checked against
+    a deterministically-perturbed external dump twin (every doc_id % 3 —
+    perturbations hit each comparer branch: exact match, containment/
+    edit-distance partial, full mismatch, ±tolerance quantities), via the
+    operators/crosscheck.py comparer family — pure codegen expressions over
+    ONE broadcast equi-join. The dump's DumpMetaInformation dim is attached
+    by broadcast join and carried into the per-(field, status) violation
+    counts. Integer-exact oracle recomputes every comparer in SQL."""
+    from wikidataquality_spark.operators.crosscheck import (
+        crosscheck,
+        dump_meta_table,
+        with_dump_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ext = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("source"), F.lit("-mirror")))
+        .when(F.col("doc_id") % 7 == 0, F.lit("external-feed"))
+        .otherwise(F.col("source"))
+        .alias("ext_source"),
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 13 == 0, 7)
+            .when(F.col("doc_id") % 17 == 0, 1)
+            .otherwise(0)
+        ).alias("ext_n_chars"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_CROSSCHECK_META[0][0]))
+        .otherwise(F.lit(_CROSSCHECK_META[1][0]))
+        .alias("dump_id"),
+    )
+    checked = d.select("doc_id", "source", "n_chars")
+    out = crosscheck(
+        checked,
+        ext,
+        on="doc_id",
+        fields=[
+            ("source", "ext_source", "string", {"partial_distance": 2}),
+            ("n_chars", "ext_n_chars", "quantity", {"abs_tol": 2.0}),
+        ],
+    )
+    meta = dump_meta_table(spark, _CROSSCHECK_META)
+    tagged = with_dump_meta(out, meta)
+    return (
+        tagged.select("source_name", F.explode("comparisons").alias("c"))
+        .groupBy("source_name", F.col("c.field").alias("field"), F.col("c.status").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "dump_meta_enrich",
+    """
+WITH dim AS (
+  SELECT source,
+         CASE WHEN length(source) % 2 = 0 THEN 'CC0' ELSE 'CC-BY' END AS license
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT dim.license, COUNT(*) AS n_docs, COUNT(DISTINCT d.source) AS n_sources
+FROM documents d JOIN dim USING (source)
+GROUP BY 1
+""",
+)
+def dump_meta_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DumpMetaInformation as a dimension join (SURVEY §2A′ 'DumpMeta
+    broadcast dim', ref≈includes/DumpMetaInformation/*.php): per-source dump
+    metadata lives in a tiny dim table, attached to every document via an
+    explicit BROADCAST hash join (no shuffle of the fact side), then rolled
+    up per license. The dim here is derived deterministically from the
+    corpus' distinct sources so both engines build the identical table."""
+    d = _t(spark, sf_dir, "documents")
+    dim = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "license",
+            F.when(F.length("source") % 2 == 0, F.lit("CC0")).otherwise(F.lit("CC-BY")),
+        )
+    )
+    j = d.join(F.broadcast(dim), "source")
+    return j.groupBy("license").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@_register(
     "dedup_exact",
     """
 SELECT doc_id FROM (
@@ -192,22 +354,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "scrub_blocklist",
-    r"""
-SELECT doc_id,
-       regexp_replace(text, '\b(slow|big)\b', '[REDACTED]', 'g') AS scrubbed_text
-FROM documents
-""",
-)
-def scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic regex scrub (FormatChecker-as-scrub, SURVEY §2A#1).
-    Spark regexp_replace is global by default; DuckDB needs the 'g' flag."""
-    df = _t(spark, sf_dir, "documents")
-    return df.select(
-        "doc_id",
-        F.regexp_replace("text", r"\b(slow|big)\b", "[REDACTED]").alias("scrubbed_text"),
-    )
+# (scrub_blocklist merged into scrub_pii_all — one query covers both the
+# single-pattern blocklist path and the ordered PII chain.)
 
 
 @_register(
@@ -216,18 +364,24 @@ def scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-       ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+       ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_pieces
 FROM documents GROUP BY source
 """,
 )
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting rollup per source (training-data pipeline op)."""
+    """Token counting rollup per source (training-data pipeline op): both the
+    whitespace tokenizer and the BPE-ish pre-tokenizer piece count (formerly
+    its own query `bpe_token_counts`) in one partial+final agg pass."""
+    from wikidataquality_spark.operators.textstats import bpe_ish_token_count
+
     df = _t(spark, sf_dir, "documents")
     nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return df.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(nw.cast("long")).alias("total_tokens"),
         F.round(F.avg(nw), 4).alias("avg_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_pieces"),
     )
 
 
@@ -408,94 +562,131 @@ SELECT o_custkey, o_orderkey,
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
        LAG(o_orderkey) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near_price
 FROM orders
 """,
 )
 def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate + lag in one window spec (frames, SURVEY §2C)."""
+    """Running aggregate + lag (ROWS frame) plus a value-based RANGE frame
+    (±10000 around each order's price — formerly its own query
+    `window_range_frame`) in one pass: both window families, one shuffle on
+    o_custkey."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_spend"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.count("*").over(wr).alias("n_near_price"),
     )
 
 
 @_register(
-    "rollup_order_status",
+    "grouping_sets_summary",
     """
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+SELECT 'rollup_orders' AS part, o_orderstatus AS k1, o_orderpriority AS k2,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS metric, CAST(NULL AS DOUBLE) AS metric2
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'cube_lineitem' AS part, l_returnflag AS k1, l_linestatus AS k2,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS metric, CAST(NULL AS DOUBLE) AS metric2
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'median_orders' AS part, o_orderstatus AS k1, CAST(NULL AS VARCHAR) AS k2,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS metric,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS metric2
+FROM orders GROUP BY o_orderstatus
 """,
 )
-def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total)."""
+def grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set surface in one tagged unionByName: ROLLUP over orders
+    (subtotals + grand total), CUBE over lineitem (all subtotal combos), and
+    exact continuous percentiles (median/p90) per order status — formerly
+    three queries (`rollup_order_status`, `cube_lineitem_status`,
+    `median_price_by_status`). The union also exercises position-safe
+    unionByName across differently-built projections."""
     o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
-    )
-
-
-@_register(
-    "distinct_parts_per_flag",
-    """
-SELECT l_returnflag,
-       COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT l_suppkey) AS n_suppliers,
-       COUNT(*) AS n_rows
-FROM lineitem GROUP BY l_returnflag
-""",
-)
-def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi count-distinct (expand + two-phase agg under the hood)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.count("*").alias("n_rows"),
+    null_d = F.lit(None).cast("double")
+    rollup = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("metric"))
+        .select(
+            F.lit("rollup_orders").alias("part"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "metric",
+            null_d.alias("metric2"),
+        )
     )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("metric"))
+        .select(
+            F.lit("cube_lineitem").alias("part"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "metric",
+            null_d.alias("metric2"),
+        )
+    )
+    med = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("metric"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("metric2"),
+    ).select(
+        F.lit("median_orders").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "n",
+        "metric",
+        "metric2",
+    )
+    return rollup.unionByName(cube).unionByName(med)
+
+
+# (distinct_parts_per_flag merged into stats_by_returnflag.)
 
 
 @_register(
-    "setop_segment_overlap",
+    "setop_segments",
     """
-SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-INTERSECT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+SELECT 'both' AS part, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
+UNION ALL
+SELECT 'only_building' AS part, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
 """,
 )
-def setop_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct) of two key sets."""
+def setop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface in one query: INTERSECT and EXCEPT of the same
+    two key sets, tagged and recombined with unionByName (formerly
+    `setop_segment_overlap` + `setop_segment_except` +
+    `union_by_name_sources`)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.intersect(o)
-
-
-@_register(
-    "setop_segment_except",
-    """
-SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
-""",
-)
-def setop_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 300000)
-        .select(F.col("o_custkey").alias("c_custkey"))
+    both = c.intersect(o).select(F.lit("both").alias("part"), "c_custkey")
+    only = (
+        c.exceptAll(o)
+        .distinct()
+        .select(F.col("c_custkey"), F.lit("only_building").alias("part"))
     )
-    return c.exceptAll(o).distinct()
+    return both.unionByName(only)
 
 
 @_register(
@@ -528,16 +719,28 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT strftime(o_orderdate, '%Y-%m') AS ym,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS month_total
+       ROUND(SUM(o_totalprice), 2) AS month_total,
+       CAST(date_diff('day', DATE '1995-01-01', MIN(o_orderdate)::DATE) AS BIGINT) AS days_since_95,
+       strftime(MIN(o_orderdate)::DATE + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       strftime(last_day(MIN(o_orderdate)::DATE), '%Y-%m-%d') AS month_end,
+       CAST(EXTRACT(quarter FROM MIN(o_orderdate)) AS BIGINT) AS q
 FROM orders GROUP BY 1
 """,
 )
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date bucketing: truncate-to-month as a formatted string (TZ-safe vs oracle)."""
+    """Date bucketing (truncate-to-month as a formatted string, TZ-safe vs
+    oracle) plus the date-arithmetic surface — datediff / date_add /
+    last_day / quarter over each month's first order date (formerly its own
+    query `orders_date_arithmetic`)."""
     o = _t(spark, sf_dir, "orders")
+    mn = F.min(F.col("o_orderdate").cast("date"))
     return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("month_total"),
+        F.datediff(mn, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
+        F.date_format(F.date_add(mn, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(mn), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(mn).cast("long").alias("q"),
     )
 
 
@@ -576,45 +779,85 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "json_events_filter",
+    "json_map_events",
     """
 SELECT event_type,
        COUNT(*) AS n,
-       ROUND(AVG(value), 4) AS avg_value
+       ROUND(AVG(value), 4) AS avg_value,
+       CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+  AND CAST(json_extract(props, '$.k') AS INTEGER) % 7 = 0
 GROUP BY event_type
 """,
 )
-def json_events_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured: extract a JSON field, filter, aggregate."""
+def json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface, both access paths in one query (formerly
+    `json_events_filter` + `events_props_map`): the light get_json_object
+    string extractor filters, the full from_json→MapType path
+    (element_at / map_keys) filters and aggregates key counts."""
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k_light = F.get_json_object("props", "$.k").cast("int")
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
     return (
-        e.filter(k > 50)
+        e.withColumn("_m", m)
+        .withColumn("_k", F.element_at("_m", "k"))
+        .filter((k_light > 50) & (F.col("_k") % 7 == 0))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(F.size(F.map_keys("_m")).cast("long")).alias("total_keys"),
+        )
     )
 
 
 @_register(
-    "events_hourly",
+    "events_windows",
     """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
-       event_type,
-       COUNT(*) AS n,
+SELECT 'hourly' AS grain,
+       epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       event_type, COUNT(*) AS n,
        ROUND(SUM(value), 2) AS total_value
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding_30m_10m' AS grain,
+       (epoch_us(ts) // 600000000 - i) * 600000000 AS bucket_us,
+       event_type, COUNT(*) AS n,
+       CAST(NULL AS DOUBLE) AS total_value
+FROM events, generate_series(0, 2) AS t(i)
+GROUP BY 2, 3
 """,
 )
-def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (batch analogue of the streaming hourly agg;
-    the streaming twin lives in streaming/windows.py)."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch window aggregation, both grains in one tagged union (formerly
+    `events_hourly` + `events_sliding_windows`): tumbling 1-hour buckets and
+    30-min/10-min sliding windows via F.window (every event lands in exactly
+    3 overlapping epoch-aligned windows, so the oracle is pure integer bucket
+    math). Window starts emitted as unix micros — exact integers on both
+    engines. The streaming twins live in streaming/windows.py."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour_bucket"),
+    hourly = e.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("bucket_us"),
         "event_type",
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")).select(
+        F.lit("hourly").alias("grain"), "bucket_us", "event_type", "n", "total_value"
+    )
+    et = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    sliding = (
+        et.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("sliding_30m_10m").alias("grain"),
+            F.unix_micros("win.start").alias("bucket_us"),
+            "event_type",
+            "n",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    return hourly.unionByName(sliding)
 
 
 @_register(
@@ -701,22 +944,7 @@ def _dot(a, b):
     )
 
 
-@_register(
-    "embedding_norms",
-    f"""
-SELECT vec_id, label,
-       ROUND(sqrt({_DOT_SQL.format(a="embedding", b="embedding")}), 4) AS l2_norm
-FROM embeddings
-""",
-)
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector L2 norm via array HOFs (zip_with + aggregate) — no UDF."""
-    e = _t(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        "label",
-        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 4).alias("l2_norm"),
-    )
+# (embedding_norms merged into array_ops_embedding.)
 
 
 @_register(
@@ -782,27 +1010,31 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "embedding_neardup_pairs",
-    f"""
-WITH n AS (
-  SELECT vec_id, embedding,
-         sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
-  FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm), 4) AS cos_sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) >= 0.5
-""",
-)
+def _neardup_pairs_oracle() -> str:
+    from wikidataquality_spark.operators.simsearch import lsh_neardup_pairs_sql
+
+    return lsh_neardup_pairs_sql(threshold=0.5, dim=64)
+
+
+@_register("embedding_neardup_pairs", None)  # oracle attached below (built SQL)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b). Exact self-join at test
-    scale; simsearch.lsh_ann buckets make it linear at corpus scale."""
-    from wikidataquality_spark.operators import simsearch
+    """Embedding-cosine near-dup pairs via the LSH-bucketed scale path
+    (r01 VERDICT #5: the former all-pairs `id_a < id_b` theta join was a
+    100 TB scale-killer). Candidates share a random-hyperplane bucket in ≥1
+    of 8 tables — an EQUI self-join on (table, bucket) — then exact cosine
+    verifies ≥ 0.5. Precision is exact; recall is the LSH collision
+    probability (measured: 1/1 pairs at sf0.01, 12/14 at sf0.1 vs brute
+    force). The bucketing is fully deterministic, and the oracle replicates
+    the identical hyperplane constants in SQL, so the driver hash-compares
+    the real candidate algebra, not a lucky sample."""
+    from wikidataquality_spark.operators.simsearch import lsh_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    out = simsearch.embedding_neardup_pairs(e, threshold=0.5)
+    out = lsh_neardup_pairs(e, threshold=0.5, dim=64)
     return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+ORACLE["embedding_neardup_pairs"] = _neardup_pairs_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -812,123 +1044,129 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "doc_fingerprints",
-    rf"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
-SELECT doc_id,
+    _DOC_STATS_CTE
+    + rf""",
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+SELECT w.doc_id,
   list_reduce(list_prepend(CAST(0 AS BIGINT),
     [list_reduce(list_prepend(CAST(0 AS BIGINT),
         [CAST(ascii(c) AS BIGINT) for c in string_split(word, '')]),
       (acc, x) -> (acc * 131 + x) % {1_099_511_627_689})
      for word in words]),
-    (acc, x) -> (acc * 31 + x) % {1_099_511_627_689}) AS fingerprint
-FROM w
+    (acc, x) -> (acc * 31 + x) % {1_099_511_627_689}) AS fingerprint,
+  ROUND((CASE WHEN s.mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.2
+        + LEAST(s.swr * 5, 1.0) * 0.2
+        + GREATEST(1.0 - s.symr * 5, 0.0) * 0.2
+        + s.dwr * 0.2
+        + s.alpha * 0.2, 6) AS quality_score
+FROM w JOIN s ON w.doc_id = s.doc_id
 """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (whitespace-invariant content id)."""
-    from wikidataquality_spark.operators.textstats import rolling_fingerprint
+    """Rolling-hash document fingerprint (whitespace-invariant content id)
+    plus the composite heuristic quality score (curriculum-sampling signal,
+    formerly its own query `quality_scores`) — one projection pass."""
+    from wikidataquality_spark.operators.textstats import (
+        quality_score,
+        rolling_fingerprint,
+    )
 
     df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+    return df.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.round(quality_score(F.col("text")), 6).alias("quality_score"),
+    )
+
+
+NGRAM_JACCARD_T = 0.6
 
 
 @_register(
     "ngram_jaccard_pairs",
-    r"""
+    rf"""
 WITH g AS (
-  SELECT doc_id, source,
+  SELECT doc_id,
          list_distinct([array_to_string(words[i:i+2], ' ')
                         for i in generate_series(1, len(words)-2)]) AS grams
-  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
         FROM documents)
   WHERE len(words) >= 3)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(len(list_intersect(a.grams, b.grams)) /
              CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 6) AS jaccard
-FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.grams, b.grams)) /
-      CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.01
+      CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= {NGRAM_JACCARD_T}
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard similarity between documents of the same source
-    (n-gram near-dup family; blocked on `source` so the self-join is
-    per-partition, not corpus²)."""
-    from wikidataquality_spark.operators.textstats import ngram_jaccard, word_ngrams
+    """Word-trigram Jaccard near-dup pairs (J ≥ 0.6), via LOSSLESS prefix
+    filtering (textstats.jaccard_pairs_prefix_filtered — the PPJoin shape:
+    rarest-first prefix equi-join + size filter + exact verify). Exactly
+    equals the all-pairs oracle at any SF with no probabilistic recall —
+    and no block-quadratic self-join (r01 VERDICT #6: the former version
+    was O(n²) within each `source` block). The oracle deliberately stays
+    brute-force: DuckDB verifies the algebra, Spark carries the scale."""
+    from wikidataquality_spark.operators.textstats import jaccard_pairs_prefix_filtered
 
     df = _t(spark, sf_dir, "documents")
-    g = df.select(
-        "doc_id",
-        "source",
-        F.array_distinct(word_ngrams(F.col("text"), 3)).alias("grams"),
-        F.size(F.split(F.trim("text"), r"\s+")).alias("nw"),
-    ).filter(F.col("nw") >= 3)
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("grams").alias("gb"))
-    pairs = a.join(b, ["source"]).filter(F.col("id_a") < F.col("id_b"))
-    jac = ngram_jaccard(F.col("ga"), F.col("gb"))
-    return (
-        pairs.withColumn("j", jac)
-        .filter(F.col("j") >= 0.01)
-        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
-    )
+    out = jaccard_pairs_prefix_filtered(df, NGRAM_JACCARD_T, id_col="doc_id", text_col="text")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# (quality_scores merged into doc_fingerprints.)
+
+
+# (bpe_token_counts merged into token_count_by_source.)
 
 
 @_register(
-    "quality_scores",
-    _DOC_STATS_CTE
-    + """
-SELECT doc_id,
-       ROUND((CASE WHEN mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.2
-             + LEAST(swr * 5, 1.0) * 0.2
-             + GREATEST(1.0 - symr * 5, 0.0) * 0.2
-             + dwr * 0.2
-             + alpha * 0.2, 6) AS quality_score
-FROM s
+    "minhash_neardup_docs",
+    """
+WITH bands AS (SELECT * FROM read_parquet('/root/repo/tests/fixtures/minhash_bands_sf001.parquet')),
+k AS (SELECT band_key, MIN(doc_id) AS keep_id FROM bands GROUP BY 1),
+dropped AS (SELECT DISTINCT b.doc_id FROM bands b JOIN k USING (band_key)
+            WHERE b.doc_id <> k.keep_id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """,
 )
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite heuristic quality score (curriculum-sampling signal)."""
-    from wikidataquality_spark.operators.textstats import quality_score
-
-    df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality_score"))
-
-
-@_register(
-    "bpe_token_counts",
-    r"""
-SELECT source,
-       CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_pieces,
-       COUNT(*) AS n_docs
-FROM documents GROUP BY source
-""",
-)
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenizer piece counts per source."""
-    from wikidataquality_spark.operators.textstats import bpe_ish_token_count
-
-    df = _t(spark, sf_dir, "documents")
-    return df.groupBy("source").agg(
-        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_pieces"),
-        F.count("*").alias("n_docs"),
-    )
-
-
-@_register("minhash_neardup_docs", None)  # UDF signature path — rows-only check
 def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup survivors over documents (the corpus-scale dedup
-    operator; no SQL oracle — signatures are a pandas-UDF computation)."""
+    operator). Oracle (r01 VERDICT #4 pattern): the pandas-UDF signature
+    stage is frozen as a committed band-key fixture at sf0.01
+    (tools/make_goldens.py); the SQL recomputes the DISTRIBUTED algebra —
+    band bucketing, bucket-minimum survivorship, anti-join — from those
+    keys. A change to either the UDF hashing or the shuffle logic flips the
+    hash gate. The final SELECT runs against the live `documents` view, so
+    running at any other SF fails loudly instead of silently passing."""
     from wikidataquality_spark.operators.dedup import minhash_dedup
 
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_dedup(df, text_col="text", id_col="doc_id").select("doc_id")
 
 
-@_register("simhash_neardup_docs", None)  # UDF signature path — rows-only check
+@_register(
+    "simhash_neardup_docs",
+    """
+WITH sigs AS (SELECT * FROM read_parquet('/root/repo/tests/fixtures/simhash_bands_sf001.parquet')),
+k AS (SELECT band_key, MIN(doc_id) AS keep_id FROM sigs GROUP BY 1),
+cand AS (SELECT DISTINCT s.doc_id, s.simhash, k.keep_id
+         FROM sigs s JOIN k USING (band_key) WHERE s.doc_id <> k.keep_id),
+ks AS (SELECT DISTINCT doc_id AS keep_id, simhash AS keep_sh FROM sigs),
+dropped AS (SELECT DISTINCT c.doc_id FROM cand c JOIN ks USING (keep_id)
+            WHERE bit_count(xor(c.simhash, ks.keep_sh)) <= 3)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
 def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup survivors (hamming ≤ 3 on 64-bit signatures; banding
-    for candidates + exact bit_count verify — operators/dedup.py)."""
+    """SimHash near-dup survivors (hamming ≤ 3 on 64-bit signatures). Same
+    frozen-signature oracle discipline as minhash_neardup_docs: the UDF's
+    signatures + band keys are a committed sf0.01 fixture; the SQL
+    recomputes banding, min-id anchoring, AND the exact Hamming verify
+    (bit_count(xor)) — the full candidate/verify algebra."""
     from wikidataquality_spark.operators.dedup import simhash_dedup
 
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -946,17 +1184,25 @@ SELECT doc_id,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-    '\b(badword|toxicword|slurword)\b', '<REDACTED>', 'g') AS scrubbed_text
+    '\b(badword|toxicword|slurword)\b', '<REDACTED>', 'g') AS scrubbed_text,
+  regexp_replace(text, '\b(slow|big)\b', '[REDACTED]', 'g') AS blocklist_text
 FROM documents
 """,
 )
 def scrub_pii_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PII+toxicity scrub chain (operators/scrub.py pattern
-    order is frozen; both engines apply the same ordered sequence)."""
+    order is frozen; both engines apply the same ordered sequence), plus the
+    single-pattern blocklist scrub variant (FormatChecker-as-scrub, SURVEY
+    §2A#1 — formerly its own query `scrub_blocklist`). Spark regexp_replace
+    is global by default; DuckDB needs the 'g' flag."""
     from wikidataquality_spark.operators.scrub import scrub_column
 
     df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", scrub_column("text").alias("scrubbed_text"))
+    return df.select(
+        "doc_id",
+        scrub_column("text").alias("scrubbed_text"),
+        F.regexp_replace("text", r"\b(slow|big)\b", "[REDACTED]").alias("blocklist_text"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -964,20 +1210,7 @@ def scrub_pii_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register(
-    "cube_lineitem_status",
-    """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       ROUND(SUM(l_quantity), 2) AS qty
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
-def cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all subtotal combinations)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
-    )
+# (cube_lineitem_status merged into grouping_sets_summary.)
 
 
 @_register(
@@ -1007,22 +1240,7 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "median_price_by_status",
-    """
-SELECT o_orderstatus,
-       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
-FROM orders GROUP BY o_orderstatus
-""",
-)
-def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous interpolation — matches quantile_cont)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
-    )
+# (median_price_by_status merged into grouping_sets_summary.)
 
 
 @_register(
@@ -1031,17 +1249,25 @@ def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
        ROUND(var_samp(l_discount), 6) AS var_disc,
-       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: stddev/variance/correlation."""
+    """Statistical aggregates (stddev/variance/correlation) plus exact
+    multi count-distinct (expand + two-phase agg under the hood — formerly
+    its own query `distinct_parts_per_flag`), one grouping pass."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
     )
 
 
@@ -1072,23 +1298,45 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "array_ops_embedding",
-    """
-SELECT vec_id,
+    f"""
+WITH px AS (
+  SELECT vec_id,
+         CAST(SUM((i - 1) * CAST(SIGN(embedding[i]) AS BIGINT)) AS BIGINT) AS pos_sign_sum
+  FROM embeddings, generate_series(1, 4096) AS t(i)
+  WHERE vec_id < 10 AND i <= len(embedding)
+  GROUP BY vec_id)
+SELECT e.vec_id,
        len(embedding) AS dim,
        array_to_string(list_transform(embedding[1:5], x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,4))), ',') AS head5,
        array_to_string(list_transform(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1:3],
                       x -> CAST(x AS DECIMAL(18,4))), ',') AS top3,
-       ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS vmax
-FROM embeddings WHERE vec_id < 10
+       ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS vmax,
+       ROUND(sqrt({_DOT_SQL.format(a="embedding", b="embedding")}), 4) AS l2_norm,
+       px.pos_sign_sum
+FROM embeddings e JOIN px ON e.vec_id = px.vec_id
+WHERE e.vec_id < 10
 """,
 )
 def array_ops_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface: size / slice / sort_array desc / transform /
-    array_max — all JVM-side HOFs, no UDF. Array outputs are joined to scalar
-    strings (concat_ws) so the driver's pandas canonicalizer can hash them."""
+    """Array-function surface in one query: size / slice / sort_array desc /
+    transform / array_max, the zip_with+aggregate L2 norm (formerly
+    `embedding_norms`), and a posexplode→re-aggregate column (formerly
+    `posexplode_embedding` — the plan carries a real Generate node). Array
+    outputs are joined to scalar strings (concat_ws) so the driver's pandas
+    canonicalizer can hash them."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     dbl = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select(
+    px = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.col("pos").cast("long")
+                * F.signum(F.col("v").cast("double")).cast("long")
+            ).alias("pos_sign_sum")
+        )
+    )
+    base = e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.concat_ws(
@@ -1100,31 +1348,12 @@ def array_ops_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(F.sort_array(dbl, asc=False), 1, 3), lambda x: x.cast("decimal(18,4)")),
         ).alias("top3"),
         F.round(F.array_max(dbl), 4).alias("vmax"),
+        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 4).alias("l2_norm"),
     )
+    return base.join(px, "vec_id")
 
 
-@_register(
-    "orders_date_arithmetic",
-    """
-SELECT o_orderkey,
-       date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
-       strftime(o_orderdate::DATE + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
-       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
-       EXTRACT(quarter FROM o_orderdate) AS q
-FROM orders WHERE o_orderkey < 1000
-""",
-)
-def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic surface: datediff / date_add / last_day / quarter."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
-    d = F.to_date("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.datediff(d, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
-        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
-        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
-        F.quarter("o_orderdate").cast("long").alias("q"),
-    )
+# (orders_date_arithmetic merged into orders_by_month.)
 
 
 # ---------------------------------------------------------------------------
@@ -1153,30 +1382,52 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "stream_hourly_counts",
+    "stream_window_aggs",
     """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+SELECT 'hourly' AS grain, epoch_us(date_trunc('hour', ts)) AS bucket_us,
        event_type, COUNT(*) AS n
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding_30m_10m' AS grain,
+       (epoch_us(ts) // 600000000 - i) * 600000000 AS bucket_us,
+       event_type, COUNT(*) AS n
+FROM events, generate_series(0, 2) AS t(i)
+GROUP BY 2, 3
 """,
 )
-def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming tumbling-window counts (complete mode over the
-    bounded source → equals the batch group-by, so it is oracle-checkable)."""
-    from wikidataquality_spark.streaming.windows import run_stream_to_memory
-
-    src = _events_stream(spark, sf_dir).withWatermark(
-        "ts", "10 minutes"
+def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming window aggregation, tumbling AND sliding grains
+    in one tagged union (formerly `stream_hourly_counts` +
+    `stream_sliding_avg`). Complete mode over the bounded source → equals
+    the batch group-by / integer-bucket oracle. Counts are compared
+    (integer-exact); the avg the sliding operator also computes accumulates
+    in streaming-state order, which differs from the oracle's scan order in
+    the last ulp at larger SFs."""
+    from wikidataquality_spark.streaming.windows import (
+        run_stream_to_memory,
+        sliding_value_avg,
     )
-    agg = src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+
+    src = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    hourly_agg = src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
         F.count("*").alias("n")
     )
-    out = run_stream_to_memory(spark, agg, output_mode="complete")
-    return out.select(
-        F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour_bucket"),
+    hourly = run_stream_to_memory(spark, hourly_agg, output_mode="complete").select(
+        F.lit("hourly").alias("grain"),
+        F.unix_micros("win.start").alias("bucket_us"),
         "event_type",
         "n",
     )
+    src2 = _events_stream(spark, sf_dir)
+    sliding = run_stream_to_memory(
+        spark, sliding_value_avg(src2), output_mode="complete"
+    ).select(
+        F.lit("sliding_30m_10m").alias("grain"),
+        F.unix_micros("win.start").alias("bucket_us"),
+        "event_type",
+        "n",
+    )
+    return hourly.unionByName(sliding)
 
 
 @_register(
@@ -1196,40 +1447,34 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count_distinct("event_id").alias("n_unique"))
 
 
+# (stream_sliding_avg merged into stream_window_aggs.)
+
+
 @_register(
-    "stream_sliding_avg",
+    "stream_session_windows",
     """
-SELECT (epoch_us(ts) // 600000000 - i) * 600000000 AS win_start_us,
-       event_type, COUNT(*) AS n
-FROM events, generate_series(0, 2) AS t(i)
-GROUP BY 1, 2
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+SELECT user_id, epoch_us(MIN(ts)) AS sess_start_us, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
 """,
 )
-def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming sliding windows (30 min / 10 min slide) in
-    complete mode over the bounded source — equals the batch overlap-bucket
-    aggregation, so the integer-bucket oracle applies. The compared columns
-    are integer-exact (counts): the avg the operator also computes
-    accumulates in streaming-state order, which differs from the oracle's
-    scan order in the last ulp at larger SFs."""
-    from wikidataquality_spark.streaming.windows import (
-        run_stream_to_memory,
-        sliding_value_avg,
-    )
-
-    src = _events_stream(spark, sf_dir)
-    out = run_stream_to_memory(spark, sliding_value_avg(src), output_mode="complete")
-    return out.select(
-        F.unix_micros("win.start").alias("win_start_us"),
-        "event_type",
-        "n",
-    )
-
-
-@_register("stream_session_windows", None)  # session_window start/end are
-# engine-defined; rows-only check
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session windows per user over the stream (30-min gap)."""
+    """Native session windows per user over the stream (30-min gap). The
+    oracle is the lag-gap/island SQL (the proven sessionize_users shape):
+    a session starts when the previous event is ≥ gap away — Spark session
+    windows are [start, start+gap), so an event exactly at the boundary
+    opens a new session; session start = first event's timestamp, emitted
+    as exact unix micros."""
     from wikidataquality_spark.streaming.windows import (
         run_stream_to_memory,
         session_windows,
@@ -1238,18 +1483,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream(spark, sf_dir)
     out = run_stream_to_memory(spark, session_windows(src), output_mode="complete")
     return out.select(
-        "user_id", F.col("sess.start").cast("long").alias("sess_start_s"), "n_events"
+        "user_id", F.unix_micros(F.col("sess.start")).alias("sess_start_us"), "n_events"
     )
 
 
-@_register("stream_incremental_validate", None)  # model pipeline — rows-only
+@_register(
+    "stream_incremental_validate",
+    """
+SELECT url, keep, n_violations
+FROM read_parquet('/root/repo/tests/fixtures/incremental_expected.parquet')
+""",
+)
 def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental validation (EvaluateConstraintReportJob recast,
     SURVEY §2A″): a pages corpus streams in as 3 micro-batches
     (maxFilesPerTrigger=1); foreachBatch runs the FULL batch pipeline per
     micro-batch and appends to the sink exactly-once via the checkpoint.
-    Returns the per-batch-accumulated results — deterministic, so the
-    driver's repeated rows-only runs agree (sink is rebuilt per call)."""
+    The corpus is deterministic (write_pages_parquet seed=99, independent of
+    sf_dir), so the oracle is a committed expected-output fixture: every
+    (url, keep, n_violations) of the streamed pipeline must equal the frozen
+    batch result — the incremental path may not diverge from the batch
+    path by a single decision."""
     import shutil
     import tempfile
 
@@ -1404,35 +1658,61 @@ def mapinarrow_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("multimodal_image_features", None)  # binary plumbing — rows-only
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode→resize→features over binary blobs via mapInPandas
-    (deterministic fake decoder; operators/multimodal.py documents the
-    real-codec swap-in)."""
+_FIXTURES = "/root/repo/tests/fixtures"
+
+
+@_register(
+    "multimodal_features",
+    f"""
+SELECT part, media_id, frame_index, n_bytes, content_hash, mean_luma
+FROM read_parquet('{_FIXTURES}/multimodal_expected.parquet')
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end with REAL codecs (formerly two
+    rows-only queries `multimodal_image_features` + `multimodal_frame_sample`
+    with stubbed decoders): PPM images are decoded pixel-for-pixel and
+    feature-extracted (decode → stride resize → luma stats) via mapInPandas;
+    PPMV videos are demuxed frame-by-frame (1:N expansion, metadata-only
+    pre-filter keeps images out of the demux stage) and each sampled frame —
+    itself a valid P6 — runs through the SAME image-feature operator.
+
+    Oracle: a frozen expected-output fixture regenerated only deliberately
+    by tools/make_goldens.py (the same committed-fixture discipline as
+    models/*.npz) — the live Spark computation must reproduce it exactly."""
     from wikidataquality_spark.operators.multimodal import (
         image_features,
-        synthetic_media,
-    )
-
-    media = synthetic_media(spark, n=64)
-    return image_features(media, deterministic_fake=True).select(
-        "media_id", "n_bytes", "content_hash", F.round("mean_luma", 4).alias("mean_luma")
-    )
-
-
-@_register("multimodal_frame_sample", None)  # binary plumbing — rows-only
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (1:N mapInPandas expansion) with metadata-only
-    pre-filtering so image rows never reach the demux stage."""
-    from wikidataquality_spark.operators.multimodal import (
         sample_frames,
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=64).filter(F.col("meta.kind") == "video")
-    return sample_frames(media, every_nth=10, deterministic_fake=True).select(
-        "media_id", "frame_index", F.length("frame_blob").alias("frame_bytes")
+    media = synthetic_media(spark, n=64)
+    imgs = media.filter(F.col("meta.kind") == "image")
+    img_part = image_features(imgs).select(
+        F.lit("image").alias("part"),
+        "media_id",
+        F.lit(-1).cast("long").alias("frame_index"),
+        "n_bytes",
+        "content_hash",
+        F.round("mean_luma", 4).alias("mean_luma"),
     )
+    vids = media.filter(F.col("meta.kind") == "video")
+    frames = sample_frames(vids, every_nth=10)
+    frame_feats = image_features(
+        frames.select(
+            (F.col("media_id") * 1000 + F.col("frame_index")).alias("media_id"),
+            F.col("frame_blob").alias("blob"),
+        )
+    )
+    frame_part = frame_feats.select(
+        F.lit("frame").alias("part"),
+        (F.col("media_id") / 1000).cast("long").alias("media_id"),
+        (F.col("media_id") % 1000).cast("long").alias("frame_index"),
+        "n_bytes",
+        "content_hash",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    )
+    return img_part.unionByName(frame_part)
 
 
 # ---------------------------------------------------------------------------
@@ -1473,15 +1753,27 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("approx_distinct_users", None)  # sketch output — rows-only check
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate count-distinct per event_type (the 10^12-doc
-    cardinality primitive; exact distinct is its own shuffle of every key)."""
+@_register("approx_sketches", None)  # sketch outputs — rows-only check (the
+# HLL++ and t-digest style sketches are engine-specific; DuckDB's sketches
+# would disagree in the estimate bits, so no value oracle is possible)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate surface (formerly `approx_distinct_users` +
+    `approx_percentile_price`): HyperLogLog++ count-distinct per event_type
+    and approx_percentile over order prices — the 10^12-row cardinality/
+    quantile primitives (exact variants shuffle every key / sort per group).
+    Exact twins are driver-checked in stats_by_returnflag (count-distinct)
+    and grouping_sets_summary (percentiles)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    approx_users = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_v"),
         F.count("*").alias("n"),
-    )
+    ).select(F.lit("hll_users").alias("part"), F.col("event_type").alias("k"), "approx_v", "n")
+    o = _t(spark, sf_dir, "orders")
+    approx_p = o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.9), 10000).cast("long").alias("approx_v"),
+        F.count("*").alias("n"),
+    ).select(F.lit("p90_price").alias("part"), F.col("o_orderstatus").alias("k"), "approx_v", "n")
+    return approx_users.unionByName(approx_p)
 
 
 # ---------------------------------------------------------------------------
@@ -1490,61 +1782,63 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "csv_source_orders_agg",
+    "fileformat_roundtrip_agg",
     """
-SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-FROM orders GROUP BY o_orderstatus
+SELECT 'csv_orders' AS fmt, o_orderstatus AS k, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'json_events' AS fmt, event_type AS k, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 2
 """,
 )
-def csv_source_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV scan path: orders exported once to CSV (idempotent), read back
-    with an EXPLICIT schema (no inference pass), aggregated. The oracle runs
-    on the canonical parquet — equality proves lossless round-trip."""
+def fileformat_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines scan paths in one query (formerly
+    `csv_source_orders_agg` + `json_source_events_agg`): each table is
+    exported once (idempotent), read back with an EXPLICIT schema (no
+    inference pass — an extra full scan at 100 TB), aggregated, and tagged.
+    The oracle runs on the canonical parquet — equality proves a lossless
+    round-trip through both text formats."""
     import hashlib
     import tempfile
 
-    from wikidataquality_spark.io.formats import export_once, read_csv
+    from pyspark.sql.types import StructType
 
+    from wikidataquality_spark.io.formats import export_once, read_csv, read_json
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = export_once(o, f"{tempfile.gettempdir()}/wdq_csv_orders_{key}", "csv")
-    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
-    from pyspark.sql.types import StructType
-
-    back = read_csv(spark, path, StructType.fromDDL(schema))
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    csv_path = export_once(o, f"{tempfile.gettempdir()}/wdq_csv_orders_{key}", "csv")
+    o_back = read_csv(
+        spark,
+        csv_path,
+        StructType.fromDDL(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+        ),
     )
-
-
-@_register(
-    "json_source_events_agg",
-    """
-SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
-FROM events GROUP BY event_type
-""",
-)
-def json_source_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines scan path (explicit schema), same lossless-round-trip proof
-    as the CSV twin."""
-    import hashlib
-    import tempfile
-
-    from wikidataquality_spark.io.formats import export_once, read_json
+    csv_agg = o_back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    ).select(
+        F.lit("csv_orders").alias("fmt"),
+        F.col("o_orderstatus").alias("k"),
+        "n",
+        "total",
+    )
 
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = export_once(e, f"{tempfile.gettempdir()}/wdq_json_events_{key}", "json")
-    from pyspark.sql.types import StructType
-
-    back = read_json(
-        spark, path, StructType.fromDDL("event_id bigint, event_type string, value double")
+    json_path = export_once(e, f"{tempfile.gettempdir()}/wdq_json_events_{key}", "json")
+    e_back = read_json(
+        spark, json_path, StructType.fromDDL("event_id bigint, event_type string, value double")
     )
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    json_agg = e_back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    ).select(
+        F.lit("json_events").alias("fmt"), F.col("event_type").alias("k"), "n", "total"
     )
+    return csv_agg.unionByName(json_agg)
 
 
 # ---------------------------------------------------------------------------
@@ -1556,145 +1850,82 @@ def json_source_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "full_join_customer_orders",
     """
-SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
-       COUNT(o.o_orderkey) AS n_orders,
-       MAX(c.c_mktsegment) AS segment
-FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
-GROUP BY 1
+WITH c AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS ck,
+                  c_custkey, c_mktsegment FROM customer),
+     o AS (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS ok,
+                  o_orderkey FROM orders)
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL) AS n_both,
+       COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_left_only,
+       COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_right_only,
+       COUNT(*) FILTER (WHERE c.ck IS NULL AND o.ok IS NULL
+                        AND c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL) AS n_null_matched
+FROM c FULL JOIN o ON c.ck IS NOT DISTINCT FROM o.ok
 """,
 )
 def full_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join (customers with no orders AND orphan orders survive)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    j = c.join(o, c.c_custkey == o.o_custkey, "full")
-    return j.groupBy(
-        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey")
-    ).agg(
-        F.count("o_orderkey").alias("n_orders"),
-        F.max("c_mktsegment").alias("segment"),
+    """Full outer join under NULL-SAFE equality (<=>): customers with no
+    orders AND orphan orders survive, and NULL keys match each other
+    (formerly two queries: `full_join_customer_orders` +
+    `null_safe_user_join`). Keys are deterministically nulled (custkey %
+    50 = 0) so every branch of the join semantics carries rows."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("ck"),
+        "c_custkey",
+        "c_mktsegment",
     )
-
-
-@_register(
-    "window_range_frame",
-    """
-SELECT o_orderkey,
-       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near_price
-FROM orders
-""",
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based, not row-based): per customer, how many of
-    their orders fall within ±10000 of each order's price."""
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_totalprice")
-        .rangeBetween(-10000, 10000)
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("ok"),
+        "o_orderkey",
     )
-    return o.select("o_orderkey", F.count("*").over(w).alias("n_near_price"))
-
-
-@_register(
-    "events_sliding_windows",
-    """
-SELECT (epoch_us(ts) // 600000000 - i) * 600000000 AS win_start_us,
-       event_type, COUNT(*) AS n
-FROM events, generate_series(0, 2) AS t(i)
-GROUP BY 1, 2
-""",
-)
-def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (30-min size, 10-min slide) in batch mode: every event
-    lands in exactly 3 overlapping epoch-aligned windows, so the oracle is
-    pure integer bucket math (the streaming twin is
-    streaming/windows.sliding_value_avg). Window starts emitted as unix
-    micros — exact integers on both engines."""
-    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    return e.groupBy(
-        F.window("ts", "30 minutes", "10 minutes").alias("win"), "event_type"
-    ).agg(F.count("*").alias("n")).select(
-        F.unix_micros("win.start").alias("win_start_us"),
-        "event_type",
-        "n",
-    )
-
-
-@_register(
-    "events_props_map",
-    """
-SELECT event_id,
-       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-       len(json_keys(props)) AS n_keys
-FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 7 = 0
-""",
-)
-def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full JSON-map surface: from_json to MapType, element_at, map_keys
-    (vs the lighter get_json_object path in json_events_filter)."""
-    from pyspark.sql.types import IntegerType, MapType, StringType
-
-    e = _t(spark, sf_dir, "events")
-    m = F.from_json("props", MapType(StringType(), IntegerType()))
-    return (
-        e.withColumn("_m", m)
-        .select(
-            "event_id",
-            F.element_at("_m", "k").alias("k_val"),
-            F.size(F.map_keys("_m")).cast("long").alias("n_keys"),
-        )
-        .filter(F.col("k_val") % 7 == 0)
-    )
-
-
-@_register(
-    "null_safe_user_join",
-    """
-WITH a AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS u
-           FROM events WHERE event_type = 'click'),
-     b AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS u
-           FROM events WHERE event_type = 'purchase')
-SELECT COUNT(*) AS n_matched,
-       COUNT(*) FILTER (WHERE a.u IS NULL) AS n_null_matched
-FROM a JOIN b ON a.u IS NOT DISTINCT FROM b.u
-""",
-)
-def null_safe_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equi-join (<=>): NULL keys match each other, unlike `=`."""
-    e = _t(spark, sf_dir, "events")
-    u = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(F.col("user_id"))
-    a = e.filter(F.col("event_type") == "click").select(u.alias("u")).distinct()
-    b = e.filter(F.col("event_type") == "purchase").select(u.alias("ub")).distinct()
-    j = a.join(b, a.u.eqNullSafe(b.ub))
+    j = c.join(o, c.ck.eqNullSafe(o.ok), "full")
+    both = F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
     return j.agg(
-        F.count("*").alias("n_matched"),
-        F.count(F.when(F.col("u").isNull(), 1)).alias("n_null_matched"),
+        F.count("*").alias("n_rows"),
+        F.count(F.when(both, 1)).alias("n_both"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_left_only"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_right_only"),
+        F.count(
+            F.when(F.col("ck").isNull() & F.col("ok").isNull() & both, 1)
+        ).alias("n_null_matched"),
     )
 
 
+# (window_range_frame merged into window_running_customer_spend.)
+
+
+# (events_sliding_windows merged into events_windows.)
+
+
+# (events_props_map merged into json_map_events.)
+
+
+# (null_safe_user_join merged into full_join_customer_orders.)
+
+
+# (posexplode_embedding merged into array_ops_embedding.)
+
+
 @_register(
-    "posexplode_embedding",
+    "langid_ngram_docs",
     """
-SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
-FROM embeddings, generate_series(1, 4096) AS t(i)
-WHERE vec_id < 3 AND i <= len(embedding)
+SELECT d.doc_id, f.lang_pred, f.lang_conf
+FROM documents d
+JOIN read_parquet('/root/repo/tests/fixtures/langid_sf001.parquet') f
+  ON d.doc_id = f.doc_id
 """,
 )
-def posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode: array → (position, value) rows; float widened to double is
-    exact on both engines."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
-    return e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.col("v").cast("double").alias("val"))
-
-
-@_register("langid_ngram_docs", None)  # model inference — rows-only check
 def langid_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style char-trigram language ID over documents (frozen
-    supervised model, operators/langid_ngram.py; 'und' = junk class)."""
+    supervised model, operators/langid_ngram.py; 'und' = junk class).
+    Oracle: committed expected-prediction fixture at sf0.01 (model inference
+    has no SQL recomputation; the fixture pins every prediction + confidence
+    so any model/featurization drift flips the gate). Joined against the
+    live `documents` view so a different SF fails loudly."""
     from wikidataquality_spark.operators.langid_ngram import ngram_langid
 
     df = _t(spark, sf_dir, "documents")
@@ -1706,36 +1937,8 @@ def langid_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("approx_percentile_price", None)  # sketch output — rows-only check
-def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest class sketch): the 10^12-row quantile path
-    — exact percentile is a full sort per group."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("p50_p90")
-    ).select("o_orderstatus", F.col("p50_p90")[0].alias("p50"), F.col("p50_p90")[1].alias("p90"))
+# (approx_percentile_price merged into approx_sketches.)
 
 
-@_register(
-    "union_by_name_sources",
-    """
-SELECT kind, COUNT(*) AS n FROM (
-  SELECT 'order' AS kind, o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-  UNION ALL
-  SELECT 'customer' AS kind, c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-GROUP BY kind
-""",
-)
-def union_by_name_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName across differently-ordered projections (position-safe)."""
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 400000)
-        .select(F.col("o_custkey").alias("custkey"), F.lit("order").alias("kind"))
-    )
-    c = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.lit("customer").alias("kind"), F.col("c_custkey").alias("custkey"))
-    )
-    return o.unionByName(c).groupBy("kind").agg(F.count("*").alias("n"))
+# (union_by_name_sources merged into setop_segments / grouping_sets_summary —
+# unionByName across differently-ordered projections is exercised there.)
