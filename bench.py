@@ -61,12 +61,18 @@ def main() -> None:
         n = QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
+        # drop any intra-query persisted stages so queries are timed
+        # independently (no cross-query cache pollution or memory pressure)
+        spark.catalog.clearCache()
 
-    # flagship docs/sec: full validation DAG over documents
+    # flagship docs/sec: full validation DAG over documents. Warm once
+    # (python workers + model load are session overhead), time the second
+    # run — steady-state throughput is what scales to a cluster.
     import pyspark.sql.functions as F
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
+    QUERIES["qf_keep_decision"](spark, sf_dir).agg(F.count("*")).collect()
     t0 = time.perf_counter()
     QUERIES["qf_keep_decision"](spark, sf_dir).agg(F.count("*")).collect()
     qf_sec = time.perf_counter() - t0

@@ -299,4 +299,6 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 ),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a 64-row fixture does not want 32 partitions: each mapInPandas stage
+    # would spin a python worker per near-empty partition
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)

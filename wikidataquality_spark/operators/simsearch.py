@@ -255,7 +255,6 @@ def lsh_neardup_pairs(
     parts = [
         embeddings.select(
             F.col(id_col),
-            F.col(vec_col),
             F.lit(t).alias("_table"),
             simhash_bucket(F.col(vec_col), planes).alias("_bucket"),
         )
@@ -264,9 +263,10 @@ def lsh_neardup_pairs(
     bucketed = parts[0]
     for p in parts[1:]:
         bucketed = bucketed.unionByName(p)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_table", "_bucket"
-    )
+    # both self-join sides reuse the bucketing (n_tables × n_bits dot folds
+    # per vector) — persist so it computes once
+    bucketed = bucketed.persist()
+    a = bucketed.select(F.col(id_col).alias("id_a"), "_table", "_bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "_table", "_bucket")
     cand = (
         a.join(b, ["_table", "_bucket"])
@@ -274,12 +274,25 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Precompute each vector's norm ONCE (2 folds per vector) so the
+    # per-candidate verify is a single dot-product fold — the same
+    # dot/(na*nb) expression shape as the SQL twin, so results stay
+    # bit-identical; naive cosine() here would fold 3 aggregates per pair.
+    normed = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nrm")
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cos_sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
