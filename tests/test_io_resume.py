@@ -123,3 +123,36 @@ def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
     schema = StructType.fromDDL("a int, b int")
     with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         read_csv(spark, str(p), schema).collect()
+
+
+def test_partition_cardinality_cap(spark, tmp_path, monkeypatch):
+    """A row-grained partition column must fail loudly (bounded driver-side
+    collect), not OOM the driver at corpus scale."""
+    import pytest
+
+    from wikidataquality_spark.io import catalog
+
+    monkeypatch.setattr(catalog, "MAX_PARTITIONS_PER_RUN", 5)
+    rows = [(f"u{i}", f"p{i}", i) for i in range(10)]  # 10 distinct > cap 5
+    df = spark.createDataFrame(rows, "url string, partition string, x long")
+    with pytest.raises(ValueError, match="coarser partition key"):
+        catalog.write_partitioned(df, str(tmp_path / "t_cap"))
+
+
+def test_csv_roundtrip_multiline_text(spark, tmp_path):
+    """Free-text columns with embedded newlines and quotes must survive the
+    CSV write→read cycle (multiLine + RFC-4180 quoting on both sides)."""
+    from pyspark.sql.types import StructType
+
+    from wikidataquality_spark.io.formats import read_csv, write_csv
+
+    rows = [
+        (1, 'line one\nline two\n"quoted" text'),
+        (2, "plain"),
+        (3, 'comma, "and\nnewline"'),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "csv_text")
+    write_csv(df, path)
+    back = read_csv(spark, path, StructType.fromDDL("id bigint, text string"))
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

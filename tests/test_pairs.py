@@ -1,0 +1,74 @@
+"""Pair-similarity scale paths: the prefix-filter Jaccard join must be
+EXACTLY the brute-force set (lossless filtering), and the LSH near-dup pair
+join must match its inlined-constant SQL twin bit-for-bit (deterministic
+bucketing) while keeping exact precision vs brute force."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.simsearch import (
+    embedding_neardup_pairs,
+    lsh_neardup_pairs,
+    lsh_neardup_pairs_sql,
+)
+from wikidataquality_spark.operators.textstats import (
+    jaccard_pairs_prefix_filtered,
+    ngram_jaccard,
+    word_ngrams,
+)
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.6, 0.8])
+def test_prefix_filter_equals_brute_force(spark, sf0001_dir, threshold):
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs_prefix_filtered(docs, threshold).collect()
+    )
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(F.col("text"), 3)).alias("g"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nw"),
+    ).filter("nw >= 3")
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    bf = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", ngram_jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= threshold)
+        .collect()
+    )
+    want = sorted((r["id_a"], r["id_b"], round(r["j"], 6)) for r in bf)
+    assert got == want and len(got) > 0
+
+
+def test_lsh_pairs_match_sql_twin_and_are_precise(spark, sf0001_dir):
+    e = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 4))
+        for r in lsh_neardup_pairs(e, threshold=0.4).select(
+            "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf0001_dir}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(lsh_neardup_pairs_sql(0.4)).fetchall())
+    assert got == want and len(got) > 0
+    # precision is exact: every emitted pair is in the brute-force set
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(e, threshold=0.4).collect()
+    }
+    assert {(a, b) for a, b, _ in got} <= exact
+
+
+def test_lsh_pairs_plan_is_equi_join(spark, sf0001_dir):
+    e = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    plan = lsh_neardup_pairs(e, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

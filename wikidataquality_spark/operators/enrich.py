@@ -70,7 +70,8 @@ ENRICH_TYPE = T.StructType(
 
 _SYMBOL_RE = re.compile(r"[^\w\s]", re.UNICODE)  # non-letter/digit/underscore/ws
 _ALPHA_RE = re.compile(r"[A-Za-z]")
-_BLOCKWORD_RE = re.compile(r"\b(badword|toxicword|slurword)\b")
+# non-capturing group: identical matches, and pandas str.contains stays quiet
+_BLOCKWORD_RE = re.compile(r"\b(?:badword|toxicword|slurword)\b")
 _PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 
 
