@@ -153,3 +153,34 @@ def test_url_wellformed_rule(spark):
     assert rows[2] == "violation"
     assert rows[3] == "violation"
     assert rows[4] == "exception"
+
+
+def test_symmetric_inverse_checks(spark):
+    from wikidataquality_spark.operators.graphcheck import (
+        inverse_check,
+        symmetric_check,
+    )
+
+    links = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4)], "src long, dst long"
+    )
+    sym = {
+        (r["src"], r["dst"]): r["check"]["status"]
+        for r in symmetric_check(links).collect()
+    }
+    assert sym[(1, 2)] == "compliance" and sym[(2, 1)] == "compliance"
+    assert sym[(3, 4)] == "violation"
+
+    inv_links = spark.createDataFrame([(4, 3)], "src long, dst long")
+    inv = {
+        (r["src"], r["dst"]): r["check"]["status"]
+        for r in inverse_check(links, inv_links).collect()
+    }
+    assert inv[(3, 4)] == "compliance"
+    assert inv[(1, 2)] == "violation" and inv[(2, 1)] == "violation"
+    # violation rows carry the CheckResult detail; compliant rows don't
+    det = {
+        (r["src"], r["dst"]): r["check"]["detail"]
+        for r in inverse_check(links, inv_links).collect()
+    }
+    assert det[(3, 4)] is None and det[(1, 2)] is not None

@@ -79,3 +79,59 @@ def test_incremental_validate_foreachbatch(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 120
     assert {"url", "keep", "scrubbed_text"} <= set(out.columns)
+
+
+def test_stateful_dup_marks_equals_global(spark):
+    """Incremental dedup parity: splitting a corpus into url-ordered batches
+    and deduping each against the accumulated fingerprint state yields the
+    SAME flags as one global dup_marks over the whole corpus — the
+    correctness contract behind stream_incremental_validate's oracle."""
+    from wikidataquality_spark.datagen import generate_pages
+    from wikidataquality_spark.operators.dedup import dup_fingerprints, dup_marks
+
+    pdf = generate_pages(160, seed=5)
+    full = spark.createDataFrame(pdf[["url", "text"]])
+    want = {
+        r["url"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in dup_marks(full, text_col="text").collect()
+    }
+    assert any(e or n for e, n in want.values())  # corpus plants real dups
+
+    urls = sorted(pdf["url"])
+    cuts = [urls[len(urls) // 3], urls[2 * len(urls) // 3]]
+    batches = [
+        full.filter(F.col("url") < cuts[0]),
+        full.filter((F.col("url") >= cuts[0]) & (F.col("url") < cuts[1])),
+        full.filter(F.col("url") >= cuts[1]),
+    ]
+    got: dict[str, tuple] = {}
+    state = None
+    for b in batches:
+        flags = dup_marks(b, text_col="text", state=state)
+        got.update(
+            {r["url"]: (r["is_exact_dup"], r["is_near_dup"]) for r in flags.collect()}
+        )
+        fp = dup_fingerprints(b, text_col="text")
+        state = fp if state is None else state.unionByName(fp)
+    assert got == want
+
+
+def test_stateful_dup_marks_retry_safe(spark):
+    """A batch re-run after its own fingerprints were persisted (exactly-once
+    retry) must not flag itself as a duplicate of its state rows."""
+    from wikidataquality_spark.datagen import generate_pages
+    from wikidataquality_spark.operators.dedup import dup_fingerprints, dup_marks
+
+    pdf = generate_pages(60, seed=8)
+    df = spark.createDataFrame(pdf[["url", "text"]])
+    clean = {
+        r["url"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in dup_marks(df, text_col="text").collect()
+    }
+    retried = {
+        r["url"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in dup_marks(
+            df, text_col="text", state=dup_fingerprints(df, text_col="text")
+        ).collect()
+    }
+    assert retried == clean

@@ -80,14 +80,34 @@ def freeze_signature_fixtures(spark) -> None:
 
 def freeze_query_fixtures(spark) -> None:
     """Freeze expected outputs for queries whose computation has no SQL
-    recomputation (real multimodal decode; streamed-pipeline results)."""
+    recomputation (real multimodal decode). The ref_* parts are EXCLUDED:
+    their expected values are hand-derived literals in the oracle SQL, the
+    truth anchor the frozen bulk is checked against.
+    (stream_incremental_validate no longer freezes anything — its oracle is
+    the live streamed-vs-batch integer diagonal.)"""
     from wikidataquality_spark.plans.driver_queries import QUERIES
 
-    _freeze(QUERIES["multimodal_features"](spark, SF001_DIR), "multimodal_expected.parquet")
+    mm = QUERIES["multimodal_features"](spark, SF001_DIR)
     _freeze(
-        QUERIES["stream_incremental_validate"](spark, SF001_DIR),
-        "incremental_expected.parquet",
+        mm.filter(~mm["part"].isin("ref_image", "ref_audio")),
+        "multimodal_expected.parquet",
     )
+
+
+def freeze_langid_truth() -> None:
+    """Planted-truth corpus for the langid accuracy gate: defect-free pages
+    with labels recorded AT GENERATION (datagen meta) — independent of the
+    classifier, so the oracle's per-language group counts + acc_ok=TRUE pin
+    model CORRECTNESS, not self-consistency."""
+    from wikidataquality_spark.datagen import generate_pages_with_meta
+
+    pdf = generate_pages_with_meta(400, seed=7)
+    clean = pdf[pdf.defect == "none"][["url", "text", "true_lang"]].reset_index(
+        drop=True
+    )
+    out = os.path.join(FIXTURE_DIR, "langid_truth.parquet")
+    clean.to_parquet(out, index=False)
+    print(f"frozen: {out} ({len(clean)} rows)")
 
 
 def main() -> None:
@@ -103,6 +123,7 @@ def main() -> None:
     print(f"golden frozen: {out} ({r.count()} rows, {kept} kept)")
     freeze_signature_fixtures(spark)
     freeze_query_fixtures(spark)
+    freeze_langid_truth()
 
 
 if __name__ == "__main__":

@@ -180,6 +180,7 @@ def dup_marks(
     id_col: str = "url",
     broadcast_flags: bool = True,
     sig_col: str | None = None,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Non-destructive variant: annotate rows with is_exact_dup / is_near_dup
     flags so the rule layer can emit violation records instead of dropping.
@@ -192,27 +193,63 @@ def dup_marks(
 
     Plan shape: one shuffle for the exact window, one for the band window,
     one small distinct; the near flag uses min(id) OVER (PARTITION BY bucket)
-    instead of groupBy+self-join (one exchange fewer, no join)."""
+    instead of groupBy+self-join (one exchange fewer, no join).
+
+    `state` (optional) makes the operator INCREMENTAL: a fingerprint table of
+    previously-processed documents (schema of `dup_fingerprints`: id, kind
+    'exact'|'band', k1, k2) is unioned into both flag windows, so a new batch
+    is deduplicated against the whole corpus seen so far without re-reading
+    any document body. The production analogue at 10^12 docs is an Iceberg
+    fingerprint table keyed by (kind, k1) that successive crawl snapshots
+    append to — state rows are ~24 bytes/doc·(1+B bands), and only they
+    shuffle. Flags equal the global batch computation whenever ingest order
+    respects the survivor total order (min-id): every state id precedes every
+    batch id. State rows whose id collides with a batch id are dropped first,
+    so a retried batch (exactly-once resume) never flags itself."""
     sig_expr = (
         F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
     )
     keyed = df.select(
         F.col(id_col),
         F.xxhash64(text_col).alias("_h"),
-        F.length(text_col).alias("_len"),
+        F.length(text_col).cast("long").alias("_len"),
         sig_expr.alias("_sig"),
     )
+    if state is not None:
+        state = state.join(keyed.select(id_col), id_col, "left_anti")
 
-    exact_w = W.partitionBy("_h", "_len").orderBy(id_col)
-    exact = keyed.select(
-        id_col, "_sig", (F.row_number().over(exact_w) > 1).alias("is_exact_dup")
+    exact_in = keyed.select(id_col, "_h", "_len").withColumn(
+        "_from_state", F.lit(False)
     )
+    if state is not None:
+        exact_in = exact_in.unionByName(
+            state.filter(F.col("kind") == "exact").select(
+                F.col(id_col),
+                F.col("k1").alias("_h"),
+                F.col("k2").alias("_len"),
+                F.lit(True).alias("_from_state"),
+            )
+        )
+    exact_w = W.partitionBy("_h", "_len").orderBy(id_col)
+    exact = exact_in.withColumn(
+        "is_exact_dup", F.row_number().over(exact_w) > 1
+    ).filter(~F.col("_from_state")).select(id_col, "is_exact_dup")
 
-    bands = exact.select(id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key"))
+    bands = keyed.select(
+        id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key")
+    ).withColumn("_from_state", F.lit(False))
+    if state is not None:
+        bands = bands.unionByName(
+            state.filter(F.col("kind") == "band").select(
+                F.col(id_col),
+                F.col("k1").alias("_band_key"),
+                F.lit(True).alias("_from_state"),
+            )
+        )
     bucket_w = W.partitionBy("_band_key")
     near = (
         bands.withColumn("_keep_id", F.min(id_col).over(bucket_w))
-        .filter(F.col(id_col) != F.col("_keep_id"))
+        .filter((F.col(id_col) != F.col("_keep_id")) & ~F.col("_from_state"))
         .select(id_col)
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
@@ -227,7 +264,7 @@ def dup_marks(
     # sort-merge rejoin riding the bucketed-by-id table layout (both sides
     # bucket-pruned, zero shuffle).
     flags = (
-        exact.drop("_sig")
+        exact
         .join(near, id_col, "left")
         .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
         .filter(F.col("is_exact_dup") | F.col("is_near_dup"))
@@ -238,6 +275,41 @@ def dup_marks(
     return out.withColumn(
         "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
     ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+
+
+def dup_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    sig_col: str | None = None,
+) -> DataFrame:
+    """Fingerprint rows for the incremental-dedup state table (`dup_marks`
+    state= input): per doc, one 'exact' row (k1 = xxhash64(text),
+    k2 = length) plus one 'band' row per LSH band key (k2 = 0). ~24 bytes ×
+    (1 + B) rows per document — the only thing a later batch needs to dedup
+    against this one; document bodies never persist into state."""
+    sig_expr = (
+        F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
+    )
+    keyed = df.select(
+        F.col(id_col),
+        F.xxhash64(text_col).alias("_h"),
+        F.length(text_col).cast("long").alias("_len"),
+        sig_expr.alias("_sig"),
+    )
+    exact = keyed.select(
+        id_col,
+        F.lit("exact").alias("kind"),
+        F.col("_h").alias("k1"),
+        F.col("_len").alias("k2"),
+    )
+    band = keyed.select(
+        id_col,
+        F.lit("band").alias("kind"),
+        F.explode(band_keys(F.col("_sig"))).alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+    )
+    return exact.unionByName(band)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Symmetric / Inverse link-reciprocity checkers (SURVEY.md §2A #10-11).
+
+Parity: SymmetricChecker (ref≈includes/ConstraintCheck/Checker/
+SymmetricChecker.php:~30-100) demands that a statement `a —P→ b` is matched
+by `b —P→ a` on the target entity; InverseChecker
+(ref≈includes/ConstraintCheck/Checker/InverseChecker.php:~30-110) demands
+`b —Q→ a` for a configured inverse property Q. The reference resolves the
+target entity with a per-statement EntityLookup point read; the Spark-native
+recast is ONE anti-join over the whole link table per rule — the lookup
+becomes a shuffle-hash/broadcast equi-join on the swapped key pair, so
+checking 10^12 links costs one shuffle of (src, dst) pairs, never N point
+reads.
+
+Both checkers emit CheckResult-shaped rows: every input link annotated with
+a violation struct (rules/model.violation_struct_type) whose status is
+compliance|violation — the non-destructive flag pattern the rest of the rule
+layer uses (dedup.dup_marks, rules/builder.apply_rules).
+
+Scale notes (10^12 links / 1000 executors):
+  - the probe side carries only (src, dst) — 16 bytes per link;
+  - the existence probe is a left_semi/left_anti equi-join, which AQE turns
+    into a broadcast when one side is a small dimension and a skew-split
+    shuffle join otherwise;
+  - a reciprocal-hub key (celebrity node with 10^8 in-links) skews the
+    swapped-key shuffle — that is exactly the AQE skew-join case, same as
+    dedup band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.rules.model import COMPLIANCE, VIOLATION
+
+
+def _result(df: DataFrame, rule_id: str, ok_col: str, detail: str) -> DataFrame:
+    return df.select(
+        "src",
+        "dst",
+        F.struct(
+            F.lit(rule_id).alias("rule"),
+            F.when(F.col(ok_col), COMPLIANCE).otherwise(VIOLATION).alias("status"),
+            F.when(F.col(ok_col), 1.0).otherwise(0.0).alias("score"),
+            F.when(F.col(ok_col), F.lit(None).cast("string"))
+            .otherwise(F.lit(detail))
+            .alias("detail"),
+        ).alias("check"),
+    )
+
+
+def symmetric_check(
+    links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rule_id: str = "symmetric.link",
+) -> DataFrame:
+    """Annotate every link (a→b) with a symmetric-reciprocity CheckResult:
+    violation unless (b→a) also exists in the same table. One self
+    left_semi join on the swapped key pair; output (src, dst, check)."""
+    pairs = links.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    # swapped is distinct because pairs is — ONE equi-join, no multiplication
+    swapped = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("_ok", F.lit(True))
+    out = pairs.join(swapped, ["src", "dst"], "left").withColumn(
+        "_ok", F.coalesce("_ok", F.lit(False))
+    )
+    return _result(out, rule_id, "_ok", "no reciprocal link dst->src")
+
+
+def inverse_check(
+    links: DataFrame,
+    inverse_links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    inv_src_col: str = "src",
+    inv_dst_col: str = "dst",
+    rule_id: str = "inverse.link",
+) -> DataFrame:
+    """Annotate every link (a —P→ b) with an inverse-property CheckResult:
+    violation unless (b —Q→ a) exists in `inverse_links` (the configured
+    inverse-property statement table). Same single-equi-join shape as
+    symmetric_check, probing the OTHER table."""
+    pairs = links.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    inv = (
+        inverse_links.select(
+            F.col(inv_dst_col).alias("src"), F.col(inv_src_col).alias("dst")
+        )
+        .distinct()
+        .withColumn("_ok", F.lit(True))
+    )
+    out = pairs.join(inv, ["src", "dst"], "left").withColumn(
+        "_ok", F.coalesce("_ok", F.lit(False))
+    )
+    return _result(out, rule_id, "_ok", "no inverse-property link dst->src")

@@ -73,6 +73,19 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("clip_ratio", T.DoubleType(), True),
+    ]
+)
+
 
 def _fake_pixels(blob: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic content-derived stand-in for a real decode: bytes of
@@ -161,6 +174,77 @@ def demux_ppmv(blob: bytes):
         end = scan + w * h * 3
         yield idx, blob[pos:end]
         pos = end
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono PCM samples as a standard WAV (stdlib `wave` —
+    44-byte RIFF header + little-endian frames; no external audio libs)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Parse a WAV blob into (int16 mono samples, sample_rate). Real codec:
+    the RIFF container is parsed by stdlib `wave`; only 16-bit mono PCM is
+    accepted (the corpus contract) — anything else raises loudly rather than
+    silently mis-featurizing."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV layout: channels={w.getnchannels()} "
+                f"sampwidth={w.getsampwidth()} (want 16-bit mono PCM)"
+            )
+        sr = w.getframerate()
+        data = w.readframes(w.getnframes())
+    return np.frombuffer(data, dtype="<i2"), sr
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode → per-clip audio features, one Arrow batch at a time: duration,
+    RMS loudness, and clipping ratio (fraction of samples at full scale) —
+    the standard junk-audio filters for a training-data pipeline (silence ⇒
+    rms≈0, clipped ⇒ clip_ratio high). Same mapInPandas discipline as
+    image_features: N blobs per call, NULL blobs dropped, blobs never
+    shuffle."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["blob"].notna()]
+            rows = []
+            for media_id, blob in zip(keep["media_id"], keep["blob"]):
+                b = bytes(blob)
+                samples, sr = decode_wav(b)
+                x = samples.astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(b),
+                        "content_hash": hashlib.sha256(b).hexdigest(),
+                        "sample_rate": int(sr),
+                        "n_samples": len(samples),
+                        "duration_ms": len(samples) * 1000 // sr,
+                        "rms": float(np.sqrt((x**2).mean())) if len(x) else 0.0,
+                        "clip_ratio": float((np.abs(samples) >= 32767).mean())
+                        if len(samples)
+                        else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(process, AUDIO_FEATURES_SCHEMA)
 
 
 def _decode_image(blob: bytes, deterministic_fake: bool = False) -> np.ndarray:
@@ -270,13 +354,22 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     paths end-to-end."""
     rng = np.random.default_rng(seed)
     rows = []
-    kinds = ["image", "image", "image", "video"]
+    kinds = ["image", "image", "audio", "video"]
+    fmt = {"image": "ppm", "audio": "wav", "video": "ppmv"}
     for i in range(n):
         kind = kinds[i % len(kinds)]
         w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+        n_frames = duration = sample_rate = None
         if kind == "image":
             blob = encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
-            n_frames, duration = None, None
+            w_meta, h_meta = w, h
+        elif kind == "audio":
+            sample_rate = int(rng.choice([8000, 16000]))
+            n_samp = int(rng.integers(500, 4000))
+            samples = rng.integers(-(2**15), 2**15, size=n_samp).astype(np.int16)
+            blob = encode_wav(samples, sample_rate)
+            duration = n_samp * 1000 // sample_rate
+            w_meta = h_meta = None
         else:
             n_frames = int(rng.integers(30, 120))
             fw, fh = max(w // 4, 4), max(h // 4, 4)
@@ -286,6 +379,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             ]
             blob = encode_ppmv(frames)
             duration = int(rng.integers(1000, 60000))
+            w_meta, h_meta = w, h
         rows.append(
             (
                 i,
@@ -293,11 +387,11 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 bytearray(blob),
                 (
                     kind,
-                    "ppm" if kind == "image" else "ppmv",
-                    w,
-                    h,
+                    fmt[kind],
+                    w_meta,
+                    h_meta,
                     n_frames,
-                    None,
+                    sample_rate,
                     duration,
                 ),
             )
@@ -305,3 +399,30 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     # a 64-row fixture does not want 32 partitions: each mapInPandas stage
     # would spin a python worker per near-empty partition
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def ref_media(spark) -> DataFrame:
+    """Three FIRST-PRINCIPLES reference blobs whose features are
+    hand-computable (no RNG, no pipeline involvement) — the truth anchor for
+    the multimodal oracle (r02 VERDICT #4):
+      - media_id -100: 16×16 PPM gradient, pixel v = 16·y + x on all three
+        channels ⇒ luma == v, full-stride resize ⇒ mean_luma = mean(0..255)
+        = 127.5; n_bytes = 13 header + 768 = 781.
+      - media_id -101: 1000-sample 8 kHz square wave ±16384 ⇒ rms = 16384.0
+        exactly, clip_ratio 0.0, duration 125 ms; 44 + 2000 = 2044 bytes.
+      - media_id -102: 800 samples of 32767 at 16 kHz ⇒ rms = 32767.0,
+        clip_ratio 1.0, duration 50 ms; 44 + 1600 = 1644 bytes."""
+    grad = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = encode_ppm(np.stack([grad] * 3, axis=2))
+    square = np.tile(np.array([16384, -16384], dtype=np.int16), 500)
+    wav_a = encode_wav(square, 8000)
+    wav_b = encode_wav(np.full(800, 32767, dtype=np.int16), 16000)
+    rows = [
+        (-100, "ref://image/gradient", bytearray(img),
+         ("image", "ppm", 16, 16, None, None, None)),
+        (-101, "ref://audio/square", bytearray(wav_a),
+         ("audio", "wav", None, None, None, 8000, 125)),
+        (-102, "ref://audio/clipped", bytearray(wav_b),
+         ("audio", "wav", None, None, None, 16000, 50)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)

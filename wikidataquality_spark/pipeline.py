@@ -78,10 +78,20 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
-def validate(pages: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
+def validate(
+    pages: DataFrame,
+    config: PipelineConfig | None = None,
+    dedup_state: DataFrame | None = None,
+) -> DataFrame:
     """Full validation DAG over a pages DataFrame
     (url, warc_ts, html, text, lang). Returns every input row annotated with
-    stats, model scores, dup flags, violations, keep, scrubbed_text."""
+    stats, model scores, dup flags, violations, keep, scrubbed_text.
+
+    `dedup_state`: optional fingerprint table of previously-validated
+    documents (operators.dedup.dup_fingerprints schema) — makes the dedup
+    stage incremental: this batch is deduplicated against every document the
+    state has seen, without re-reading any body (the EvaluateConstraintReport
+    incremental re-check recast; used by streaming.incremental_validate)."""
     cfg = config or PipelineConfig()
 
     # Stages 1+2 — fused: extract + langid + perplexity + every heuristic
@@ -119,7 +129,11 @@ def validate(pages: DataFrame, config: PipelineConfig | None = None) -> DataFram
     # from the fused enrich pass (sig_col), so this stage is pure JVM: no
     # second python pass over document bodies, no concurrent UDF stages.
     df = dup_marks(
-        df, text_col="text_extracted", id_col=cfg.id_col, sig_col="minhash_sig"
+        df,
+        text_col="text_extracted",
+        id_col=cfg.id_col,
+        sig_col="minhash_sig",
+        state=dedup_state,
     )
 
     # Stage 4 — rule checks → violations array → keep decision (codegen).
