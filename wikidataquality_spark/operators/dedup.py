@@ -150,6 +150,17 @@ def band_keys(sig_col: str | Column = "minhash_sig") -> Column:
     return F.array(*keys)
 
 
+def band_keys_sql(sig_name: str) -> str:
+    """SQL-string twin of band_keys (bit-identical: int literals hash like
+    F.lit(int)). String composition avoids ~3 py4j round trips per band per
+    plan construction — driver-serial time (rules/model.CheckExpr)."""
+    keys = ", ".join(
+        f"xxhash64({i}, slice(`{sig_name}`, {i * MINHASH_ROWS + 1}, {MINHASH_ROWS}))"
+        for i in range(MINHASH_BANDS)
+    )
+    return f"array({keys})"
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "url"
 ) -> DataFrame:
@@ -206,21 +217,29 @@ def dup_marks(
     respects the survivor total order (min-id): every state id precedes every
     batch id. State rows whose id collides with a batch id are dropped first,
     so a retried batch (exactly-once resume) never flags itself."""
-    sig_expr = (
-        F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
-    )
-    keyed = df.select(
-        F.col(id_col),
-        F.xxhash64(text_col).alias("_h"),
-        F.length(text_col).cast("long").alias("_len"),
-        sig_expr.alias("_sig"),
-    )
+    qid = "`" + id_col.replace("`", "``") + "`"
+    qtext = "`" + text_col.replace("`", "``") + "`"
+    # SQL-string plan construction (one selectExpr per step instead of a py4j
+    # round trip per sub-expression) — dup_marks cost ~0.35s of driver-serial
+    # plan-build time per invocation the Column way (rules/model.CheckExpr).
+    if sig_col is not None:
+        keyed = df.selectExpr(
+            qid,
+            f"xxhash64({qtext}) AS _h",
+            f"CAST(length({qtext}) AS LONG) AS _len",
+            f"`{sig_col}` AS _sig",
+        )
+    else:
+        keyed = df.select(
+            F.col(id_col),
+            F.xxhash64(text_col).alias("_h"),
+            F.length(text_col).cast("long").alias("_len"),
+            minhash_udf(F.col(text_col)).alias("_sig"),
+        )
     if state is not None:
         state = state.join(keyed.select(id_col), id_col, "left_anti")
 
-    exact_in = keyed.select(id_col, "_h", "_len").withColumn(
-        "_from_state", F.lit(False)
-    )
+    exact_in = keyed.selectExpr(qid, "_h", "_len", "FALSE AS _from_state")
     if state is not None:
         exact_in = exact_in.unionByName(
             state.filter(F.col("kind") == "exact").select(
@@ -230,14 +249,22 @@ def dup_marks(
                 F.lit(True).alias("_from_state"),
             )
         )
-    exact_w = W.partitionBy("_h", "_len").orderBy(id_col)
-    exact = exact_in.withColumn(
-        "is_exact_dup", F.row_number().over(exact_w) > 1
-    ).filter(~F.col("_from_state")).select(id_col, "is_exact_dup")
+    exact = (
+        exact_in.selectExpr(
+            qid,
+            "_from_state",
+            f"(row_number() OVER (PARTITION BY _h, _len ORDER BY {qid})) > 1"
+            " AS is_exact_dup",
+        )
+        .filter("NOT _from_state")
+        .select(id_col, "is_exact_dup")
+    )
 
-    bands = keyed.select(
-        id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key")
-    ).withColumn("_from_state", F.lit(False))
+    bands = keyed.selectExpr(
+        qid,
+        f"explode({band_keys_sql('_sig')}) AS _band_key",
+        "FALSE AS _from_state",
+    )
     if state is not None:
         bands = bands.unionByName(
             state.filter(F.col("kind") == "band").select(
@@ -246,13 +273,16 @@ def dup_marks(
                 F.lit(True).alias("_from_state"),
             )
         )
-    bucket_w = W.partitionBy("_band_key")
     near = (
-        bands.withColumn("_keep_id", F.min(id_col).over(bucket_w))
-        .filter((F.col(id_col) != F.col("_keep_id")) & ~F.col("_from_state"))
+        bands.selectExpr(
+            qid,
+            "_from_state",
+            f"min({qid}) OVER (PARTITION BY _band_key) AS _keep_id",
+        )
+        .filter(f"({qid} != _keep_id) AND (NOT _from_state)")
         .select(id_col)
         .distinct()
-        .withColumn("is_near_dup", F.lit(True))
+        .selectExpr(qid, "TRUE AS is_near_dup")
     )
     # SPARSE flags: only rows that ARE duplicates enter the broadcast — a row
     # absent from the flag set is non-dup by construction (left join + false
@@ -266,15 +296,22 @@ def dup_marks(
     flags = (
         exact
         .join(near, id_col, "left")
-        .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
-        .filter(F.col("is_exact_dup") | F.col("is_near_dup"))
+        .selectExpr(
+            qid,
+            "is_exact_dup",
+            "coalesce(is_near_dup, FALSE) AS is_near_dup",
+        )
+        .filter("is_exact_dup OR is_near_dup")
     )
     if broadcast_flags:
         flags = F.broadcast(flags)
     out = df.join(flags, id_col, "left")
-    return out.withColumn(
-        "is_exact_dup", F.coalesce("is_exact_dup", F.lit(False))
-    ).withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+    return out.withColumns(
+        {
+            "is_exact_dup": F.expr("coalesce(is_exact_dup, FALSE)"),
+            "is_near_dup": F.expr("coalesce(is_near_dup, FALSE)"),
+        }
+    )
 
 
 def dup_fingerprints(

@@ -109,8 +109,8 @@ def validate(
         "distinct_line_ratio_stat", "alpha_ratio_stat",
         "has_blockword", "has_pii_email", "minhash_sig",
     ]
-    df = pages.withColumn("_enriched", enriched("html")).select(
-        "*", *[F.col(f"_enriched.{c}").alias(c) for c in enrich_cols]
+    df = pages.withColumn("_enriched", enriched("html")).selectExpr(
+        "*", *[f"_enriched.{c} AS {c}" for c in enrich_cols]
     ).drop("_enriched")
     if cfg.drop_html:
         df = df.drop("html")

@@ -1,4 +1,4 @@
-"""Rule library: rule_type → Column-expression factory.
+"""Rule library: rule_type → CheckExpr (SQL-fragment) factory.
 
 Parity map (every factory names the reference checker it recasts; paths are
 reconstructed, SURVEY.md §2A):
@@ -17,130 +17,179 @@ reconstructed, SURVEY.md §2A):
 
 Each factory takes a Rule (params is a str→str map, parsed here — the same
 dynamic-parameters pattern as ref≈Helper/ConstraintParameterParser.php) and
-returns a CheckResult struct Column. Cross-row rules (unique_value ≈
-Checker/UniqueValueChecker.php) can't be a per-row expression; they live in
-operators/dedup.py and are stitched in by the pipeline.
+returns a CheckExpr of SQL fragments; rules/builder.py compiles the whole
+set into a handful of F.expr columns (why strings: model.CheckExpr — the
+Column-per-subexpression version cost ~1.3s of py4j driver-serial time per
+plan). Cross-row rules (unique_value ≈ Checker/UniqueValueChecker.php) can't
+be a per-row expression; they live in operators/dedup.py and are stitched in
+by the pipeline.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-
-from wikidataquality_spark.rules.model import Rule, check_result
+from wikidataquality_spark.rules.model import (
+    CheckExpr,
+    Rule,
+    check_result_sql,
+    sql_double,
+    sql_ident,
+    sql_str,
+)
 
 
 def _split_list(raw: str | None) -> list[str]:
     return [v for v in (raw or "").split(",") if v]
 
 
-def format_rule(rule: Rule) -> Column:
+def format_rule(rule: Rule) -> CheckExpr:
     """String column must (or must not) match a regex parameter."""
-    col = F.col(rule.param("column", "text"))
+    col = sql_ident(rule.param("column", "text"))
     pattern = rule.param("pattern")
     if pattern is None:
         raise ValueError(f"format rule {rule.rule_id} needs a 'pattern' param")
-    matched = col.rlike(pattern)
-    passed = ~matched if rule.param("mode", "must_not_match") == "must_not_match" else matched
-    return check_result(rule, passed, applicable=col.isNotNull())
+    matched = f"({col} RLIKE {sql_str(pattern)})"
+    passed = (
+        f"NOT {matched}"
+        if rule.param("mode", "must_not_match") == "must_not_match"
+        else matched
+    )
+    return check_result_sql(rule, passed, applicable=f"({col} IS NOT NULL)")
 
 
-def one_of_rule(rule: Rule) -> Column:
-    col = F.col(rule.param("column", "lang"))
+def one_of_rule(rule: Rule) -> CheckExpr:
+    col = sql_ident(rule.param("column", "lang"))
     allowed = _split_list(rule.param("allowed"))
-    return check_result(rule, col.isin(allowed), applicable=col.isNotNull())
+    passed = (
+        f"({col} IN ({', '.join(sql_str(v) for v in allowed)}))"
+        if allowed
+        else "FALSE"
+    )
+    return check_result_sql(rule, passed, applicable=f"({col} IS NOT NULL)")
 
 
-def range_rule(rule: Rule) -> Column:
-    col = F.col(rule.param("column")).cast("double")
+def range_rule(rule: Rule) -> CheckExpr:
+    col = f"CAST({sql_ident(rule.param('column'))} AS DOUBLE)"
     lo, hi = rule.fparam("min", float("-inf")), rule.fparam("max", float("inf"))
-    return check_result(
-        rule, col.between(lo, hi), score=col, applicable=col.isNotNull()
+    return check_result_sql(
+        rule,
+        f"({col} BETWEEN {sql_double(lo)} AND {sql_double(hi)})",
+        score=col,
+        applicable=f"({col} IS NOT NULL)",
     )
 
 
-def diff_range_rule(rule: Rule) -> Column:
+def diff_range_rule(rule: Rule) -> CheckExpr:
     diff = (
-        F.col(rule.param("column_a")).cast("double")
-        - F.col(rule.param("column_b")).cast("double")
+        f"(CAST({sql_ident(rule.param('column_a'))} AS DOUBLE) - "
+        f"CAST({sql_ident(rule.param('column_b'))} AS DOUBLE))"
     )
     lo, hi = rule.fparam("min", float("-inf")), rule.fparam("max", float("inf"))
-    return check_result(rule, diff.between(lo, hi), score=diff, applicable=diff.isNotNull())
+    return check_result_sql(
+        rule,
+        f"({diff} BETWEEN {sql_double(lo)} AND {sql_double(hi)})",
+        score=diff,
+        applicable=f"({diff} IS NOT NULL)",
+    )
 
 
-def single_value_rule(rule: Rule) -> Column:
+def single_value_rule(rule: Rule) -> CheckExpr:
     """Within-doc repetition: distinct-token ratio must be ≥ min."""
-    col = F.col(rule.param("column", "distinct_word_ratio_stat")).cast("double")
+    col = f"CAST({sql_ident(rule.param('column', 'distinct_word_ratio_stat'))} AS DOUBLE)"
     lo = rule.fparam("min", 0.0)
-    return check_result(rule, col >= lo, score=col, applicable=col.isNotNull())
+    return check_result_sql(
+        rule,
+        f"({col} >= {sql_double(lo)})",
+        score=col,
+        applicable=f"({col} IS NOT NULL)",
+    )
 
 
-def multi_value_rule(rule: Rule) -> Column:
+def multi_value_rule(rule: Rule) -> CheckExpr:
     """Minimum content: token count ≥ k."""
-    col = F.col(rule.param("column", "n_words_stat")).cast("double")
+    col = f"CAST({sql_ident(rule.param('column', 'n_words_stat'))} AS DOUBLE)"
     k = rule.fparam("min", 1.0)
-    return check_result(rule, col >= k, score=col, applicable=col.isNotNull())
+    return check_result_sql(
+        rule,
+        f"({col} >= {sql_double(k)})",
+        score=col,
+        applicable=f"({col} IS NOT NULL)",
+    )
 
 
-def conflicts_with_rule(rule: Rule) -> Column:
+def conflicts_with_rule(rule: Rule) -> CheckExpr:
     """Blocklist: violation when any blocked term appears (word-boundary)."""
-    col = F.col(rule.param("column", "text"))
+    col = sql_ident(rule.param("column", "text"))
     terms = _split_list(rule.param("blocked"))
     if not terms:
         raise ValueError(f"conflicts_with rule {rule.rule_id} needs 'blocked'")
     pattern = r"\b(" + "|".join(terms) + r")\b"
-    return check_result(rule, ~col.rlike(pattern), applicable=col.isNotNull())
-
-
-def mandatory_rule(rule: Rule) -> Column:
-    col = F.col(rule.param("column"))
-    present = col.isNotNull() & (F.length(col.cast("string")) > 0)
-    return check_result(rule, present)
-
-
-def item_cooccur_rule(rule: Rule) -> Column:
-    """If column_a is present, column_b must be too (ItemChecker recast)."""
-    a, b = F.col(rule.param("column_a")), F.col(rule.param("column_b"))
-    return check_result(rule, b.isNotNull(), applicable=a.isNotNull())
-
-
-def qualifiers_rule(rule: Rule) -> Column:
-    """Array column may contain ONLY whitelisted values (QualifiersChecker
-    recast, ref≈Checker/QualifiersChecker.php:~30-90): violation when
-    array_except(values, allowed) is non-empty."""
-    col = F.col(rule.param("column"))
-    allowed = _split_list(rule.param("allowed"))
-    extras = F.array_except(col, F.array(*[F.lit(v) for v in allowed]))
-    return check_result(
+    return check_result_sql(
         rule,
-        F.size(extras) == 0,
-        detail=F.array_join(extras, ","),
-        applicable=col.isNotNull(),
+        f"NOT ({col} RLIKE {sql_str(pattern)})",
+        applicable=f"({col} IS NOT NULL)",
     )
 
 
-def url_wellformed_rule(rule: Rule) -> Column:
+def mandatory_rule(rule: Rule) -> CheckExpr:
+    col = sql_ident(rule.param("column"))
+    present = f"(({col} IS NOT NULL) AND (length(CAST({col} AS STRING)) > 0))"
+    return check_result_sql(rule, present)
+
+
+def item_cooccur_rule(rule: Rule) -> CheckExpr:
+    """If column_a is present, column_b must be too (ItemChecker recast)."""
+    a = sql_ident(rule.param("column_a"))
+    b = sql_ident(rule.param("column_b"))
+    return check_result_sql(
+        rule, f"({b} IS NOT NULL)", applicable=f"({a} IS NOT NULL)"
+    )
+
+
+def qualifiers_rule(rule: Rule) -> CheckExpr:
+    """Array column may contain ONLY whitelisted values (QualifiersChecker
+    recast, ref≈Checker/QualifiersChecker.php:~30-90): violation when
+    array_except(values, allowed) is non-empty."""
+    col = sql_ident(rule.param("column"))
+    allowed = _split_list(rule.param("allowed"))
+    arr = f"array({', '.join(sql_str(v) for v in allowed)})"
+    extras = f"array_except({col}, {arr})"
+    return check_result_sql(
+        rule,
+        f"(size({extras}) = 0)",
+        detail=f"array_join({extras}, ',')",
+        applicable=f"({col} IS NOT NULL)",
+    )
+
+
+def url_wellformed_rule(rule: Rule) -> CheckExpr:
     """URL must parse: http(s) scheme + a dotted, extractable host
     (CommonsLinkChecker recast, ref≈Checker/CommonsLinkChecker.php:~30-110 —
     'string must be a well-formed link')."""
-    col = F.col(rule.param("column", "url"))
-    host = F.parse_url(col, F.lit("HOST"))
-    ok = col.rlike(r"^https?://") & host.isNotNull() & host.contains(".")
-    return check_result(rule, ok, detail=host, applicable=col.isNotNull())
+    col = sql_ident(rule.param("column", "url"))
+    host = f"parse_url({col}, 'HOST')"
+    ok = (
+        f"(({col} RLIKE '^https?://') AND ({host} IS NOT NULL) "
+        f"AND contains({host}, '.'))"
+    )
+    return check_result_sql(
+        rule, ok, detail=host, applicable=f"({col} IS NOT NULL)"
+    )
 
 
-def flag_rule(rule: Rule) -> Column:
+def flag_rule(rule: Rule) -> CheckExpr:
     """Boolean flag column must be false (bridges cross-row ops — dup marks
     from operators/dedup.py — into the per-row violation framework; this is
     how UniqueValueChecker's cross-entity verdict re-enters the CheckResult
     stream, SURVEY §2A#7)."""
-    col = F.col(rule.param("column"))
-    return check_result(rule, ~col, applicable=col.isNotNull())
+    col = sql_ident(rule.param("column"))
+    return check_result_sql(
+        rule, f"(NOT {col})", applicable=f"({col} IS NOT NULL)"
+    )
 
 
-RULE_FACTORIES: dict[str, Callable[[Rule], Column]] = {
+RULE_FACTORIES: dict[str, Callable[[Rule], CheckExpr]] = {
     "flag": flag_rule,
     "format": format_rule,
     "one_of": one_of_rule,

@@ -60,6 +60,77 @@ def violation_struct_type() -> T.StructType:
     )
 
 
+def sql_str(s: str) -> str:
+    """SQL single-quoted string literal (Spark's default escaped-literal mode:
+    backslashes must double so regex patterns like \\b survive the parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_double(v: float) -> str:
+    """SQL DOUBLE literal. Bare decimals parse as DECIMAL in Spark SQL and
+    ±inf has no literal form, so everything goes through a string cast."""
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quoted column reference."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+@dataclass(frozen=True)
+class CheckExpr:
+    """One rule check as SQL fragments (plain Python strings).
+
+    Why strings, not Columns: each pyspark Column operation is a py4j round
+    trip (~0.3ms). The production rule set built this way cost ~7,400 round
+    trips = ~1.3s of driver-serial time PER plan construction — a direct hit
+    on the N→4N scaling-efficiency contract (serial fraction) and on every
+    driver query. Composing the same expressions as strings is free; the
+    builder hands Catalyst one `F.expr` per output column instead.
+
+    status duplicates inside `struct`: the rules stage consumes statuses
+    three ways (violations array / keep / violated_rules) and projection
+    collapse would rebuild an array-of-structs per consumer, so the builder
+    inlines the status CASE everywhere — string duplication costs nothing
+    and Catalyst CSE shares the work at codegen time."""
+
+    rule_id: str
+    status: str  # CASE … END → 'compliance' | 'violation' | 'exception'
+    struct: str  # named_struct('rule', …, 'status', …, 'score', …, 'detail', …)
+
+
+def check_result_sql(
+    rule: Rule,
+    passed: str,
+    score: str | None = None,
+    detail: str | None = None,
+    applicable: str | None = None,
+) -> CheckExpr:
+    """Build one CheckResult as SQL fragments (see CheckExpr).
+
+    passed: boolean SQL — TRUE → compliance, anything else → violation.
+    applicable: boolean SQL — FALSE (NULL input) → exception status, matching
+    the reference's exception/not-applicable semantics (SURVEY.md §1.1).
+    NULL-semantics parity with the Column path: `WHEN NOT (a) THEN` skips on
+    NULL exactly like F.when(~a, …)."""
+    status = f"CASE WHEN ({passed}) THEN 'compliance' ELSE 'violation' END"
+    if applicable is not None:
+        status = (
+            f"CASE WHEN NOT ({applicable}) THEN 'exception' "
+            f"WHEN ({passed}) THEN 'compliance' ELSE 'violation' END"
+        )
+    struct = (
+        f"named_struct('rule', {sql_str(rule.rule_id)}, 'status', {status}, "
+        f"'score', CAST({score if score is not None else 'NULL'} AS DOUBLE), "
+        f"'detail', CAST({detail if detail is not None else 'NULL'} AS STRING))"
+    )
+    return CheckExpr(rule.rule_id, status, struct)
+
+
 def check_result(
     rule: Rule,
     passed: Column,
