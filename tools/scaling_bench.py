@@ -206,6 +206,19 @@ def cpu_ceiling() -> dict[int, float]:
     return out
 
 
+def replace_section(content: str, marker: str, section: str) -> str:
+    """Replace the markdown section starting at `marker` (through the next
+    '## ' heading) with `section`, preserving anything after it — so
+    scaling_bench and cluster_bench can each own a BASELINE.md section
+    without truncating the other's."""
+    if marker in content:
+        head, rest = content.split(marker, 1)
+        idx = rest.find("\n## ")
+        tail = rest[idx:] if idx != -1 else ""
+        return head + section + tail
+    return content + section
+
+
 def gen_corpus(n_pages: int) -> str:
     """32-file parquet dataset — one task per thread at the largest config
     (a single file would make the first stage one serial task; many more
@@ -407,10 +420,8 @@ def main() -> None:
         "matter how it is partitioned (each executor of a real cluster has its\n"
         "own memory controllers; this wall is a single-box artifact).\n"
     )
-    if marker in content:
-        content = content.split(marker)[0]
     with open(baseline, "w") as f:
-        f.write(content + table)
+        f.write(replace_section(content, marker, table))
 
 
 if __name__ == "__main__":
