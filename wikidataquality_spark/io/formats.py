@@ -17,16 +17,25 @@ from pyspark.sql import types as T
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    multi_line: bool = True,
 ) -> DataFrame:
+    """multi_line=True (default) parses quoted embedded newlines — required
+    for any free-text column (write_csv quotes them; under FAILFAST a
+    non-multiLine read splits such rows). COST: a multiLine CSV file is
+    NON-SPLITTABLE (one task parses the whole file), so corpus-scale CSV
+    ingestion must either pre-shard inputs into many files (parallelism =
+    file count, the layout tools/ emits) or pass multi_line=False for
+    machine-generated CSV guaranteed free of embedded newlines, which
+    restores intra-file split parallelism."""
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("mode", "FAILFAST")  # corrupt rows fail loudly, never silently null
-        # multiLine + explicit quote/escape: write_csv quotes embedded
-        # newlines, so the reader must parse quoted multi-line records or any
-        # free-text column (e.g. document bodies) splits rows under FAILFAST.
-        .option("multiLine", "true")
+        .option("multiLine", str(multi_line).lower())
         .option("quote", '"')
         .option("escape", '"')
         .csv(path)

@@ -42,12 +42,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "wikidataquality_spark",
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cpus: thread count for local[N]; defaults to $SPARK_GRAFT_CPUS or all cores.
     shuffle_partitions: defaults to max(cpus, 32) — sized so sf0.1 partitions
     fit comfortably in memory while still exercising multi-partition plans.
+    master: overrides the local[cpus] master — e.g. "local-cluster[4,8,16384]"
+    for the multi-executor-JVM scaling experiment (tools/cluster_bench.py),
+    or a real cluster URL under spark-submit; cpus then only sizes the
+    shuffle-partition default.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -55,7 +60,7 @@ def get_spark(
         shuffle_partitions = max(cpus, 32)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
