@@ -54,6 +54,10 @@ def main() -> None:
     # timings — worker spawn/numpy import is session overhead, not query cost)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
     QUERIES["minhash_neardup_docs"](spark, sf_dir).count()
+    # first multimodal call builds the per-session media-fixture parquet
+    # (operators/multimodal.py synthetic_media/ref_media) — one-time session
+    # overhead like worker spawn, excluded the same way
+    QUERIES["multimodal_features"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

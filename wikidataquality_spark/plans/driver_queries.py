@@ -1806,71 +1806,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_media,
     )
 
-    neg1d = F.lit(-1.0).cast("double")
-    neg1l = F.lit(-1).cast("long")
-
-    def img_rows(feats: DataFrame, part: str) -> DataFrame:
-        return feats.select(
-            F.lit(part).alias("part"),
-            "media_id",
-            neg1l.alias("frame_index"),
-            "n_bytes",
-            "content_hash",
-            F.round("mean_luma", 4).alias("mean_luma"),
-            neg1d.alias("rms"),
-            neg1d.alias("clip_ratio"),
-            neg1l.alias("duration_ms"),
-        )
-
-    def aud_rows(feats: DataFrame, part: str) -> DataFrame:
-        return feats.select(
-            F.lit(part).alias("part"),
-            "media_id",
-            neg1l.alias("frame_index"),
-            "n_bytes",
-            "content_hash",
-            neg1d.alias("mean_luma"),
-            F.round("rms", 4).alias("rms"),
-            F.round("clip_ratio", 4).alias("clip_ratio"),
-            "duration_ms",
-        )
-
+    # ONE image-decode pass and ONE audio-decode pass over everything
+    # (synthetic ∪ ref ∪ sampled frames), instead of a mapInPandas stage per
+    # union branch: five Arrow python stages collapse to three
+    # (sample_frames → image_features → audio_features), each stage's fixed
+    # cost (task launch, worker pickup, Arrow init) paid once. Provenance is
+    # encoded in media_id — ref blobs are negative, synthetic ids < 1000,
+    # frames are id·1000+frame_index (≥ 3000, video ids start at 3) — and
+    # decoded back to (part, media_id, frame_index) in plain SQL afterwards.
     media = synthetic_media(spark, n=64)
-    img_part = img_rows(image_features(media.filter(F.col("meta.kind") == "image")), "image")
-    aud_part = aud_rows(audio_features(media.filter(F.col("meta.kind") == "audio")), "audio")
-    vids = media.filter(F.col("meta.kind") == "video")
-    frames = sample_frames(vids, every_nth=10)
-    frame_feats = image_features(
-        frames.select(
-            (F.col("media_id") * 1000 + F.col("frame_index")).alias("media_id"),
-            F.col("frame_blob").alias("blob"),
+    ref = ref_media(spark)
+    frames_in = sample_frames(
+        media.filter(F.col("meta.kind") == "video"), every_nth=10
+    ).selectExpr("media_id * 1000 + frame_index AS media_id", "frame_blob AS blob")
+    imgs_in = (
+        media.filter(F.col("meta.kind") == "image")
+        .select("media_id", "blob")
+        .unionByName(
+            ref.filter(F.col("meta.kind") == "image").select("media_id", "blob")
         )
+        .unionByName(frames_in)
     )
-    frame_part = frame_feats.select(
-        F.lit("frame").alias("part"),
-        (F.col("media_id") / 1000).cast("long").alias("media_id"),
-        (F.col("media_id") % 1000).cast("long").alias("frame_index"),
+    img_rows = image_features(imgs_in).selectExpr(
+        "CASE WHEN media_id < 0 THEN 'ref_image' WHEN media_id < 1000 THEN 'image'"
+        " ELSE 'frame' END AS part",
+        "CASE WHEN media_id >= 1000 THEN media_id DIV 1000 ELSE media_id END"
+        " AS media_id",
+        "CASE WHEN media_id >= 1000 THEN media_id % 1000 ELSE CAST(-1 AS LONG) END"
+        " AS frame_index",
         "n_bytes",
         "content_hash",
-        F.round("mean_luma", 4).alias("mean_luma"),
-        neg1d.alias("rms"),
-        neg1d.alias("clip_ratio"),
-        neg1l.alias("duration_ms"),
+        "round(mean_luma, 4) AS mean_luma",
+        "CAST(-1.0 AS DOUBLE) AS rms",
+        "CAST(-1.0 AS DOUBLE) AS clip_ratio",
+        "CAST(-1 AS LONG) AS duration_ms",
     )
 
-    ref = ref_media(spark)
-    ref_img = img_rows(
-        image_features(ref.filter(F.col("meta.kind") == "image")), "ref_image"
+    auds_in = (
+        media.filter(F.col("meta.kind") == "audio")
+        .unionByName(ref.filter(F.col("meta.kind") == "audio"))
     )
-    ref_aud = aud_rows(
-        audio_features(ref.filter(F.col("meta.kind") == "audio")), "ref_audio"
+    aud_rows = audio_features(auds_in).selectExpr(
+        "CASE WHEN media_id < 0 THEN 'ref_audio' ELSE 'audio' END AS part",
+        "media_id",
+        "CAST(-1 AS LONG) AS frame_index",
+        "n_bytes",
+        "content_hash",
+        "CAST(-1.0 AS DOUBLE) AS mean_luma",
+        "round(rms, 4) AS rms",
+        "round(clip_ratio, 4) AS clip_ratio",
+        "duration_ms",
     )
-    return (
-        img_part.unionByName(aud_part)
-        .unionByName(frame_part)
-        .unionByName(ref_img)
-        .unionByName(ref_aud)
-    )
+    return img_rows.unionByName(aud_rows)
 
 
 # ---------------------------------------------------------------------------
