@@ -185,3 +185,30 @@ def test_truncated_ppmv_raises():
     blob = encode_ppmv(frames)
     with pytest.raises(ValueError):
         list(demux_ppmv(blob[: len(blob) // 2 + 3]))
+
+
+def test_clip_ratio_counts_negative_rail(spark):
+    """int16 abs overflow regression: np.abs(-32768) stays -32768, so
+    full-scale NEGATIVE clipping was invisible to the old clip computation.
+    A clip pinned to the negative rail must read clip_ratio 1.0."""
+    import numpy as np
+
+    from wikidataquality_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+
+    neg = np.full(400, -32768, dtype=np.int16)
+    half = np.concatenate([np.full(200, -32768, dtype=np.int16),
+                           np.zeros(200, dtype=np.int16)])
+    rows = [
+        (1, "t://a", bytearray(encode_wav(neg, 8000)),
+         ("audio", "wav", None, None, None, 8000, 50)),
+        (2, "t://b", bytearray(encode_wav(half, 8000)),
+         ("audio", "wav", None, None, None, 8000, 50)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    got = {r["media_id"]: r["clip_ratio"] for r in audio_features(df).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.5

@@ -184,3 +184,39 @@ def test_symmetric_inverse_checks(spark):
         for r in inverse_check(links, inv_links).collect()
     }
     assert det[(3, 4)] is None and det[(1, 2)] is not None
+
+
+def test_sql_literal_escaping_quotes_and_backslashes(spark):
+    """The SQL-string rule compiler must round-trip hostile param values:
+    single quotes and backslashes in patterns/values, backticks in column
+    names (rules come from a CSV config table — arbitrary strings)."""
+    # regex with backslash classes and a quote — \b must survive the parser
+    rule = Rule(
+        "fmt.q", "format",
+        {"column": "t", "pattern": r"\bo'clock\b", "mode": "must_not_match"},
+    )
+    assert _statuses(
+        spark, [("at 5 o'clock",), ("clean text",), (None,)], "t string", rule
+    ) == [VIOLATION, COMPLIANCE, EXCEPTION]
+
+    # allowed-value containing a quote
+    rule = Rule("one.q", "one_of", {"column": "t", "allowed": "it's,ok"})
+    assert _statuses(spark, [("it's",), ("ok",), ("nope",)], "t string", rule) == [
+        COMPLIANCE,
+        COMPLIANCE,
+        VIOLATION,
+    ]
+
+    # rule_id with a quote must survive into the struct and violated_rules
+    rule = Rule("id'with'quotes", "mandatory", {"column": "t"})
+    df = spark.createDataFrame([(None,)], "t string")
+    row = apply_rules(df, [rule]).select("violations", "violated_rules").first()
+    assert row["violations"][0]["rule"] == "id'with'quotes"
+    assert row["violated_rules"] == ["id'with'quotes"]
+
+
+def test_sql_identifier_escaping_backtick_column(spark):
+    rule = Rule("m.bt", "mandatory", {"column": "weird`name"})
+    df = spark.createDataFrame([("x",), (None,)], ["weird`name"])
+    out = df.select(rule_check_column(rule)["status"].alias("s")).collect()
+    assert [r["s"] for r in out] == [COMPLIANCE, VIOLATION]

@@ -31,104 +31,30 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
-# Same job as scaling_bench.WORKER; master swapped to local-cluster and the
-# executor memory pinned under the per-worker cap.
-WORKER = r"""
-import json, os, sys, time
-sys.path.insert(0, {repo!r})
-from wikidataquality_spark.session import get_spark
-from wikidataquality_spark.pipeline import validate, results
-
-workers = int(sys.argv[1])
-cores = int(sys.argv[2])
-mem_mb = int(sys.argv[3])
-path = sys.argv[4]
-spark = get_spark(
-    cpus=workers * cores,
-    shuffle_partitions=32,
-    app_name=f"clus{{workers}}x{{cores}}",
-    master=f"local-cluster[{{workers}},{{cores}},{{mem_mb}}]",
-    extra_conf={{
-        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-        "spark.executor.memory": f"{{mem_mb - 2048}}m",
-    }},
-)
-from wikidataquality_spark.deploy import ensure_shipped
-ensure_shipped(spark)  # executors import the package from the shipped zip
-pages = spark.read.parquet(path)
-n = pages.count()
+from scaling_bench import ResidentWorker, gen_corpus, replace_section  # noqa: E402
 
 
-def one_run():
-    t0 = time.perf_counter()
-    out = validate(pages)
-    kept = results(out).filter("keep").count()
-    dt = time.perf_counter() - t0
-    spark.catalog.clearCache()
-    return dt, kept
-
-
-t_cold, kept = one_run()
-print(json.dumps({{"ready": True, "cold_seconds": t_cold, "docs": n,
-                   "kept": kept}}), flush=True)
-for line in sys.stdin:
-    cmd = line.strip()
-    if cmd == "run":
-        dt, kept_r = one_run()
-        print(json.dumps({{"seconds": dt, "kept": kept_r}}), flush=True)
-    elif cmd == "quit":
-        break
-spark.stop()
-"""
-
-
-class ClusterWorker:
-    def __init__(self, workers: int, cores: int, mem_mb: int, path: str):
-        script = WORKER.format(repo=REPO)
-        self.label = f"local-cluster[{workers},{cores},{mem_mb}]"
-        self.proc = subprocess.Popen(
-            [sys.executable, "-c", script, str(workers), str(cores),
-             str(mem_mb), path],
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            text=True,
-            cwd=REPO,
-        )
-        self.ready = self._read_json()
-        assert self.ready.get("ready"), f"{self.label} failed to warm up"
-
-    def _read_json(self) -> dict:
-        for line in self.proc.stdout:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-        raise RuntimeError(
-            f"{self.label} exited (rc={self.proc.poll()}) without a result"
-        )
-
-    def run(self) -> float:
-        self.proc.stdin.write("run\n")
-        self.proc.stdin.flush()
-        return self._read_json()["seconds"]
-
-    def close(self) -> None:
-        try:
-            self.proc.stdin.write("quit\n")
-            self.proc.stdin.flush()
-            self.proc.wait(timeout=90)
-        except Exception:
-            self.proc.kill()
+def cluster_worker(workers: int, cores: int, mem_mb: int, path: str) -> ResidentWorker:
+    """Same resident job driver and worker script as scaling_bench — only the
+    master (local-cluster) and executor memory differ. The worker script's
+    ensure_shipped() covers executor imports in both modes."""
+    return ResidentWorker(
+        cpus=workers * cores,
+        path=path,
+        master=f"local-cluster[{workers},{cores},{mem_mb}]",
+        extra_conf={"spark.executor.memory": f"{mem_mb - 2048}m"},
+        label=f"local-cluster[{workers},{cores},{mem_mb}]",
+    )
 
 
 def measure_pair(cores: int, mem_mb: int, path: str, rounds: int) -> dict:
-    low = ClusterWorker(1, cores, mem_mb, path)
-    high = ClusterWorker(4, cores, mem_mb, path)
+    low = cluster_worker(1, cores, mem_mb, path)
+    high = cluster_worker(4, cores, mem_mb, path)
     try:
         ratios, lows, highs = [], [], []
         for k in range(rounds):
@@ -159,9 +85,6 @@ def measure_pair(cores: int, mem_mb: int, path: str, rounds: int) -> dict:
 
 
 def main() -> None:
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    from scaling_bench import gen_corpus, replace_section
-
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     cores_list = [int(c) for c in sys.argv[3:]] or [2, 8]

@@ -223,11 +223,12 @@ def dup_marks(
     # round trip per sub-expression) — dup_marks cost ~0.35s of driver-serial
     # plan-build time per invocation the Column way (rules/model.CheckExpr).
     if sig_col is not None:
+        qsig = "`" + sig_col.replace("`", "``") + "`"
         keyed = df.selectExpr(
             qid,
             f"xxhash64({qtext}) AS _h",
             f"CAST(length({qtext}) AS LONG) AS _len",
-            f"`{sig_col}` AS _sig",
+            f"{qsig} AS _sig",
         )
     else:
         keyed = df.select(

@@ -235,7 +235,12 @@ def audio_features(media: DataFrame) -> DataFrame:
                         "n_samples": len(samples),
                         "duration_ms": len(samples) * 1000 // sr,
                         "rms": float(np.sqrt((x**2).mean())) if len(x) else 0.0,
-                        "clip_ratio": float((np.abs(samples) >= 32767).mean())
+                        # abs on the WIDENED array: np.abs(int16 -32768)
+                        # overflows back to -32768, so full-scale NEGATIVE
+                        # clipping (the common rail) would never be counted
+                        "clip_ratio": float(
+                            (np.abs(samples.astype(np.int32)) >= 32767).mean()
+                        )
                         if len(samples)
                         else 0.0,
                     }

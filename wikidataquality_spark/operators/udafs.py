@@ -20,5 +20,13 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def geomean(v: pd.Series) -> float:
-    """Geometric mean (no Spark built-in): log-space for numeric stability."""
-    return float(np.exp(np.log(v.to_numpy()).mean()))
+    """Geometric mean (no Spark built-in): log-space for numeric stability.
+
+    Domain-guarded: np.log would silently emit -inf/NaN for zero/negative
+    inputs (the RuntimeWarning dies inside the worker) and np.exp(mean)
+    would return 0.0/NaN garbage — fail loudly instead, the caller must
+    pre-filter to the positive domain."""
+    x = v.to_numpy()
+    if len(x) and (x <= 0).any():
+        raise ValueError("geomean requires strictly positive values")
+    return float(np.exp(np.log(x).mean())) if len(x) else float("nan")

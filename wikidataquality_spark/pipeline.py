@@ -82,6 +82,7 @@ def validate(
     pages: DataFrame,
     config: PipelineConfig | None = None,
     dedup_state: DataFrame | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Full validation DAG over a pages DataFrame
     (url, warc_ts, html, text, lang). Returns every input row annotated with
@@ -91,7 +92,14 @@ def validate(
     documents (operators.dedup.dup_fingerprints schema) — makes the dedup
     stage incremental: this batch is deduplicated against every document the
     state has seen, without re-reading any body (the EvaluateConstraintReport
-    incremental re-check recast; used by streaming.incremental_validate)."""
+    incremental re-check recast; used by streaming.incremental_validate).
+
+    `persist_registry`: optional list the internally persisted intermediate
+    is appended to, so a caller that invokes validate() repeatedly in one
+    session (a foreachBatch micro-batch loop — one epoch per call) can
+    unpersist it when its actions are done instead of leaking one cached
+    dataset per epoch. One-shot callers may ignore it: the cache dies with
+    the session."""
     cfg = config or PipelineConfig()
 
     # Stages 1+2 — fused: extract + langid + perplexity + every heuristic
@@ -124,6 +132,8 @@ def validate(
         # branch a cache read.
         df = df.persist()
         df.count()
+        if persist_registry is not None:
+            persist_registry.append(df)
 
     # Stage 3 — cross-row dedup marks (the shuffle stages). Signatures come
     # from the fused enrich pass (sig_col), so this stage is pure JVM: no

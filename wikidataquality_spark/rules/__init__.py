@@ -19,8 +19,9 @@ from wikidataquality_spark.rules.model import (  # noqa: F401
     COMPLIANCE,
     EXCEPTION,
     VIOLATION,
+    CheckExpr,
     Rule,
-    check_result,
+    check_result_sql,
     violation_struct_type,
 )
 from wikidataquality_spark.rules.builder import apply_rules, decide  # noqa: F401

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Status vocabulary — same trio the reference uses
@@ -129,28 +127,3 @@ def check_result_sql(
         f"'detail', CAST({detail if detail is not None else 'NULL'} AS STRING))"
     )
     return CheckExpr(rule.rule_id, status, struct)
-
-
-def check_result(
-    rule: Rule,
-    passed: Column,
-    score: Column | None = None,
-    detail: Column | None = None,
-    applicable: Column | None = None,
-) -> Column:
-    """Build one CheckResult struct column.
-
-    passed: boolean Column — True → compliance, False → violation.
-    applicable: boolean Column — False (or NULL input) → exception status,
-    matching the reference's exception/not-applicable semantics for
-    SomeValue/NoValue snaks (SURVEY.md §1.1).
-    """
-    status = F.when(passed, F.lit(COMPLIANCE)).otherwise(F.lit(VIOLATION))
-    if applicable is not None:
-        status = F.when(~applicable, F.lit(EXCEPTION)).otherwise(status)
-    return F.struct(
-        F.lit(rule.rule_id).alias("rule"),
-        status.alias("status"),
-        (score if score is not None else F.lit(None)).cast("double").alias("score"),
-        (detail if detail is not None else F.lit(None)).cast("string").alias("detail"),
-    )

@@ -124,7 +124,12 @@ def incremental_validate(
                 )
             except Exception:  # first batch: state table does not exist yet
                 state = spark.createDataFrame([], state_schema)
-        validated = validate(batch_df, dedup_state=state)
+        # track the pipeline's internal persist so THIS epoch's cache can be
+        # released once both writes land — a long-running stream otherwise
+        # leaks one cached intermediate per epoch until storage-memory
+        # eviction starts thrashing the live batch
+        persisted: list = []
+        validated = validate(batch_df, dedup_state=state, persist_registry=persisted)
         out = results(validated).withColumn("_epoch", SF.lit(epoch_id))
         (
             out.write.mode("overwrite")
@@ -148,6 +153,8 @@ def incremental_validate(
                 .partitionBy("_epoch")
                 .parquet(state_dir)
             )
+        for cached in persisted:
+            cached.unpersist()
 
     return (
         pages_stream.writeStream.foreachBatch(_process)
