@@ -5,7 +5,11 @@ Prints ONE JSON line:
 
 value = total wall time over the headline set. Per-query seconds in "queries".
 Also reports docs/sec for the flagship quality-filter pipeline (the BASELINE.md
-throughput row) under "docs_per_sec".
+throughput row) under "docs_per_sec", and "host_membw_gbps" — a 3s single-
+stream memory-copy probe taken just before the timed queries. This sandbox
+host's capacity drifts severalfold over minutes (identical code measured
+20.6s and 43.2s headlines an hour apart); the probe timestamps which host
+window a bench number was taken in (healthy ≈ 3.5-4.5 GB/s, collapsed < 2).
 """
 
 from __future__ import annotations
@@ -59,6 +63,18 @@ def main() -> None:
     # overhead like worker spawn, excluded the same way
     QUERIES["multimodal_features"](spark, sf_dir).count()
 
+    # host-window probe (see module docstring): one 3s memory-copy stream
+    import numpy as np
+
+    buf = np.frombuffer(np.random.bytes(256 * 1024 * 1024), dtype=np.uint8)
+    t0 = time.perf_counter()
+    copied = 0
+    while time.perf_counter() - t0 < 3.0:
+        b = buf.copy()
+        copied += 2 * len(buf)
+        del b
+    host_membw = round(copied / (time.perf_counter() - t0) / 1e9, 2)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -94,6 +110,7 @@ def main() -> None:
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "host_membw_gbps": host_membw,
             }
         )
     )
