@@ -63,17 +63,13 @@ def main() -> None:
     # overhead like worker spawn, excluded the same way
     QUERIES["multimodal_features"](spark, sf_dir).count()
 
-    # host-window probe (see module docstring): one 3s memory-copy stream
-    import numpy as np
+    # host-window probe (see module docstring): one 3s memory-copy stream —
+    # the same code path as the scaling protocol's per-pair ceilings, so the
+    # two numbers stay comparable in BASELINE.md
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scaling_bench import copy_bandwidth
 
-    buf = np.frombuffer(np.random.bytes(256 * 1024 * 1024), dtype=np.uint8)
-    t0 = time.perf_counter()
-    copied = 0
-    while time.perf_counter() - t0 < 3.0:
-        b = buf.copy()
-        copied += 2 * len(buf)
-        del b
-    host_membw = round(copied / (time.perf_counter() - t0) / 1e9, 2)
+    host_membw = round(copy_bandwidth() / 1e9, 2)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

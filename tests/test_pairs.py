@@ -72,3 +72,35 @@ def test_lsh_pairs_plan_is_equi_join(spark, sf0001_dir):
     plan = lsh_neardup_pairs(e, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_pairs_tolerate_null_and_ragged_vectors(spark):
+    """NULL / wrong-length embeddings must not abort the mapInPandas task
+    (np.stack on a ragged batch raises): they bucket to 0 — the Column
+    path's NULL-dot behavior — and can never pass the cosine verify, so
+    the valid vectors' pair set is unchanged."""
+    import math
+
+    from wikidataquality_spark.operators.simsearch import lsh_bucket_ids, lsh_pair_tables
+
+    dim = 8
+    base = [1.0 if i == 0 else 0.1 for i in range(dim)]
+    near = [1.0 if i == 0 else 0.11 for i in range(dim)]
+    rows = [
+        (0, base),
+        (1, near),
+        (2, None),          # NULL vector
+        (3, base[: dim - 2]),  # ragged (short) vector
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(e, threshold=0.9, dim=dim).collect()
+    }
+    assert pairs == {(0, 1)}
+    norm = math.sqrt(sum(x * x for x in base)) * math.sqrt(sum(x * x for x in near))
+    assert sum(a * b for a, b in zip(base, near)) / norm >= 0.9
+
+    buckets = lsh_bucket_ids(e, lsh_pair_tables(dim), vec_col="embedding")
+    bad = buckets.filter(F.col("vec_id").isin(2, 3)).collect()
+    assert bad and all(r["_bucket"] == 0 for r in bad)

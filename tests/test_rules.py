@@ -185,6 +185,25 @@ def test_symmetric_inverse_checks(spark):
     }
     assert det[(3, 4)] is None and det[(1, 2)] is not None
 
+    # EVERY input row is annotated: duplicate (src,dst) pairs keep their
+    # multiplicity and per-statement columns ride through untouched
+    stmts = spark.createDataFrame(
+        [(1, 2, "s1"), (1, 2, "s2"), (2, 1, "s3"), (3, 4, "s4")],
+        "src long, dst long, statement_id string",
+    )
+    out = symmetric_check(stmts).collect()
+    assert len(out) == 4
+    by_stmt = {r["statement_id"]: r["check"]["status"] for r in out}
+    assert by_stmt == {
+        "s1": "compliance",
+        "s2": "compliance",
+        "s3": "compliance",
+        "s4": "violation",
+    }
+    inv_out = inverse_check(stmts, inv_links).collect()
+    assert len(inv_out) == 4
+    assert {r["statement_id"] for r in inv_out} == {"s1", "s2", "s3", "s4"}
+
 
 def test_sql_literal_escaping_quotes_and_backslashes(spark):
     """The SQL-string rule compiler must round-trip hostile param values:

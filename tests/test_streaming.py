@@ -135,3 +135,41 @@ def test_stateful_dup_marks_retry_safe(spark):
         ).collect()
     }
     assert retried == clean
+
+
+def test_incremental_validate_rejects_out_of_order_batches(spark, tmp_path):
+    """The incremental == batch contract requires micro-batches in ascending
+    url order (survivor-order precondition). Feeding the HIGH url range
+    first must fail loudly — not silently produce batch-divergent flags."""
+    import os
+
+    from pyspark.sql.utils import StreamingQueryException
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.streaming.windows import incremental_validate
+
+    corpus = write_pages_parquet(str(tmp_path / "pages.parquet"), 60, seed=11)
+    split = str(tmp_path / "split")
+    spark.read.parquet(corpus).repartitionByRange(2, "url").write.parquet(split)
+    parts = sorted(
+        p for p in os.listdir(split) if p.startswith("part-")
+    )  # part-00000 = LOW urls
+    # stagger mtimes so the HIGH range streams first
+    os.utime(os.path.join(split, parts[0]), (1_700_001_000,) * 2)
+    os.utime(os.path.join(split, parts[1]), (1_700_000_000,) * 2)
+
+    schema = spark.read.parquet(split).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split)
+    )
+    with pytest.raises(StreamingQueryException, match="not after accumulated state"):
+        q = incremental_validate(
+            spark,
+            stream,
+            str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+            state_dir=str(tmp_path / "state"),
+        )
+        q.awaitTermination(120)

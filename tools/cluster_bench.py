@@ -30,13 +30,17 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from scaling_bench import ResidentWorker, gen_corpus, replace_section  # noqa: E402
+from scaling_bench import (  # noqa: E402
+    ResidentWorker,
+    gen_corpus,
+    replace_section,
+    run_pair_rounds,
+)
 
 
 def cluster_worker(workers: int, cores: int, mem_mb: int, path: str) -> ResidentWorker:
@@ -53,34 +57,23 @@ def cluster_worker(workers: int, cores: int, mem_mb: int, path: str) -> Resident
 
 
 def measure_pair(cores: int, mem_mb: int, path: str, rounds: int) -> dict:
-    low = cluster_worker(1, cores, mem_mb, path)
-    high = cluster_worker(4, cores, mem_mb, path)
-    try:
-        ratios, lows, highs = [], [], []
-        for k in range(rounds):
-            if k % 2 == 0:
-                t_low = low.run()
-                t_high = high.run()
-            else:
-                t_high = high.run()
-                t_low = low.run()
-            ratios.append(t_low / (4 * t_high))
-            lows.append(t_low)
-            highs.append(t_high)
-    finally:
-        low.close()
-        high.close()
-    docs = low.ready["docs"]
-    med_low, med_high = statistics.median(lows), statistics.median(highs)
+    # the alternating-rounds protocol itself lives in ONE place
+    # (scaling_bench.run_pair_rounds) — only the worker construction differs
+    r = run_pair_rounds(
+        lambda: cluster_worker(1, cores, mem_mb, path),
+        lambda: cluster_worker(4, cores, mem_mb, path),
+        rounds,
+    )
+    docs = r["docs"]
     return {
         "cores_per_exec": cores,
         "pair": f"1x{cores}_to_4x{cores}",
-        "eff": round(statistics.median(ratios), 4),
-        "eff_rounds": [round(r, 4) for r in ratios],
-        "low": {"sec": round(med_low, 3), "dps": round(docs / med_low, 1),
-                "cold_sec": round(low.ready["cold_seconds"], 3)},
-        "high": {"sec": round(med_high, 3), "dps": round(docs / med_high, 1),
-                 "cold_sec": round(high.ready["cold_seconds"], 3)},
+        "eff": r["eff"],
+        "eff_rounds": r["eff_rounds"],
+        "low": {"sec": round(r["med_low"], 3), "dps": round(docs / r["med_low"], 1),
+                "cold_sec": round(r["low_cold"], 3)},
+        "high": {"sec": round(r["med_high"], 3), "dps": round(docs / r["med_high"], 1),
+                 "cold_sec": round(r["high_cold"], 3)},
     }
 
 

@@ -166,18 +166,26 @@ def _burn(q):
     q.put(n)
 
 
-def _memburn(q):
+def copy_bandwidth(seconds: float = 3.0) -> float:
+    """One 256MB read+write memory-copy stream; returns bytes/sec. The ONE
+    definition shared by the per-pair ceilings here and bench.py's
+    `host_membw_gbps` probe — the two numbers are only comparable while they
+    run identical code."""
     import numpy as np
     import time as _t
 
     buf = np.frombuffer(np.random.bytes(256 * 1024 * 1024), dtype=np.uint8)
     t0 = _t.perf_counter()
     n = 0
-    while _t.perf_counter() - t0 < 3.0:
+    while _t.perf_counter() - t0 < seconds:
         b = buf.copy()  # read + write 256MB
         n += 2 * len(buf)
         del b
-    q.put(n / (_t.perf_counter() - t0))
+    return n / (_t.perf_counter() - t0)
+
+
+def _memburn(q):
+    q.put(copy_bandwidth())
 
 
 def mem_ceiling(ns: tuple[int, ...], samples: int = 3) -> dict[int, float]:
@@ -278,6 +286,50 @@ def gen_corpus(n_pages: int) -> str:
     return path
 
 
+def run_pair_rounds(make_low, make_high, rounds: int) -> dict:
+    """The alternating-resident-rounds core shared by this tool and
+    tools/cluster_bench.py (same protocol, different worker construction):
+    spawn low then high, run back-to-back timed rounds with the order
+    flipped each round, and return medians + per-round ratios. Workers are
+    closed even when the HIGH spawn fails (a warmed multi-GB resident JVM
+    leaked past its pair would contaminate every later pair's timings on
+    this drift-sensitive host)."""
+    import statistics
+
+    low = make_low()
+    try:
+        high = make_high()
+    except BaseException:
+        low.close()
+        raise
+    try:
+        ratios, lows, highs = [], [], []
+        for k in range(rounds):
+            if k % 2 == 0:
+                t_low = low.run()
+                t_high = high.run()
+            else:
+                t_high = high.run()
+                t_low = low.run()
+            ratios.append(t_low / (4 * t_high))
+            lows.append(t_low)
+            highs.append(t_high)
+    finally:
+        low.close()
+        high.close()
+    return {
+        "eff": round(statistics.median(ratios), 4),
+        "eff_rounds": [round(r, 4) for r in ratios],
+        "low_runs": [round(t, 2) for t in lows],
+        "high_runs": [round(t, 2) for t in highs],
+        "med_low": statistics.median(lows),
+        "med_high": statistics.median(highs),
+        "docs": low.ready["docs"],
+        "low_cold": low.ready["cold_seconds"],
+        "high_cold": high.ready["cold_seconds"],
+    }
+
+
 def measure_pair(n: int, path: str, rounds: int = 7) -> dict:
     """Protocol v3: run the identical job at local[n] and local[4n] from two
     RESIDENT JVMs (spawned+warmed sequentially, then alternating single timed
@@ -294,38 +346,22 @@ def measure_pair(n: int, path: str, rounds: int = 7) -> dict:
     only the pairing got temporally tighter and the round count higher,
     because r02's per-round ratios spanned 0.52–0.97 (half the grade was
     drift, BASELINE.md r02)."""
-    import statistics
-
-    low = ResidentWorker(n, path)
-    high = ResidentWorker(4 * n, path)
-    try:
-        ratios, lows, highs = [], [], []
-        for k in range(rounds):
-            if k % 2 == 0:
-                t_low = low.run()
-                t_high = high.run()
-            else:
-                t_high = high.run()
-                t_low = low.run()
-            ratios.append(t_low / (4 * t_high))
-            lows.append(t_low)
-            highs.append(t_high)
-    finally:
-        low.close()
-        high.close()
-    med_low = statistics.median(lows)
-    med_high = statistics.median(highs)
-    docs = low.ready["docs"]
+    r = run_pair_rounds(
+        lambda: ResidentWorker(n, path),
+        lambda: ResidentWorker(4 * n, path),
+        rounds,
+    )
+    docs = r["docs"]
     return {
         "n": n,
-        "eff": round(statistics.median(ratios), 4),
-        "eff_rounds": [round(r, 4) for r in ratios],
-        "low_runs": [round(t, 2) for t in lows],
-        "high_runs": [round(t, 2) for t in highs],
-        "low": {"sec": round(med_low, 3), "dps": round(docs / med_low, 1),
-                "cold_sec": round(low.ready["cold_seconds"], 3)},
-        "high": {"sec": round(med_high, 3), "dps": round(docs / med_high, 1),
-                 "cold_sec": round(high.ready["cold_seconds"], 3)},
+        "eff": r["eff"],
+        "eff_rounds": r["eff_rounds"],
+        "low_runs": r["low_runs"],
+        "high_runs": r["high_runs"],
+        "low": {"sec": round(r["med_low"], 3), "dps": round(docs / r["med_low"], 1),
+                "cold_sec": round(r["low_cold"], 3)},
+        "high": {"sec": round(r["med_high"], 3), "dps": round(docs / r["med_high"], 1),
+                 "cold_sec": round(r["high_cold"], 3)},
     }
 
 
@@ -376,11 +412,22 @@ def main() -> None:
     aggregation = "worst host-eligible pair (achievable >= 3.6x)"
     if graded:
         worst = min(graded)
+        gate_pass = worst >= 0.8
     else:
+        # Fully degraded window: no pair's measured ceiling reaches 3.6×, so
+        # RAW ratios would grade the hypervisor, not the engine. Report the
+        # worst host-relative efficiency for reference, but host-relative
+        # numbers are inflated whenever the ceiling is low/noisy (measured
+        # rel of 3.26 on a host-capped pair, v3 run) — they must NOT satisfy
+        # the raw >= 0.8 contract. The gate is INCONCLUSIVE: re-run in a
+        # better window.
         worst = min(rel.values())
+        gate_pass = False
         aggregation = (
-            "no host-eligible pair in this window: worst host-relative "
-            "efficiency (speedup / achievable) across all pairs"
+            "INCONCLUSIVE — no host-eligible pair in this window; value is "
+            "the worst host-relative efficiency (speedup / achievable), "
+            "reported for reference only and never graded as a PASS of the "
+            "raw >= 0.8 contract. Re-run when the host can deliver >= 3.6x."
         )
     result = {
         "metric": "scaling_efficiency_N_to_4N",
@@ -406,7 +453,7 @@ def main() -> None:
         "eligible": eligible,
         "target": 0.8,
         "pass_per_pair": passes,
-        "pass": worst >= 0.8,
+        "pass": gate_pass,
     }
     print(json.dumps(result))
 

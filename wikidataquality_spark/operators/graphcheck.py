@@ -34,10 +34,11 @@ from pyspark.sql import functions as F
 from wikidataquality_spark.rules.model import COMPLIANCE, VIOLATION
 
 
-def _result(df: DataFrame, rule_id: str, ok_col: str, detail: str) -> DataFrame:
+def _result(
+    df: DataFrame, rule_id: str, ok_col: str, detail: str, keep_cols: list[str]
+) -> DataFrame:
     return df.select(
-        "src",
-        "dst",
+        *keep_cols,
         F.struct(
             F.lit(rule_id).alias("rule"),
             F.when(F.col(ok_col), COMPLIANCE).otherwise(VIOLATION).alias("status"),
@@ -55,20 +56,25 @@ def symmetric_check(
     dst_col: str = "dst",
     rule_id: str = "symmetric.link",
 ) -> DataFrame:
-    """Annotate every link (a→b) with a symmetric-reciprocity CheckResult:
-    violation unless (b→a) also exists in the same table. One self
-    left_semi join on the swapped key pair; output (src, dst, check)."""
-    pairs = links.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    # swapped is distinct because pairs is — ONE equi-join, no multiplication
-    swapped = pairs.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).withColumn("_ok", F.lit(True))
-    out = pairs.join(swapped, ["src", "dst"], "left").withColumn(
-        "_ok", F.coalesce("_ok", F.lit(False))
+    """Annotate EVERY input row (a→b) — multiplicity and extra columns
+    (statement ids, ranks, …) preserved, the same non-destructive flag shape
+    as dedup.dup_marks — with a symmetric-reciprocity CheckResult: violation
+    unless (b→a) also exists in the same table. The existence probe is one
+    DISTINCT swapped-pair build + one equi-join; probe distinctness
+    guarantees no row multiplication. Output: every input column + check."""
+    swapped = (
+        links.select(F.col(dst_col).alias("_gc_s"), F.col(src_col).alias("_gc_d"))
+        .distinct()
+        .withColumn("_ok", F.lit(True))
     )
-    return _result(out, rule_id, "_ok", "no reciprocal link dst->src")
+    out = links.join(
+        swapped,
+        (F.col(src_col) == F.col("_gc_s")) & (F.col(dst_col) == F.col("_gc_d")),
+        "left",
+    ).withColumn("_ok", F.coalesce("_ok", F.lit(False)))
+    return _result(
+        out, rule_id, "_ok", "no reciprocal link dst->src", links.columns
+    )
 
 
 def inverse_check(
@@ -80,21 +86,23 @@ def inverse_check(
     inv_dst_col: str = "dst",
     rule_id: str = "inverse.link",
 ) -> DataFrame:
-    """Annotate every link (a —P→ b) with an inverse-property CheckResult:
+    """Annotate EVERY input row (a —P→ b) — multiplicity and extra columns
+    preserved, as in symmetric_check — with an inverse-property CheckResult:
     violation unless (b —Q→ a) exists in `inverse_links` (the configured
     inverse-property statement table). Same single-equi-join shape as
     symmetric_check, probing the OTHER table."""
-    pairs = links.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
     inv = (
         inverse_links.select(
-            F.col(inv_dst_col).alias("src"), F.col(inv_src_col).alias("dst")
+            F.col(inv_dst_col).alias("_gc_s"), F.col(inv_src_col).alias("_gc_d")
         )
         .distinct()
         .withColumn("_ok", F.lit(True))
     )
-    out = pairs.join(inv, ["src", "dst"], "left").withColumn(
-        "_ok", F.coalesce("_ok", F.lit(False))
+    out = links.join(
+        inv,
+        (F.col(src_col) == F.col("_gc_s")) & (F.col(dst_col) == F.col("_gc_d")),
+        "left",
+    ).withColumn("_ok", F.coalesce("_ok", F.lit(False)))
+    return _result(
+        out, rule_id, "_ok", "no inverse-property link dst->src", links.columns
     )
-    return _result(out, rule_id, "_ok", "no inverse-property link dst->src")

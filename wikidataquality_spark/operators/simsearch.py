@@ -254,24 +254,47 @@ def lsh_bucket_ids(
 
     def compute(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            if len(ids) == 0:
+            ids_all = pdf[id_col].to_numpy()
+            if len(ids_all) == 0:
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, D)
-            acc = np.zeros((len(ids), flat.shape[0]))
-            for j in range(dim):
-                # same op order as the sequential fold: acc += x_j * p_j
-                acc += v[:, j : j + 1] * flat[:, j]
-            bits = (acc >= 0).astype(np.int64)  # (n, T*B)
+            vecs = pdf[vec_col].to_numpy()
+            # NULL / wrong-length vectors bucket to 0 in every table — the
+            # Column path's behavior (NULL dot ≥ 0 is NULL → otherwise(0)
+            # per bit); np.stack on a ragged batch would abort the task
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in vecs),
+                dtype=bool,
+                count=len(vecs),
+            )
             frames = []
-            for t in range(n_tables):
-                packed = np.zeros(len(ids), dtype=np.int64)
-                for b in range(n_bits):
-                    packed = packed * 2 + bits[:, t * n_bits + b]
-                frames.append(
-                    pd.DataFrame({id_col: ids, "_table": np.int32(t), "_bucket": packed})
-                )
-            yield pd.concat(frames, ignore_index=True)
+            if not valid.all():
+                bad = ids_all[~valid]
+                zeros = np.zeros(len(bad), dtype=np.int64)
+                for t in range(n_tables):
+                    frames.append(
+                        pd.DataFrame(
+                            {id_col: bad, "_table": np.int32(t), "_bucket": zeros}
+                        )
+                    )
+            ids = ids_all[valid]
+            if len(ids):
+                v = np.stack(vecs[valid]).astype(np.float64)  # (n, D)
+                acc = np.zeros((len(ids), flat.shape[0]))
+                for j in range(dim):
+                    # same op order as the sequential fold: acc += x_j * p_j
+                    acc += v[:, j : j + 1] * flat[:, j]
+                bits = (acc >= 0).astype(np.int64)  # (n, T*B)
+                for t in range(n_tables):
+                    packed = np.zeros(len(ids), dtype=np.int64)
+                    for b in range(n_bits):
+                        packed = packed * 2 + bits[:, t * n_bits + b]
+                    frames.append(
+                        pd.DataFrame(
+                            {id_col: ids, "_table": np.int32(t), "_bucket": packed}
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select(id_col, vec_col).mapInPandas(compute, out_schema)
 

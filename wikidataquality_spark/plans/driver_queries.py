@@ -563,11 +563,18 @@ def symmetric_inverse_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders")
+    # the operators annotate EVERY input row; the oracle's link tables are
+    # DISTINCT pairs, so distinct here (not inside the operator)
     links = o.select(
         F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 150).alias("dst")
-    )
-    inv_links = o.filter(F.col("o_orderkey") % 3 == 0).select(
-        (F.col("o_orderkey") % 150).alias("src"), F.col("o_custkey").alias("dst")
+    ).distinct()
+    inv_links = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            (F.col("o_orderkey") % 150).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
     )
     sym = symmetric_check(links).select(
         F.lit("symmetric").alias("part"),
@@ -1603,7 +1610,12 @@ def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     s = spark.read.parquet(sink)
-    b = results(validate(spark.read.parquet(corpus)))
+    # track the batch recompute's internal persist so it can be released
+    # before returning (the driver/bench evaluates each query several times —
+    # rows, values, hash — and would otherwise pin one cached 300-row
+    # enriched frame per evaluation for the session's lifetime)
+    persisted: list = []
+    b = results(validate(spark.read.parquet(corpus), persist_registry=persisted))
     j = s.alias("s").join(b.alias("b"), "url", "full")
     eq = lambda c: F.count(  # noqa: E731
         F.when(F.col(f"s.{c}").eqNullSafe(F.col(f"b.{c}")), True)
@@ -1630,13 +1642,19 @@ def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.create_map(*[x for k in keys for x in (F.lit(k), F.col(k))])
         ).alias("part", "n")
     )
-    return explode_kv(
+    out = explode_kv(
         sizes, ["urls_streamed", "epochs"]
     ).unionByName(
         explode_kv(
             diag, ["joined", "keep_match", "viol_match", "scrub_match", "pred_match"]
         )
     )
+    # materialize the 7-row diagonal once, cut its lineage, then release the
+    # pipeline cache — re-evaluations read the tiny checkpointed blocks
+    out = out.localCheckpoint(eager=True)
+    for cached in persisted:
+        cached.unpersist()
+    return out
 
 
 @_register(

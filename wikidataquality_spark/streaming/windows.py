@@ -119,11 +119,39 @@ def incremental_validate(
         state = None
         if state_dir is not None:
             try:
-                state = spark.read.schema(state_schema).parquet(state_dir).drop(
-                    "_epoch"
+                state = (
+                    spark.read.schema(state_schema).parquet(state_dir)
+                    # a RETRIED epoch must not see its own partial fingerprint
+                    # write as "prior" state (every doc would flag dup);
+                    # dynamic overwrite below replaces that partition anyway
+                    .filter(SF.col("_epoch") < SF.lit(epoch_id))
+                    .drop("_epoch")
                 )
-            except Exception:  # first batch: state table does not exist yet
+            except Exception as e:
+                # ONLY a missing state table means "first batch"; any other
+                # failure (permissions, state_dir is a file, transient FS)
+                # must abort the batch — validating against silently-empty
+                # state would diverge from the batch contract with no error
+                msg = str(e)
+                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                    raise
                 state = spark.createDataFrame([], state_schema)
+            else:
+                # survivor-order precondition (docstring): every prior-state
+                # url must precede every batch url, else the per-batch min-id
+                # window picks a different survivor than the global batch
+                # computation. Fail loudly instead of silently diverging.
+                # Cost: two column-pruned min/max scans per epoch; a 10^12-doc
+                # deployment would keep a per-epoch watermark file instead.
+                smax = state.agg(SF.max("url")).first()[0]
+                bmin = batch_df.agg(SF.min("url")).first()[0]
+                if smax is not None and bmin is not None and bmin <= smax:
+                    raise ValueError(
+                        f"incremental_validate: micro-batch (min url {bmin!r}) "
+                        f"is not after accumulated state (max url {smax!r}) — "
+                        "out-of-order batches break the incremental == batch "
+                        "dedup contract; feed batches in ascending url ranges"
+                    )
         # track the pipeline's internal persist so THIS epoch's cache can be
         # released once both writes land — a long-running stream otherwise
         # leaks one cached intermediate per epoch until storage-memory
