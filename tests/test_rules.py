@@ -204,6 +204,16 @@ def test_symmetric_inverse_checks(spark):
     assert len(inv_out) == 4
     assert {r["statement_id"] for r in inv_out} == {"s1", "s2", "s3", "s4"}
 
+    # reserved-name collisions fail loudly at plan time instead of raising
+    # AMBIGUOUS_REFERENCE mid-join or silently shadowing the output struct
+    import pytest as _pytest
+
+    tainted = spark.createDataFrame(
+        [(1, 2, True)], "src long, dst long, check boolean"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        symmetric_check(tainted)
+
 
 def test_sql_literal_escaping_quotes_and_backslashes(spark):
     """The SQL-string rule compiler must round-trip hostile param values:
@@ -237,5 +247,18 @@ def test_sql_literal_escaping_quotes_and_backslashes(spark):
 def test_sql_identifier_escaping_backtick_column(spark):
     rule = Rule("m.bt", "mandatory", {"column": "weird`name"})
     df = spark.createDataFrame([("x",), (None,)], ["weird`name"])
+    out = df.select(rule_check_column(rule)["status"].alias("s")).collect()
+    assert [r["s"] for r in out] == [COMPLIANCE, VIOLATION]
+
+
+def test_sql_identifier_dotted_param_resolves_nested_field(spark):
+    """Column params kept F.col's nested-field semantics through the SQL-string
+    compiler migration: a dotted param descends into a struct (regression for
+    the r03 review finding that single-identifier quoting silently broke every
+    dotted config at plan time)."""
+    rule = Rule("m.nested", "mandatory", {"column": "check.score"})
+    df = spark.createDataFrame(
+        [((1.0,),), ((None,),)], "check struct<score double>"
+    )
     out = df.select(rule_check_column(rule)["status"].alias("s")).collect()
     assert [r["s"] for r in out] == [COMPLIANCE, VIOLATION]

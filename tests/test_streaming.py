@@ -172,4 +172,37 @@ def test_incremental_validate_rejects_out_of_order_batches(spark, tmp_path):
             str(tmp_path / "ckpt"),
             state_dir=str(tmp_path / "state"),
         )
-        q.awaitTermination(120)
+        # no timeout: the ValueError is GUARANTEED at epoch 1, and a timed
+        # awaitTermination returns False on expiry instead of raising —
+        # on a slow host that turned this into a false DID-NOT-RAISE while
+        # leaking the still-running query into later tests
+        q.awaitTermination()
+
+
+def test_incremental_validate_recovers_from_empty_state_dir(spark, tmp_path):
+    """An existing-but-empty state_dir (epoch 0 crashed before committing any
+    _epoch= partition, or an operator pre-created the directory) must behave
+    as 'no prior state', not permanently wedge the stream: with no partition
+    dirs Spark infers no _epoch column, and before the explicit read-schema
+    fix the filter on _epoch raised UNRESOLVED_COLUMN on every retry."""
+    import os
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.streaming.windows import incremental_validate
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    write_pages_parquet(os.path.join(src_dir, "pages.parquet"), 40, seed=13)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    state_dir = str(tmp_path / "state")
+    # simulate the crashed-mid-write leftover: dir exists, zero data files
+    os.makedirs(os.path.join(state_dir, "_temporary"))
+
+    sink = str(tmp_path / "sink")
+    q = incremental_validate(
+        spark, stream, sink, str(tmp_path / "ckpt"), state_dir=state_dir
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 40

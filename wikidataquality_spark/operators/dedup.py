@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wikidataquality_spark.rules.model import sql_ident
+
 # MinHash geometry: H hashes = B bands × R rows. Jaccard threshold ≈ (1/B)^(1/R)
 # → B=16, R=8 ⇒ ~0.71; near-dup pairs (1 sentence changed of ~6) sit well above.
 MINHASH_H = 128
@@ -154,8 +156,9 @@ def band_keys_sql(sig_name: str) -> str:
     """SQL-string twin of band_keys (bit-identical: int literals hash like
     F.lit(int)). String composition avoids ~3 py4j round trips per band per
     plan construction — driver-serial time (rules/model.CheckExpr)."""
+    qsig = sql_ident(sig_name)
     keys = ", ".join(
-        f"xxhash64({i}, slice(`{sig_name}`, {i * MINHASH_ROWS + 1}, {MINHASH_ROWS}))"
+        f"xxhash64({i}, slice({qsig}, {i * MINHASH_ROWS + 1}, {MINHASH_ROWS}))"
         for i in range(MINHASH_BANDS)
     )
     return f"array({keys})"
@@ -217,13 +220,13 @@ def dup_marks(
     respects the survivor total order (min-id): every state id precedes every
     batch id. State rows whose id collides with a batch id are dropped first,
     so a retried batch (exactly-once resume) never flags itself."""
-    qid = "`" + id_col.replace("`", "``") + "`"
-    qtext = "`" + text_col.replace("`", "``") + "`"
+    qid = sql_ident(id_col)
+    qtext = sql_ident(text_col)
     # SQL-string plan construction (one selectExpr per step instead of a py4j
     # round trip per sub-expression) — dup_marks cost ~0.35s of driver-serial
     # plan-build time per invocation the Column way (rules/model.CheckExpr).
     if sig_col is not None:
-        qsig = "`" + sig_col.replace("`", "``") + "`"
+        qsig = sql_ident(sig_col)
         keyed = df.selectExpr(
             qid,
             f"xxhash64({qtext}) AS _h",

@@ -34,16 +34,51 @@ from pyspark.sql import functions as F
 from wikidataquality_spark.rules.model import COMPLIANCE, VIOLATION
 
 
-def _result(
-    df: DataFrame, rule_id: str, ok_col: str, detail: str, keep_cols: list[str]
+# internal probe columns + the output struct column; inputs may not use them
+_RESERVED = ("_gc_s", "_gc_d", "_gc_ok", "check")
+
+
+def _reciprocity_check(
+    links: DataFrame,
+    probe_source: DataFrame,
+    probe_src_col: str,
+    probe_dst_col: str,
+    src_col: str,
+    dst_col: str,
+    rule_id: str,
+    detail: str,
 ) -> DataFrame:
-    return df.select(
-        *keep_cols,
+    """Shared body of symmetric_check / inverse_check: build a DISTINCT
+    swapped-pair probe from `probe_source`, left-join it onto `links` on
+    (src, dst), and emit every input column + a CheckResult struct. Probe
+    distinctness guarantees no row multiplication."""
+    clash = [c for c in links.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"reciprocity check: input columns {clash} collide with the "
+            f"operator's reserved names {_RESERVED}; rename them first"
+        )
+    probe = (
+        probe_source.select(
+            F.col(probe_dst_col).alias("_gc_s"),
+            F.col(probe_src_col).alias("_gc_d"),
+        )
+        .distinct()
+        .withColumn("_gc_ok", F.lit(True))
+    )
+    out = links.join(
+        probe,
+        (F.col(src_col) == F.col("_gc_s")) & (F.col(dst_col) == F.col("_gc_d")),
+        "left",
+    ).withColumn("_gc_ok", F.coalesce("_gc_ok", F.lit(False)))
+    ok = F.col("_gc_ok")
+    return out.select(
+        *links.columns,
         F.struct(
             F.lit(rule_id).alias("rule"),
-            F.when(F.col(ok_col), COMPLIANCE).otherwise(VIOLATION).alias("status"),
-            F.when(F.col(ok_col), 1.0).otherwise(0.0).alias("score"),
-            F.when(F.col(ok_col), F.lit(None).cast("string"))
+            F.when(ok, COMPLIANCE).otherwise(VIOLATION).alias("status"),
+            F.when(ok, 1.0).otherwise(0.0).alias("score"),
+            F.when(ok, F.lit(None).cast("string"))
             .otherwise(F.lit(detail))
             .alias("detail"),
         ).alias("check"),
@@ -62,18 +97,9 @@ def symmetric_check(
     unless (b→a) also exists in the same table. The existence probe is one
     DISTINCT swapped-pair build + one equi-join; probe distinctness
     guarantees no row multiplication. Output: every input column + check."""
-    swapped = (
-        links.select(F.col(dst_col).alias("_gc_s"), F.col(src_col).alias("_gc_d"))
-        .distinct()
-        .withColumn("_ok", F.lit(True))
-    )
-    out = links.join(
-        swapped,
-        (F.col(src_col) == F.col("_gc_s")) & (F.col(dst_col) == F.col("_gc_d")),
-        "left",
-    ).withColumn("_ok", F.coalesce("_ok", F.lit(False)))
-    return _result(
-        out, rule_id, "_ok", "no reciprocal link dst->src", links.columns
+    return _reciprocity_check(
+        links, links, src_col, dst_col, src_col, dst_col,
+        rule_id, "no reciprocal link dst->src",
     )
 
 
@@ -91,18 +117,7 @@ def inverse_check(
     violation unless (b —Q→ a) exists in `inverse_links` (the configured
     inverse-property statement table). Same single-equi-join shape as
     symmetric_check, probing the OTHER table."""
-    inv = (
-        inverse_links.select(
-            F.col(inv_dst_col).alias("_gc_s"), F.col(inv_src_col).alias("_gc_d")
-        )
-        .distinct()
-        .withColumn("_ok", F.lit(True))
-    )
-    out = links.join(
-        inv,
-        (F.col(src_col) == F.col("_gc_s")) & (F.col(dst_col) == F.col("_gc_d")),
-        "left",
-    ).withColumn("_ok", F.coalesce("_ok", F.lit(False)))
-    return _result(
-        out, rule_id, "_ok", "no inverse-property link dst->src", links.columns
+    return _reciprocity_check(
+        links, inverse_links, inv_src_col, inv_dst_col, src_col, dst_col,
+        rule_id, "no inverse-property link dst->src",
     )

@@ -358,21 +358,53 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     valid PPM frames — so the decode/demux operators run their real code
     paths end-to-end.
 
-    Materialized to a per-session parquet on first call (path keyed by
-    applicationId + (n, seed), the _events_stream per-session-unique-path
-    pattern): the driver-side blob generation (~1s of RNG + encoding) runs
-    once per session instead of per query, and consumers scan a tiny parquet
-    instead of shipping a multi-MB embedded LocalRelation inside every task
-    binary — measured ~2.5s per multimodal_features call at 64 media."""
-    import os
-
-    cache = (
-        f"/tmp/wdq_media_cache/{spark.sparkContext.applicationId}/"
-        f"media_{n}_{seed}"
+    Materialized to a content-keyed parquet on first call (path keyed by
+    (n, seed) + a generator version tag, shared ACROSS sessions): the
+    driver-side blob generation (~1s of RNG + encoding) runs once per host
+    instead of once per session, consumers scan a tiny parquet instead of
+    shipping a multi-MB embedded LocalRelation inside every task binary
+    (measured ~2.5s per multimodal_features call at 64 media), and /tmp no
+    longer accumulates one orphaned multi-MB dir per applicationId."""
+    return _cached_parquet(
+        spark,
+        f"media_{n}_{seed}",
+        lambda path: _generate_media(spark, n, seed)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(path),
     )
-    if os.path.exists(os.path.join(cache, "_SUCCESS")):
-        return spark.read.parquet(cache)
-    _generate_media(spark, n, seed).coalesce(4).write.mode("overwrite").parquet(cache)
+
+
+# bump when _generate_media / ref_media blob generation changes — stale
+# cross-session caches must miss, not serve old blobs
+_MEDIA_CACHE_VERSION = "v1"
+
+
+def _cached_parquet(spark, key: str, write_to) -> DataFrame:
+    """Read-through /tmp parquet cache, content-keyed and cross-session.
+
+    Concurrency-safe: a writer stages under a pid-unique dir, then publishes
+    with an atomic os.rename; concurrent sessions either see the published
+    dir (and read it) or race benignly — the loser's rename fails and it
+    reads the winner's identical, deterministic content."""
+    import os
+    import shutil
+
+    cache = f"/tmp/wdq_media_cache/{_MEDIA_CACHE_VERSION}/{key}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        staging = f"{cache}.staging.{os.getpid()}"
+        write_to(staging)
+        try:
+            os.rename(staging, cache)
+        except OSError:
+            if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+                # a stale PARTIAL publish (crashed writer, no _SUCCESS)
+                # blocks the rename but is unreadable — replace it
+                shutil.rmtree(cache, ignore_errors=True)
+                os.rename(staging, cache)
+            else:
+                # another session published first; its content is identical
+                shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(cache)
 
 
@@ -438,15 +470,15 @@ def ref_media(spark) -> DataFrame:
       - media_id -102: 800 samples of 32767 at 16 kHz ⇒ rms = 32767.0,
         clip_ratio 1.0, duration 50 ms; 44 + 1600 = 1644 bytes.
 
-    Parquet-materialized per session like synthetic_media: executing a
-    LocalRelation of this schema (binary blobs + nullable struct) costs ~4s
-    PER ACTION on this Spark build — measured, a 3-row count() took 4-5s —
-    while the parquet-backed scan is milliseconds."""
-    import os
+    Parquet-materialized through the same content-keyed cross-session cache
+    as synthetic_media: executing a LocalRelation of this schema (binary
+    blobs + nullable struct) costs ~4s PER ACTION on this Spark build —
+    measured, a 3-row count() took 4-5s — while the parquet-backed scan is
+    milliseconds."""
+    return _cached_parquet(spark, "ref_media", lambda p: _write_ref_media(spark, p))
 
-    cache = f"/tmp/wdq_media_cache/{spark.sparkContext.applicationId}/ref_media"
-    if os.path.exists(os.path.join(cache, "_SUCCESS")):
-        return spark.read.parquet(cache)
+
+def _write_ref_media(spark, path: str) -> None:
     grad = np.arange(256, dtype=np.uint8).reshape(16, 16)
     img = encode_ppm(np.stack([grad] * 3, axis=2))
     square = np.tile(np.array([16384, -16384], dtype=np.int16), 500)
@@ -462,5 +494,4 @@ def ref_media(spark) -> DataFrame:
     ]
     spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(cache)
-    return spark.read.parquet(cache)
+    ).parquet(path)

@@ -75,8 +75,18 @@ def sql_double(v: float) -> str:
 
 
 def sql_ident(name: str) -> str:
-    """Backtick-quoted column reference."""
-    return "`" + name.replace("`", "``") + "`"
+    """Backtick-quoted column reference with F.col's nested-field semantics.
+
+    Rule configs wrote column params for ``F.col``, where a dot descends into
+    a struct (``check.score`` = field ``score`` of column ``check``). Quoting
+    the whole name as ONE identifier would silently re-interpret every dotted
+    config as a literal column name and fail at plan time, so each
+    dot-separated segment is quoted independently. A column whose name
+    literally contains a dot was never reachable through these params under
+    ``F.col`` either — no semantics are lost."""
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in name.split(".")
+    )
 
 
 @dataclass(frozen=True)

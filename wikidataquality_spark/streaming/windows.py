@@ -114,13 +114,20 @@ def incremental_validate(
     state_schema = ST.StructType.fromDDL(
         "url string, kind string, k1 long, k2 long"
     )
+    # read schema INCLUDES the _epoch partition column: an existing-but-empty
+    # state_dir (e.g. epoch 0 crashed mid-write leaving only _temporary) has
+    # no _epoch= partition dirs for Spark to discover, and without _epoch in
+    # the explicit schema the filter below would raise UNRESOLVED_COLUMN on
+    # every retry — permanently wedging the stream instead of treating the
+    # empty table as "no prior state"
+    state_read_schema = state_schema.add("_epoch", ST.LongType())
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         state = None
         if state_dir is not None:
             try:
                 state = (
-                    spark.read.schema(state_schema).parquet(state_dir)
+                    spark.read.schema(state_read_schema).parquet(state_dir)
                     # a RETRIED epoch must not see its own partial fingerprint
                     # write as "prior" state (every doc would flag dup);
                     # dynamic overwrite below replaces that partition anyway
