@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full validation DAG —
     heuristic stats → rule checks → violations array → keep/drop — returning
-    the kept documents with their stats and decision metadata."""
+    EVERY document annotated with its stats and keep/drop decision (the
+    non-destructive flag shape; consumers filter on `keep`)."""
     from wikidataquality_spark.deploy import ensure_shipped
     from wikidataquality_spark.operators.heuristics import with_doc_stats
     from wikidataquality_spark.plans.driver_queries import FLAGSHIP_RULES

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -95,7 +96,10 @@ def main() -> None:
     docs_per_sec = round(n_docs / qf_sec, 2) if qf_sec > 0 else None
 
     total = round(sum(timings.values()), 4)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # only a trailing sf<digits> segment is a scale factor; any other dir
+    # name must not leak path garbage into the numeric-ish sf field
+    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    sf = m.group(1) if m else os.path.basename(sf_dir.rstrip("/"))
     print(
         json.dumps(
             {

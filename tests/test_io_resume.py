@@ -47,6 +47,23 @@ def test_resume_skips_completed(spark, tmp_path):
     assert read_table(spark, out).count() == 30
 
 
+def test_resume_keeps_null_partition_rows(spark, tmp_path):
+    """Rows whose partition key is NULL (host failed parse_url, NULL warc_ts)
+    must SURVIVE a resume: ~isin(done) is NULL for them and filter(NULL)
+    silently dropped them before the isNull guard — data loss on every
+    resumed run (r03 review finding)."""
+    out = str(tmp_path / "tnull")
+    df = _mkdf(spark)
+    write_partitioned(df.filter(F.col("partition") == "2025-01-01"), out, run_id="r1")
+    # one NULL-partition row with the same schema
+    null_row = df.limit(1).withColumn("partition", F.lit(None).cast("string"))
+    remaining = resume_filter(df.unionByName(null_row), out)
+    parts = {
+        r[0] for r in remaining.select("partition").distinct().collect()
+    }
+    assert parts == {"2025-01-02", "2025-01-03", None}
+
+
 def test_resume_noop_when_nothing_done(spark, tmp_path):
     out = str(tmp_path / "t3")
     df = _mkdf(spark)

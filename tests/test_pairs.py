@@ -104,3 +104,22 @@ def test_lsh_pairs_tolerate_null_and_ragged_vectors(spark):
     buckets = lsh_bucket_ids(e, lsh_pair_tables(dim), vec_col="embedding")
     bad = buckets.filter(F.col("vec_id").isin(2, 3)).collect()
     assert bad and all(r["_bucket"] == 0 for r in bad)
+
+    # SQL-twin parity on the SAME hostile input: DuckDB's list_zip pads the
+    # short side with NULL and list_aggregate('sum') ignores NULLs, so
+    # without the explicit wrong-length CASE the twin would compute real
+    # sign buckets (and real cosines) where Spark emits bucket 0 / NULL
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+        ),
+    )
+    want = sorted(
+        (r[0], r[1]) for r in
+        con.execute(lsh_neardup_pairs_sql(0.9, dim=dim)).fetchall()
+    )
+    assert want == sorted(pairs)

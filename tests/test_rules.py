@@ -73,6 +73,19 @@ def test_conflicts_with_rule(spark):
     ) == [VIOLATION, COMPLIANCE, COMPLIANCE]
 
 
+def test_conflicts_with_rule_escapes_regex_metacharacters(spark):
+    """'blocked' is a TERM list from arbitrary config, not a regex: 'c++'
+    must not throw PatternSyntaxException at execution and 'a.b' must not
+    match 'aXb' (regression for the r03 review finding)."""
+    rule = Rule("cw.meta", "conflicts_with", {"column": "t", "blocked": "c++,a.b"})
+    assert _statuses(
+        spark,
+        [("uses c++ daily",), ("the aXb protocol",), ("the a.b protocol",)],
+        "t string",
+        rule,
+    ) == [VIOLATION, COMPLIANCE, VIOLATION]
+
+
 def test_mandatory_rule(spark):
     rule = Rule("mand.u", "mandatory", {"column": "u"})
     assert _statuses(spark, [("x",), ("",), (None,)], "u string", rule) == [

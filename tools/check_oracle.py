@@ -50,9 +50,12 @@ def main() -> int:
 
     spark = get_spark(cpus=16)
     failures = []
+    ran = 0
+    skipped = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
@@ -62,6 +65,7 @@ def main() -> int:
             continue
         if name not in ORACLE:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            skipped += 1
             continue
         try:
             odf = con.execute(ORACLE[name]).fetchdf()
@@ -100,7 +104,16 @@ def main() -> int:
                 print("oracle:", o.loc[i].to_dict())
             failures.append(name)
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    # the tally reflects only what was EXECUTED: a name-filtered run prints
+    # n/<n_run>, never a green 50/50 for queries that never ran; rows-only
+    # SKIPs are reported separately instead of inflating the pass count
+    passed = ran - len(failures) - skipped
+    line = f"\n{passed}/{ran - skipped} passed"
+    if skipped:
+        line += f" ({skipped} skipped: rows-only, no oracle)"
+    if only:
+        line += f" [name-filtered: {ran}/{len(QUERIES)} queries ran]"
+    print(line)
     return 1 if failures else 0
 
 

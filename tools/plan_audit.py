@@ -64,11 +64,77 @@ EXPECTATIONS: dict[str, list[str]] = {
 }
 
 
+def _field_count(struct: str) -> int:
+    """Top-level field count of a ReadSchema struct<...> string (depth-aware:
+    nested struct/array/map commas don't count)."""
+    depth = 0
+    n = 1
+    for ch in struct:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n if struct.strip() else 0
+
+
+def _full_widths() -> dict[str, int]:
+    import pyarrow.parquet as pq
+
+    widths = {}
+    for f in os.listdir(SF):
+        if f.endswith(".parquet"):
+            path = os.path.join(SF, f)
+            if os.path.isdir(path):
+                part = next(
+                    (
+                        os.path.join(path, p)
+                        for p in sorted(os.listdir(path))
+                        if p.endswith(".parquet")
+                    ),
+                    None,
+                )
+                if part is None:
+                    continue
+                path = part
+            widths[f[: -len(".parquet")]] = len(pq.read_schema(path).names)
+    return widths
+
+
+_WIDTHS: dict[str, int] = {}
+
+
+def pruned_ok(plan: str) -> bool:
+    """TRUE only when every parquet scan of a ≥5-column base table reads
+    STRICTLY fewer columns than the table has. The old check ('ReadSchema'
+    appears in the plan) was vacuously true for every file-scan plan — a
+    regression to select-* could never fail it. Narrow tables (≤4 cols,
+    e.g. region/nation) are exempt: reading all of them is legitimate."""
+    if not _WIDTHS:
+        _WIDTHS.update(_full_widths())
+    # in formatted explain, ReadSchema follows Location within a couple of
+    # lines inside the same scan block; the bounded gap stops a scan missing
+    # its ReadSchema from pairing with the NEXT scan's
+    scans = re.findall(
+        r"Location:[^\n]*?/([a-z_]+)\.parquet[^\n]*\n(?:[^\n]*\n){0,3}?"
+        r"[^\n]*ReadSchema: struct<(.*?)>\n",
+        plan,
+    )
+    for table, struct in scans:
+        full = _WIDTHS.get(table)
+        if full is None or full <= 4:
+            continue
+        if _field_count(struct) >= full:
+            return False
+    return True
+
+
 def signals(plan: str) -> dict[str, bool]:
     return {
         "pushed": "PushedFilters: [" in plan
         and not re.search(r"PushedFilters: \[\]", plan),
-        "pruned": "ReadSchema" in plan,
+        "pruned": "ReadSchema" in plan and pruned_ok(plan),
         "broadcast": "BroadcastHashJoin" in plan,
         "topk": "TakeOrderedAndProject" in plan,
         "partial_agg": "partial_" in plan,

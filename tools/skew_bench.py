@@ -119,10 +119,13 @@ def main() -> None:
         f"| salted | {results['salted_host']['wall_sec']} | {results['salted_host']['max_partition_share']} |\n\n"
         f"**Speedup from salting: {speedup}×**\n"
     )
-    if marker in content:
-        content = content.split(marker)[0]
+    # section-aware rewrite (scaling_bench.replace_section): splitting at the
+    # marker and keeping only the head would truncate every section another
+    # tool appended AFTER this one (e.g. the local-cluster experiment)
+    from scaling_bench import replace_section
+
     with open(baseline, "w") as f:
-        f.write(content + table)
+        f.write(replace_section(content, marker, table))
 
 
 if __name__ == "__main__":

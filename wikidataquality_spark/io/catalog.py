@@ -122,7 +122,12 @@ def resume_filter(
     done = completed_partitions(table_dir)
     if not done:
         return df
-    return df.filter(~F.col(partition_col).isin(sorted(done)))
+    # NULL partition keys (host failed parse_url, NULL warc_ts) must SURVIVE:
+    # ~isin(done) evaluates to NULL for them and filter(NULL) silently drops
+    # the row — a resumed run would lose exactly the malformed pages a
+    # quality filter exists to judge
+    col = F.col(partition_col)
+    return df.filter(col.isNull() | ~col.isin(sorted(done)))
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:

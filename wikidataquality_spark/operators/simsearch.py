@@ -392,8 +392,15 @@ def lsh_neardup_pairs_sql(threshold: float = 0.5, dim: int = 64) -> str:
         acc = "0"
         for bexpr in bits:
             acc = f"({acc} * 2 + {bexpr})"
+        # NULL / wrong-length parity with lsh_bucket_ids: those vectors
+        # bucket to 0 in every table. Without the CASE, list_zip pads the
+        # short side with NULL and list_aggregate('sum') IGNORES NULLs, so
+        # DuckDB would compute real sign buckets where Spark emits 0 — the
+        # candidate sets would diverge on any ragged input
         bucket_selects.append(
-            f"SELECT vec_id, {t} AS t, {acc} AS bucket FROM embeddings"
+            f"SELECT vec_id, {t} AS t, "
+            f"CASE WHEN embedding IS NULL OR len(embedding) != {dim} "
+            f"THEN 0 ELSE {acc} END AS bucket FROM embeddings"
         )
     buckets_cte = "\nUNION ALL\n".join(bucket_selects)
     return f"""
@@ -413,5 +420,6 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN n a ON a.vec_id = c.id_a
 JOIN n b ON b.vec_id = c.id_b
-WHERE {dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
+WHERE len(a.embedding) = len(b.embedding)
+  AND {dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
 """

@@ -58,7 +58,9 @@ def _unix_us(col: str):
 # fixtures are built from (BASELINE.md F1 target).
 # ---------------------------------------------------------------------------
 
-ALLOWED_LANGS = ("en", "fr", "es", "de", "zh")
+# shared with the pipeline's one_of.lang_pred rule — one edit point keeps
+# FLAGSHIP_RULES and PIPELINE_RULES judging the same language set
+from wikidataquality_spark.pipeline import ALLOWED_LANGS  # noqa: E402
 
 FLAGSHIP_RULES = [
     Rule("range.mean_word_len", "range", {"column": "mean_word_len_stat", "min": "3", "max": "10"}),
@@ -129,11 +131,16 @@ def qf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "qf_keep_decision",
+    # exception semantics parity: a NULL rule input gives status 'exception'
+    # Spark-side (keep unaffected, absent from violated_rules), and each pass
+    # condition here is NULL exactly when its input is NULL — so violated is
+    # `cond IS FALSE` (NULL → not violated), never `NOT cond` (NULL → NULL,
+    # which would flip keep to NULL and count a violation for exception rows)
     _DOC_STATS_CTE
     + f"""
 SELECT doc_id, lang,
-       ({" AND ".join(_RULE_PASS_SQL.values())}) AS keep,
-       ({" + ".join(f"CASE WHEN {c} THEN 0 ELSE 1 END" for c in _RULE_PASS_SQL.values())}) AS n_violations
+       ({" AND ".join(f"({c} IS NOT FALSE)" for c in _RULE_PASS_SQL.values())}) AS keep,
+       ({" + ".join(f"CASE WHEN {c} IS FALSE THEN 1 ELSE 0 END" for c in _RULE_PASS_SQL.values())}) AS n_violations
 FROM s
 """,
 )
@@ -994,12 +1001,10 @@ _DOT_SQL = (
 )
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# single source of the bit-determinism-critical fold: a second copy here
+# could drift from the one the operators use and silently break the
+# documented bit-identical oracle parity
+from wikidataquality_spark.operators.simsearch import dot as _dot  # noqa: E402
 
 
 # (embedding_norms merged into array_ops_embedding.)

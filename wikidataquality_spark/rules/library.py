@@ -124,7 +124,15 @@ def conflicts_with_rule(rule: Rule) -> CheckExpr:
     terms = _split_list(rule.param("blocked"))
     if not terms:
         raise ValueError(f"conflicts_with rule {rule.rule_id} needs 'blocked'")
-    pattern = r"\b(" + "|".join(terms) + r")\b"
+    # 'blocked' is a TERM list, not a regex (format_rule takes the regex):
+    # escape metacharacters so 'c++' doesn't throw PatternSyntaxException at
+    # execution and 'a.b' doesn't silently match 'aXb'. Lookarounds, not \b:
+    # \b needs a word char on the inside, so '\b(c\+\+)\b' could never match
+    # 'c++ ' — (?<!\w)/(?!\w) are equivalent for word-char terms and correct
+    # for terms that start or end with symbols
+    import re as _re
+
+    pattern = r"(?<!\w)(" + "|".join(_re.escape(t) for t in terms) + r")(?!\w)"
     return check_result_sql(
         rule,
         f"NOT ({col} RLIKE {sql_str(pattern)})",
