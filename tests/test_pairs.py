@@ -45,6 +45,66 @@ def test_prefix_filter_equals_brute_force(spark, sf0001_dir, threshold):
     assert got == want and len(got) > 0
 
 
+def test_prefix_filter_keeps_exact_threshold_pair(spark):
+    """A pair whose Jaccard is EXACTLY the threshold must be emitted (J ≥ t).
+    The natural corpus almost never lands on J = t, so the FP-boundary
+    hazard in prefix_len/alpha (ceil of a mathematically-integer double,
+    guarded by the ε) would go unnoticed by the corpus tests.
+    A='a b c d e f' and B='z a b c d e' share trigrams {abc,bcd,cde} of a
+    5-gram union: J = 3/5 = 0.6 exactly."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "z a b c d e")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs_prefix_filtered(docs, 0.6).collect()
+    }
+    assert got == {(1, 2, 0.6)}
+    # strictly above the exact value → pruned
+    assert jaccard_pairs_prefix_filtered(docs, 0.61).count() == 0
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.6), (2, 0.75)])
+def test_prefix_filter_fuzz_equals_brute_force(spark, seed, threshold):
+    """Seeded fuzz over a high-overlap tiny-vocab corpus: doc gram-set sizes
+    4-10 sweep the integer-t·|g| cases and the rarest-first ordering is
+    exercised with many ties — the lossless contract must hold exactly."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = []
+    for i in range(20):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 12))]
+        docs.append((2 * i, " ".join(base)))
+        # planted near-dup: mutate 0-2 positions → Jaccard spans a dense
+        # range around any threshold, including exact-boundary values
+        mut = list(base)
+        for _ in range(rng.randint(0, 2)):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        docs.append((2 * i + 1, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs_prefix_filtered(df, threshold).collect()
+    )
+    g = df.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(F.col("text"), 3)).alias("g"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nw"),
+    ).filter("nw >= 3")
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    bf = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", ngram_jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= threshold)
+        .collect()
+    )
+    want = sorted((r["id_a"], r["id_b"], round(r["j"], 6)) for r in bf)
+    assert got == want and len(want) > 0
+
+
 def test_lsh_pairs_match_sql_twin_and_are_precise(spark, sf0001_dir):
     e = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
     got = sorted(
