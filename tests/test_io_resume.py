@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from wikidataquality_spark.io.catalog import (
@@ -85,9 +86,7 @@ def test_read_run_prunes_to_run_partitions(spark, tmp_path):
     assert got1 == [1, 2, 3] and got2 == [4]
     assert e1["partitions"] == ["a", "b"] and e2["partitions"] == ["c"]
 
-    import pytest as _pytest
-
-    with _pytest.raises(KeyError):
+    with pytest.raises(KeyError):
         read_run(spark, d, "nope")
 
 
@@ -130,7 +129,6 @@ def test_run_pipeline_cli_end_to_end(spark, tmp_path):
 
 def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
     """FAILFAST readers: corrupt rows raise instead of silently nulling."""
-    import pytest as _pytest
     from pyspark.sql.types import StructType
 
     from wikidataquality_spark.io.formats import read_csv
@@ -138,15 +136,13 @@ def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text("a,b\n1,2\nnot_an_int,3\n")
     schema = StructType.fromDDL("a int, b int")
-    with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+    with pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         read_csv(spark, str(p), schema).collect()
 
 
 def test_partition_cardinality_cap(spark, tmp_path, monkeypatch):
     """A row-grained partition column must fail loudly (bounded driver-side
     collect), not OOM the driver at corpus scale."""
-    import pytest
-
     from wikidataquality_spark.io import catalog
 
     monkeypatch.setattr(catalog, "MAX_PARTITIONS_PER_RUN", 5)

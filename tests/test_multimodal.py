@@ -93,17 +93,44 @@ def test_frame_sample_expands_rows(spark, media):
     assert out.schema == FRAME_SAMPLE_SCHEMA
     pdf = out.toPandas()
     n_vids = vids.count()
-    assert len(pdf) >= n_vids  # 1:N expansion
+    # REAL 1:N expansion: at least one video emits multiple frames (len >=
+    # n_vids alone also held for a broken one-frame-per-video sampler)
+    sizes = pdf.groupby("media_id").size()
+    assert len(sizes) == n_vids and (sizes > 1).any()
     assert (pdf["frame_index"] % 10 == 0).all()
-    # frames are content-derived and unique per (media, index)
-    assert pdf.groupby("media_id")["frame_blob"].nunique().ge(1).all()
+    # frames are content-derived and unique per (media, index): every frame
+    # blob within a video differs (nunique >= 1 was true for ANY non-empty
+    # group, including a sampler emitting the same blob per frame)
+    per_vid = pdf.groupby("media_id")["frame_blob"].agg(
+        lambda s: s.map(bytes).nunique()
+    )
+    assert (per_vid == sizes).all()
 
 
 def test_metadata_filter_prunes_without_blob(spark, media):
     filtered = metadata_filter(media, min_w=64, min_h=64)
     assert filtered.count() < media.count()
-    # metadata-only projection never carries the blob column
-    assert "blob" not in filtered.select("media_id", "meta").columns
+    # the documented contract is PARQUET COLUMN PRUNING: a metadata-only
+    # projection's scan must not read blob bytes. Check the physical plan's
+    # ReadSchema on an UNCACHED parquet read (the shared `media` fixture is
+    # cached, and an InMemoryRelation legitimately holds every column) — the
+    # old `'blob' not in select(...).columns` was true by construction of
+    # the select and could never fail
+    import contextlib
+    import io
+
+    # n=16 reads a DIFFERENT parquet file: the CacheManager substitutes the
+    # cached InMemoryRelation for any plan that matches the n=32 fixture's
+    # read, which would hide the scan we're grading
+    uncached = synthetic_media(spark, n=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        metadata_filter(uncached, min_w=64, min_h=64).select(
+            "media_id", "meta"
+        ).explain("formatted")
+    plan = buf.getvalue()
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("blob" not in ln for ln in read_schemas)
 
 
 def test_wav_codec_roundtrip():

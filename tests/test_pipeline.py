@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from wikidataquality_spark.datagen import generate_pages, write_pages_parquet
+from wikidataquality_spark.datagen import fixture_pages_path, generate_pages
 from wikidataquality_spark.pipeline import results, validate
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_labels.parquet")
@@ -18,8 +18,8 @@ GOLDEN_N, GOLDEN_SEED = 800, 42
 
 @pytest.fixture(scope="module")
 def validated(spark):
-    path = write_pages_parquet(
-        f"/tmp/wdq_pages_fixture/pages_{GOLDEN_N}_{GOLDEN_SEED}.parquet", GOLDEN_N, GOLDEN_SEED
+    path = fixture_pages_path(
+        GOLDEN_N, GOLDEN_SEED
     )
     v = validate(spark.read.parquet(path))
     v.cache()
@@ -94,9 +94,11 @@ def vpdf(validated):
 
 def test_exact_duplicates_dropped(vpdf):
     dup_texts = vpdf[vpdf.duplicated(subset="text", keep=False)]
+    # guard against vacuity: if datagen stops planting exact dups (or a
+    # column rename empties the selection) the loop below never runs and a
+    # broken dedup stage would stay green
+    assert not dup_texts.empty, "corpus should contain planted exact dups"
     for _, grp in dup_texts.groupby("text"):
-        if len(grp) < 2:
-            continue
         survivors = grp.sort_values("url").iloc[:1]
         rest = grp.sort_values("url").iloc[1:]
         assert not survivors.iloc[0]["is_exact_dup"]
@@ -124,7 +126,9 @@ def test_pii_scrubbed_but_not_dropped(vpdf):
     assert len(emails) > 5
     assert emails.scrubbed_text.str.contains("<EMAIL>").all()
     # PII alone is a soft violation — check at least one PII doc was kept
+    # (.all() on an empty selection is vacuously True, so require non-empty)
     clean_pii = emails[emails.violated_rules.map(lambda v: set(v) <= {"format.pii_email"})]
+    assert len(clean_pii) > 0, "corpus should contain otherwise-clean PII docs"
     assert clean_pii.keep.all()
 
 

@@ -8,7 +8,7 @@ import re
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from wikidataquality_spark.datagen import write_pages_parquet
+from wikidataquality_spark.datagen import fixture_pages_path
 from wikidataquality_spark.operators.dedup import exact_dedup, minhash_dedup
 from wikidataquality_spark.operators.scrub import ALL_PATTERNS
 
@@ -53,7 +53,7 @@ def test_scrub_column_matches_python_mirror(spark):
 
     from wikidataquality_spark.operators.scrub import scrub_column
 
-    path = write_pages_parquet("/tmp/wdq_pages_fixture/pages_800_42.parquet", 800, 42)
+    path = fixture_pages_path(800, 42)
     df = spark.read.parquet(path).select("url", "text").limit(300)
     got = df.withColumn("s", scrub_column("text")).toPandas()
     assert (got["s"] == got["text"].map(_py_scrub)).all()
@@ -62,7 +62,7 @@ def test_scrub_column_matches_python_mirror(spark):
 def test_dedup_invariant_under_repartition(spark):
     """Survivor sets must not depend on physical partitioning (deterministic
     min-url total order, SURVEY.md §7 hard-#3)."""
-    path = write_pages_parquet("/tmp/wdq_pages_fixture/pages_800_42.parquet", 800, 42)
+    path = fixture_pages_path(800, 42)
     df = spark.read.parquet(path).select("url", "text")
 
     a = {r["url"] for r in exact_dedup(df).select("url").collect()}
@@ -78,7 +78,7 @@ def test_dedup_invariant_under_repartition(spark):
 def test_minhash_catches_planted_near_dups(spark):
     from pyspark.sql import functions as F
 
-    path = write_pages_parquet("/tmp/wdq_pages_fixture/pages_800_42.parquet", 800, 42)
+    path = fixture_pages_path(800, 42)
     df = spark.read.parquet(path).select("url", "text")
     survivors = minhash_dedup(df)
     # exact duplicates are a subset of near-duplicates: every surviving text

@@ -133,9 +133,6 @@ def test_exception_does_not_drop(spark):
 
 
 def test_qualifiers_rule(spark):
-    from wikidataquality_spark.rules.builder import apply_rules
-    from wikidataquality_spark.rules.model import Rule
-
     df = spark.createDataFrame(
         [(1, ["a", "b"]), (2, ["a", "x"]), (3, None)],
         "id long, quals array<string>",
@@ -148,9 +145,6 @@ def test_qualifiers_rule(spark):
 
 
 def test_url_wellformed_rule(spark):
-    from wikidataquality_spark.rules.builder import apply_rules
-    from wikidataquality_spark.rules.model import Rule
-
     df = spark.createDataFrame(
         [
             (1, "https://example.com/p/1"),
@@ -219,12 +213,10 @@ def test_symmetric_inverse_checks(spark):
 
     # reserved-name collisions fail loudly at plan time instead of raising
     # AMBIGUOUS_REFERENCE mid-join or silently shadowing the output struct
-    import pytest as _pytest
-
     tainted = spark.createDataFrame(
         [(1, 2, True)], "src long, dst long, check boolean"
     )
-    with _pytest.raises(ValueError, match="reserved"):
+    with pytest.raises(ValueError, match="reserved"):
         symmetric_check(tainted)
 
 

@@ -26,7 +26,11 @@ def events_stream(spark, sf0001_dir):
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the symlink, so a stale link to
+    # moved testdata reads as absent and os.symlink raises FileExistsError
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(src_file, link)
     schema = spark.read.parquet(src_file).schema
     return spark.readStream.schema(schema).parquet(d)
@@ -47,9 +51,18 @@ def test_stream_hourly_equals_batch(spark, events_stream, events_batch):
     assert s == b and len(s) > 0
 
 
-def test_stream_dedup_keeps_unique_ids(spark, events_stream, events_batch):
-    out = run_stream_to_memory(spark, dedup_within_watermark(events_stream))
-    assert out.count() == events_batch.select("event_id").distinct().count()
+def test_stream_dedup_drops_planted_duplicates(spark, events_batch, tmp_path):
+    """The sf0.001 events fixture has zero duplicate event_ids (1000 rows,
+    1000 distinct — verified), so deduping it was VACUOUS: an identity
+    pass-through scored the same. Plant real duplicates so the
+    dropDuplicatesWithinWatermark path must actually drop rows."""
+    src = str(tmp_path / "dup_events")
+    events_batch.unionByName(events_batch.limit(50)).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events_batch.schema).parquet(src)
+    out = run_stream_to_memory(spark, dedup_within_watermark(stream))
+    n_distinct = events_batch.select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert n_distinct < events_batch.count() + 50  # dups were really planted
 
 
 def test_session_windows_complete_mode(spark, events_stream, events_batch):

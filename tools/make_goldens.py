@@ -18,7 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from wikidataquality_spark.datagen import write_pages_parquet  # noqa: E402
+from wikidataquality_spark.datagen import fixture_pages_path  # noqa: E402
 from wikidataquality_spark.pipeline import results, validate  # noqa: E402
 from wikidataquality_spark.session import get_spark  # noqa: E402
 
@@ -28,7 +28,7 @@ GOLDEN_SEED = 42
 
 
 def pages_path(tmp: str = "/tmp/wdq_pages_fixture") -> str:
-    return write_pages_parquet(os.path.join(tmp, f"pages_{GOLDEN_N}_{GOLDEN_SEED}.parquet"), GOLDEN_N, GOLDEN_SEED)
+    return fixture_pages_path(GOLDEN_N, GOLDEN_SEED, base=tmp)
 
 
 SF001_DIR = "/root/testdata/sf0.01"

@@ -31,6 +31,26 @@ import pandas as pd
 
 SEED = 42
 
+# bump when generate_pages / generate_pages_with_meta output changes — the
+# shared /tmp corpus caches are keyed by this, so stale fixtures MISS instead
+# of silently validating old datagen output (write_pages_parquet skips
+# generation when the file exists)
+DATAGEN_VERSION = 1
+
+
+def fixture_pages_path(
+    n_rows: int, seed: int = SEED, base: str = "/tmp/wdq_pages_fixture"
+) -> str:
+    """Shared cross-run corpus cache, content-keyed by (n, seed, generator
+    version). Every consumer of the fixed /tmp corpus cache (golden gates,
+    property tests, the qf_golden_confusion driver query, make_goldens) must
+    come through here so they stay in lockstep when DATAGEN_VERSION bumps."""
+    return write_pages_parquet(
+        os.path.join(base, f"pages_{n_rows}_{seed}_v{DATAGEN_VERSION}.parquet"),
+        n_rows,
+        seed,
+    )
+
 # Per-language wordlists: ~30 common words each so language ID has real signal.
 WORDLISTS: dict[str, list[str]] = {
     "en": "the of and to in is was for on with as by at from that it he she they this have had not are were which".split(),

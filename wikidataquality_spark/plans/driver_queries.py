@@ -195,10 +195,10 @@ def qf_golden_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the BASELINE.md stability contract (goldens ARE this pipeline's
     frozen output; planted-defect tests verify they are right, not merely
     reproducible)."""
-    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.datagen import fixture_pages_path
     from wikidataquality_spark.pipeline import results, validate
 
-    corpus = write_pages_parquet("/tmp/wdq_pages_fixture/pages_800_42.parquet", 800, 42)
+    corpus = fixture_pages_path(800, 42)
     pages = spark.read.parquet(corpus)
     live = results(validate(pages)).select(
         "url", F.col("keep").alias("pred_keep"), F.col("scrubbed_text").alias("pred_scrub")
@@ -1581,13 +1581,15 @@ def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.datagen import DATAGEN_VERSION, write_pages_parquet
     from wikidataquality_spark.pipeline import results, validate
     from wikidataquality_spark.streaming.windows import incremental_validate
 
-    base = tempfile.gettempdir()
-    corpus = write_pages_parquet(f"{base}/wdq_incr/pages_300.parquet", 300, seed=99)
-    split_dir = f"{base}/wdq_incr/split_byrange"
+    # version-keyed like fixture_pages_path: the split dir derives from the
+    # corpus, so both caches must miss together when datagen changes
+    base = os.path.join(tempfile.gettempdir(), f"wdq_incr_v{DATAGEN_VERSION}")
+    corpus = write_pages_parquet(f"{base}/pages_300.parquet", 300, seed=99)
+    split_dir = f"{base}/split_byrange"
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         # 3 contiguous url ranges ascending: part-00000 holds the smallest
         # urls — the survivor-order precondition for incremental == batch
