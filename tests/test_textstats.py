@@ -65,3 +65,43 @@ def test_quality_score_ranks_clean_above_junk(spark):
     df = spark.createDataFrame(rows, "k string, text string")
     out = {r["k"]: r["q"] for r in df.select("k", quality_score(F.col("text")).alias("q")).collect()}
     assert out["clean"] > out["junk"]
+
+
+def test_tokenizer_parity_spark_vs_duckdb_on_exotic_whitespace(spark):
+    """The oracle CTEs split with the explicit class [\\t\\n\\x0B\\f\\r ]+
+    because Java's \\s includes vertical tab while DuckDB's RE2 \\s does NOT
+    — a VT in scraped text silently shifted every token-derived stat between
+    the engines (r03 review finding). Pin the token counts equal on every
+    ASCII whitespace the two regex dialects disagree or agree on."""
+    import duckdb
+
+    texts = [
+        "a\x0bb c",      # vertical tab — the dialect gap
+        "x\fy z",        # form feed
+        "tab\tsep words",
+        "nl\none two",
+        "cr\rend here",
+        "  padded  out  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_counts = [
+        r["n"]
+        for r in df.select(
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    duck_counts = [
+        con.execute(
+            "SELECT len(string_split_regex(trim(?), '[\\t\\n\\x0B\\f\\r ]+'))",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_counts == duck_counts
+    # and the old '\\s+' oracle regex really does diverge on VT — the guard
+    # is load-bearing, not decorative
+    old = con.execute(
+        "SELECT len(string_split_regex(trim(?), '\\s+'))", ["a\x0bb c"]
+    ).fetchone()[0]
+    assert old != spark_counts[0]

@@ -29,6 +29,26 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of dot() — the ONE SQL-fold builder every oracle uses
+    (a second copy could drift and silently break the documented
+    bit-identical parity).
+
+    NULL/ragged parity guard: Spark's zip_with pads the short side with NULL,
+    the product is NULL, and the aggregate fold propagates it — so a NULL or
+    length-mismatched pair yields NULL. DuckDB's list_zip also pads with NULL
+    but list_aggregate('sum') IGNORES NULLs, silently computing a partial dot
+    over the overlapping prefix; the CASE restores Spark's semantics."""
+    fold = (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+    return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL OR len({a}) != len({b}) "
+        f"THEN NULL ELSE {fold} END)"
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -370,13 +390,10 @@ def lsh_neardup_pairs_sql(threshold: float = 0.5, dim: int = 64) -> str:
     """DuckDB twin of lsh_neardup_pairs: identical plane constants inlined as
     E-notation literals (DuckDB parses E-notation as DOUBLE; plain decimals
     would become DECIMAL and change the sign arithmetic), identical
-    sequential-fold dot products, identical bucket packing."""
-
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_aggregate(list_transform(list_zip({a}, {b}), "
-            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
-        )
+    sequential-fold dot products, identical bucket packing. Dot products come
+    from the shared NULL/ragged-guarded dot_sql builder (one SQL fold for
+    every oracle)."""
+    dot = dot_sql
 
     def plane_lit(p: list[float]) -> str:
         return "[" + ", ".join(f"{x:.17e}" for x in p) + "]"

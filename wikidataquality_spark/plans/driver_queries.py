@@ -78,13 +78,13 @@ _DOC_STATS_CTE = rf"""
 WITH s AS (
   SELECT doc_id, lang, source,
     length(text) AS nc,
-    len(string_split_regex(trim(text), '\s+')) AS nw,
-    list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)), 'sum')
-      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mwl,
-    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ({_STOPWORD_SQL})))
-      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS swr,
-    len(list_distinct(string_split_regex(trim(text), '\s+')))
-      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dwr,
+    len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS nw,
+    list_aggregate(list_transform(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'), w -> length(w)), 'sum')
+      / CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS DOUBLE) AS mwl,
+    len(list_filter(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'), w -> w IN ({_STOPWORD_SQL})))
+      / CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS DOUBLE) AS swr,
+    len(list_distinct(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')))
+      / CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS DOUBLE) AS dwr,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
       / CAST(length(text) AS DOUBLE) AS alpha,
     length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
@@ -232,13 +232,20 @@ WITH ext AS (
                         ELSE 0 END AS ext_n_chars
   FROM documents WHERE doc_id % 3 = 0),
 cmp AS (
+  -- NULL parity with crosscheck._null_totalize: both NULL → match, one
+  -- NULL → mismatch. A bare `a = b` CASE would evaluate NULL on any NULL
+  -- input and fall through to 'mismatch' where Spark says 'match'.
   SELECT d.doc_id,
-         CASE WHEN d.source = e.ext_source THEN 'match'
+         CASE WHEN d.source IS NULL AND e.ext_source IS NULL THEN 'match'
+              WHEN d.source IS NULL OR e.ext_source IS NULL THEN 'mismatch'
+              WHEN d.source = e.ext_source THEN 'match'
               WHEN levenshtein(d.source, e.ext_source) <= 2
                    OR contains(d.source, e.ext_source)
                    OR contains(e.ext_source, d.source) THEN 'partial'
               ELSE 'mismatch' END AS source_status,
-         CASE WHEN CAST(d.n_chars AS DOUBLE) = CAST(e.ext_n_chars AS DOUBLE) THEN 'match'
+         CASE WHEN d.n_chars IS NULL AND e.ext_n_chars IS NULL THEN 'match'
+              WHEN d.n_chars IS NULL OR e.ext_n_chars IS NULL THEN 'mismatch'
+              WHEN CAST(d.n_chars AS DOUBLE) = CAST(e.ext_n_chars AS DOUBLE) THEN 'match'
               WHEN ABS(CAST(d.n_chars AS DOUBLE) - CAST(e.ext_n_chars AS DOUBLE)) <= 2.0 THEN 'partial'
               ELSE 'mismatch' END AS n_chars_status
   FROM documents d JOIN ext e USING (doc_id))
@@ -350,9 +357,13 @@ SELECT doc_id FROM (
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-level dedup: survivor = min doc_id per identical text
     (UniqueValueChecker recast, SURVEY §2A#7). At scale the window key is
-    xxhash64(text) so the shuffle moves 8-byte keys, not documents."""
+    (xxhash64(text), length(text)) — the same compound key as
+    operators/dedup.exact_dedup — so the shuffle moves ~12-byte keys, not
+    documents, and a 64-bit hash collision additionally needs equal lengths
+    (residual risk ~n²/2⁶⁴·P(len collide), owned here: a strict-exact
+    variant would carry the text through the shuffle)."""
     df = _t(spark, sf_dir, "documents")
-    w = W.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    w = W.partitionBy(F.xxhash64("text"), F.length("text")).orderBy("doc_id")
     return (
         df.select("doc_id", "text")
         .withColumn("rn", F.row_number().over(w).cast("long"))
@@ -370,9 +381,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-       ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
-       CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_pieces
+       CAST(SUM(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))), 4) AS avg_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\t\n\x0B\f\r ]'))) AS BIGINT) AS total_pieces
 FROM documents GROUP BY source
 """,
 )
@@ -760,7 +771,7 @@ def setop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        upper(p_name) AS name_upper,
        substring(p_name, 1, 5) AS name_prefix,
-       p_brand || ':' || p_type AS brand_type,
+       concat_ws(':', p_brand, p_type) AS brand_type,
        length(p_name) AS name_len,
        levenshtein(p_name, 'red widget') AS lev_dist
 FROM part
@@ -994,17 +1005,16 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Both sides: cast each float to double BEFORE multiply, sum sequentially in
-# element order → bit-identical doubles pre-ROUND.
-_DOT_SQL = (
-    "list_aggregate(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
-)
+# element order → bit-identical doubles pre-ROUND. dot_sql is the single
+# NULL/ragged-guarded SQL fold (simsearch) — see its docstring for why the
+# guard is required for DuckDB parity.
 
 
 # single source of the bit-determinism-critical fold: a second copy here
 # could drift from the one the operators use and silently break the
 # documented bit-identical oracle parity
 from wikidataquality_spark.operators.simsearch import dot as _dot  # noqa: E402
+from wikidataquality_spark.operators.simsearch import dot_sql  # noqa: E402
 
 
 # (embedding_norms merged into array_ops_embedding.)
@@ -1016,9 +1026,9 @@ from wikidataquality_spark.operators.simsearch import dot as _dot  # noqa: E402
 WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
 sims AS (
   SELECT e.vec_id,
-         {_DOT_SQL.format(a="e.embedding", b="q.q_emb")} /
-         (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}) *
-          sqrt({_DOT_SQL.format(a="q.q_emb", b="q.q_emb")})) AS cs
+         {dot_sql(a="e.embedding", b="q.q_emb")} /
+         (sqrt({dot_sql(a="e.embedding", b="e.embedding")}) *
+          sqrt({dot_sql(a="q.q_emb", b="q.q_emb")})) AS cs
   FROM embeddings e, q
   WHERE e.vec_id <> 0)
 SELECT vec_id, ROUND(cs, 4) AS cos_sim FROM sims WHERE cs >= 0.15
@@ -1048,9 +1058,9 @@ def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.q_id, e.vec_id,
-         {_DOT_SQL.format(a="e.embedding", b="q.q_vec")} /
-         (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}) *
-          sqrt({_DOT_SQL.format(a="q.q_vec", b="q.q_vec")})) AS cs
+         {dot_sql(a="e.embedding", b="q.q_vec")} /
+         (sqrt({dot_sql(a="e.embedding", b="e.embedding")}) *
+          sqrt({dot_sql(a="q.q_vec", b="q.q_vec")})) AS cs
   FROM embeddings e, q WHERE e.vec_id <> q.q_id)
 SELECT q_id, vec_id, ROUND(cs, 4) AS cos_sim, rank FROM (
   SELECT q_id, vec_id, cs,
@@ -1109,7 +1119,7 @@ ORACLE["embedding_neardup_pairs"] = _neardup_pairs_oracle()
     "doc_fingerprints",
     _DOC_STATS_CTE
     + rf""",
-w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+w AS (SELECT doc_id, string_split_regex(trim(text), '[\t\n\x0B\f\r ]+') AS words FROM documents)
 SELECT w.doc_id,
   list_reduce(list_prepend(CAST(0 AS BIGINT),
     [list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1152,7 +1162,7 @@ WITH g AS (
   SELECT doc_id,
          list_distinct([array_to_string(words[i:i+2], ' ')
                         for i in generate_series(1, len(words)-2)]) AS grams
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[\t\n\x0B\f\r ]+') AS words
         FROM documents)
   WHERE len(words) >= 3)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1374,7 +1384,7 @@ SELECT e.vec_id,
        array_to_string(list_transform(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1:3],
                       x -> CAST(x AS DECIMAL(18,4))), ',') AS top3,
        ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS vmax,
-       ROUND(sqrt({_DOT_SQL.format(a="embedding", b="embedding")}), 4) AS l2_norm,
+       ROUND(sqrt({dot_sql(a="embedding", b="embedding")}), 4) AS l2_norm,
        px.pos_sign_sum
 FROM embeddings e JOIN px ON e.vec_id = px.vec_id
 WHERE e.vec_id < 10
@@ -1517,14 +1527,18 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak mirrors CTE g's window: without it, a
+             -- same-ts pair where the earlier-by-id event opens a session
+             -- could be enumerated in either order, splitting same-ts events
+             -- across two sessions where Spark's session_window never does
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM g)
 SELECT user_id, epoch_us(MIN(ts)) AS sess_start_us, COUNT(*) AS n_events
@@ -1896,9 +1910,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.q_id, e.vec_id,
-         {_DOT_SQL.format(a="e.embedding", b="q.q_vec")} /
-         (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}) *
-          sqrt({_DOT_SQL.format(a="q.q_vec", b="q.q_vec")})) AS cs
+         {dot_sql(a="e.embedding", b="q.q_vec")} /
+         (sqrt({dot_sql(a="e.embedding", b="e.embedding")}) *
+          sqrt({dot_sql(a="q.q_vec", b="q.q_vec")})) AS cs
   FROM embeddings e, q WHERE e.vec_id <> q.q_id)
 SELECT q_id, vec_id, ROUND(cs, 4) AS cos_sim, rank FROM (
   SELECT q_id, vec_id, cs,

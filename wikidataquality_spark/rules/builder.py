@@ -38,20 +38,6 @@ def violations_column(rules: Sequence[Rule]) -> Column:
     )
 
 
-def failed_rules_column(
-    rules: Sequence[Rule], violations: Column, severity: str | None = HARD
-) -> Column:
-    """rule_ids whose status is 'violation' (optionally restricted by severity)."""
-    ids = [r.rule_id for r in rules if severity is None or r.severity == severity]
-    return F.transform(
-        F.filter(
-            violations,
-            lambda v: (v["status"] == VIOLATION) & v["rule"].isin(ids),
-        ),
-        lambda v: v["rule"],
-    )
-
-
 def apply_rules(
     df: DataFrame,
     rules: Sequence[Rule],
