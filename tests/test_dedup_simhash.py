@@ -77,3 +77,63 @@ def test_far_pair_not_dropped_even_if_bucketed(spark):
         assert any(
             hamming(sigs[d], sigs[k]) <= SIMHASH_MAX_HAMMING for k in sigs if k < d
         )
+
+
+def test_null_text_exempt_from_dedup(spark):
+    """Extraction-failure docs (NULL text) must not dedup against each other:
+    xxhash64(NULL) is a constant and a NULL signature's band keys collapse to
+    xxhash64(band_i), so before the exemption every NULL-text doc shared one
+    exact partition and all 16 band buckets — silently dropped/flagged as
+    'duplicates' of unrelated pages (r03 distributed-correctness review)."""
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.operators.dedup import (
+        dup_fingerprints,
+        dup_marks,
+        exact_dedup,
+        minhash_dedup,
+    )
+
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog today"),
+        ("u2", "the quick brown fox jumps over the lazy dog today"),  # real dup
+        ("u3", None),
+        ("u4", None),
+        ("u5", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    # non-destructive flags: NULL docs never flagged, the real dup is
+    flags = {r["url"]: (r["is_exact_dup"], r["is_near_dup"]) for r in dup_marks(df).collect()}
+    assert flags["u2"] == (True, True)
+    assert flags["u1"] == (False, False)
+    assert flags["u3"] == (False, False) and flags["u4"] == (False, False)
+
+    # destructive variants: every NULL-text row survives
+    assert exact_dedup(df).filter(F.col("text").isNull()).count() == 3
+    assert minhash_dedup(df).filter(F.col("text").isNull()).count() == 3
+    # and NULL docs emit no fingerprints into incremental state
+    assert dup_fingerprints(df).filter(F.col("url").isin("u3", "u4", "u5")).count() == 0
+
+
+def test_duplicate_ids_do_not_drop_survivor(spark):
+    """A re-crawled url (same id twice, identical text) must not lose the
+    document: per-instance exact flags used to rejoin onto BOTH instances of
+    the id, flagging the survivor itself. The id-level bool_and keeps an id
+    unflagged when any instance is the survivor, and the rejoin must not
+    multiply rows."""
+    from wikidataquality_spark.operators.dedup import dup_marks
+
+    rows = [
+        ("a", "completely unique text one of a kind here", "t1"),
+        ("a", "completely unique text one of a kind here", "t2"),  # re-crawl
+        ("b", "another different document body goes right here", "t3"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, crawl string")
+    out = dup_marks(df).collect()
+    assert len(out) == 3  # no join fan-out
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r["is_exact_dup"])
+    assert by_url["a"] == [False, False]  # survivor id never self-flagged
+    assert by_url["b"] == [False]

@@ -169,3 +169,54 @@ def test_csv_roundtrip_multiline_text(spark, tmp_path):
     write_csv(df, path)
     back = read_csv(spark, path, StructType.fromDDL("id bigint, text string"))
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_resume_dedups_against_completed_partitions(spark, tmp_path):
+    """A resumed run must still catch duplicates whose twin lives in an
+    ALREADY-COMPLETED partition: without dedup state, resume_filter removes
+    the completed rows before validate() and the remaining partitions dedup
+    only among themselves — output then depends on where the previous run
+    crashed (r03 distributed-correctness review)."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    from wikidataquality_spark.datagen import generate_pages
+
+    pdf = generate_pages(40, seed=21)
+    pdf["warc_ts"] = pd.Timestamp("2025-03-01 12:00:00")
+    day2 = generate_pages(40, seed=22).iloc[20:].copy()
+    day2["warc_ts"] = pd.Timestamp("2025-03-02 12:00:00")
+    # urls are index-derived (seed changes content only) — disambiguate so
+    # day-2 rows don't collide with day-1 urls
+    day2["url"] = day2["url"].str.replace("/p/", "/q/", regex=False)
+    # plant a cross-partition exact dup: a day-2 url with day-1 html/text
+    day2.iloc[0, day2.columns.get_loc("html")] = pdf.iloc[0]["html"]
+    day2.iloc[0, day2.columns.get_loc("text")] = pdf.iloc[0]["text"]
+    dup_url = day2.iloc[0]["url"]
+
+    day1_path = str(tmp_path / "day1.parquet")
+    full_path = str(tmp_path / "full.parquet")
+    spark.createDataFrame(pdf).write.parquet(day1_path)
+    spark.createDataFrame(pd.concat([pdf, day2])).write.parquet(full_path)
+
+    out_dir, met_dir = str(tmp_path / "out"), str(tmp_path / "met")
+    rc = run_pipeline.main(
+        ["--input", day1_path, "--output", out_dir, "--metrics", met_dir,
+         "--run-id", "r1"]
+    )
+    assert rc == 0
+    rc2 = run_pipeline.main(
+        ["--input", full_path, "--output", out_dir, "--metrics", met_dir,
+         "--resume", "--run-id", "r2"]
+    )
+    assert rc2 == 0
+
+    out = spark.read.parquet(out_dir)
+    dup_row = out.filter(F.col("url") == dup_url).collect()
+    assert len(dup_row) == 1
+    assert "unique_value.exact_dup" in dup_row[0]["violated_rules"]
+    assert dup_row[0]["keep"] is False

@@ -62,7 +62,28 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     pages = spark.read.parquet(args.input)
     pages = partition_column(pages, by=args.partition_by)
+    dedup_state = None
     if args.resume:
+        # Cross-partition dedup must still see the documents a previous run
+        # already validated: without state, a resumed run deduplicates only
+        # the REMAINING partitions and keeps documents an uninterrupted run
+        # would have flagged. Fingerprints are recomputed from the completed
+        # partitions' input rows (one narrow url+text pass — a 10^12-doc
+        # deployment appends dup_fingerprints to an Iceberg state table at
+        # write time and reads it back here instead). Semantics are the
+        # documented incremental ones (dup_marks state=): at least one copy
+        # of every text survives; a dup pair straddling the resume boundary
+        # keeps the already-written copy even when the unwritten one has the
+        # smaller url.
+        from pyspark.sql import functions as F
+
+        from wikidataquality_spark.io.catalog import completed_partitions
+        from wikidataquality_spark.operators.dedup import dup_fingerprints
+
+        done = completed_partitions(args.output)
+        if done:
+            prior = pages.filter(F.col("partition").isin(sorted(done)))
+            dedup_state = dup_fingerprints(prior)
         pages = resume_filter(pages, args.output)
     if args.salt_hot:
         from wikidataquality_spark.operators.dedup import repartition_by_host_salted
@@ -74,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "nothing_to_do", "input": args.input}))
         return 0
 
-    validated = validate(pages)
+    validated = validate(pages, dedup_state=dedup_state)
     out = validated.select(*results(validated).columns, "partition")
     entry = write_partitioned(
         out, args.output, partition_col="partition", run_id=args.run_id,

@@ -17,9 +17,11 @@ Format selection:
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +36,27 @@ MAX_PARTITIONS_PER_RUN = 16384
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
+
+
+@contextmanager
+def _manifest_lock(table_dir: str):
+    """Exclusive advisory lock serializing manifest read-modify-write.
+
+    os.replace makes each individual write atomic, but two concurrent
+    write_partitioned calls against one table_dir would otherwise interleave
+    read→modify→write and the last writer would erase the other's run entry
+    and completed partitions. flock covers same-host concurrency (the
+    sandbox and single-driver deployments); a multi-driver production
+    deployment replaces this whole manifest with an Iceberg catalog commit,
+    which is the real transaction."""
+    os.makedirs(table_dir, exist_ok=True)
+    lock_path = _manifest_path(table_dir) + ".lock"
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 def read_manifest(table_dir: str) -> dict:
@@ -99,17 +122,18 @@ def write_partitioned(
         )
     finally:
         df.unpersist()
-    manifest = read_manifest(table_dir)
     entry = {
         "run_id": run_id,
         "partitions": sorted(map(str, parts)),
         "input_snapshot": input_snapshot,
     }
-    manifest["runs"].append(entry)
-    manifest["completed_partitions"] = sorted(
-        set(manifest["completed_partitions"]) | set(map(str, parts))
-    )
-    _write_manifest(table_dir, manifest)
+    with _manifest_lock(table_dir):
+        manifest = read_manifest(table_dir)
+        manifest["runs"].append(entry)
+        manifest["completed_partitions"] = sorted(
+            set(manifest["completed_partitions"]) | set(map(str, parts))
+        )
+        _write_manifest(table_dir, manifest)
     return entry
 
 

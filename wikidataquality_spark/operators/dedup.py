@@ -48,11 +48,22 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "url"
 ) -> DataFrame:
     """Keep the minimum-id row per identical text. The window partitions by
-    (xxhash64, length) so the shuffle key is 16 bytes, not the document."""
-    w = W.partitionBy(F.xxhash64(text_col), F.length(text_col)).orderBy(id_col)
+    TWO independently-seeded 64-bit hashes (xxhash64(text) and
+    xxhash64(1, text) — the leading literal changes the seed of the text
+    fold, so a collision in one does not imply a collision in the other), so
+    the shuffle key is 16 bytes, not the document, and the false-drop
+    probability per pair is ~2⁻¹²⁸ — ~10⁻¹⁵ expected false pairs even at
+    10¹² docs, where a single 64-bit key would yield ~10⁴ real collisions.
+
+    NULL text (extraction failures) is exempt from dedup: unknown content is
+    not 'identical' content — without the exemption every NULL-text doc
+    shares one hash partition and all but one would be silently dropped."""
+    w = W.partitionBy(
+        F.xxhash64(text_col), F.xxhash64(F.lit(1), F.col(text_col))
+    ).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter((F.col("_rn") == 1) | F.col(text_col).isNull())
         .drop("_rn")
     )
 
@@ -174,7 +185,12 @@ def minhash_dedup(
     key+id only), one groupBy(band_key) shuffle for bucket minima, one
     broadcast-able join back, one left_anti against the dropped-id set.
     """
-    sigs = df.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("_sig"))
+    # NULL text is exempt: minhash of unknown content is a constant signature,
+    # so every extraction-failure doc would share all 16 band buckets and be
+    # dropped as a "near-dup" of unrelated pages
+    sigs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), minhash_udf(F.col(text_col)).alias("_sig")
+    )
     bands = sigs.select(
         id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key")
     )
@@ -225,43 +241,60 @@ def dup_marks(
     # SQL-string plan construction (one selectExpr per step instead of a py4j
     # round trip per sub-expression) — dup_marks cost ~0.35s of driver-serial
     # plan-build time per invocation the Column way (rules/model.CheckExpr).
+    # NULL text is exempt from both flag paths (unknown content is not
+    # duplicate content): xxhash64(NULL) is a CONSTANT and band keys of a
+    # NULL signature collapse to xxhash64(band_i), so without the filter
+    # every extraction-failure doc would flag as a dup of unrelated pages —
+    # and since every rule is NULL-inapplicable, those spurious flags would
+    # be the sole keep/drop decider for exactly those docs.
     if sig_col is not None:
         qsig = sql_ident(sig_col)
-        keyed = df.selectExpr(
+        keyed = df.where(f"{qtext} IS NOT NULL").selectExpr(
             qid,
             f"xxhash64({qtext}) AS _h",
-            f"CAST(length({qtext}) AS LONG) AS _len",
+            f"xxhash64(1, {qtext}) AS _h2",
             f"{qsig} AS _sig",
         )
     else:
-        keyed = df.select(
+        keyed = df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col),
             F.xxhash64(text_col).alias("_h"),
-            F.length(text_col).cast("long").alias("_len"),
+            F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
             minhash_udf(F.col(text_col)).alias("_sig"),
         )
     if state is not None:
         state = state.join(keyed.select(id_col), id_col, "left_anti")
 
-    exact_in = keyed.selectExpr(qid, "_h", "_len", "FALSE AS _from_state")
+    # exact identity = BOTH independently-seeded 64-bit hashes equal (the
+    # leading literal in xxhash64(1, text) changes the seed of the text
+    # fold): false-positive probability ~2⁻¹²⁸ per pair — negligible at
+    # 10¹² docs, where a single 64-bit key yields ~10⁴ real collisions and
+    # each one silently drops a unique document.
+    exact_in = keyed.selectExpr(qid, "_h", "_h2", "FALSE AS _from_state")
     if state is not None:
         exact_in = exact_in.unionByName(
             state.filter(F.col("kind") == "exact").select(
                 F.col(id_col),
                 F.col("k1").alias("_h"),
-                F.col("k2").alias("_len"),
+                F.col("k2").alias("_h2"),
                 F.lit(True).alias("_from_state"),
             )
         )
+    # id-level aggregation (bool_and): an id is an exact dup only when EVERY
+    # instance is a non-survivor. With unique ids (the data-model contract)
+    # this is the plain per-row flag; with a re-crawled id appearing twice,
+    # the per-instance flags would otherwise rejoin onto BOTH instances and
+    # drop the survivor itself.
     exact = (
         exact_in.selectExpr(
             qid,
             "_from_state",
-            f"(row_number() OVER (PARTITION BY _h, _len ORDER BY {qid})) > 1"
-            " AS is_exact_dup",
+            f"(row_number() OVER (PARTITION BY _h, _h2 ORDER BY {qid})) > 1"
+            " AS _inst_dup",
         )
         .filter("NOT _from_state")
-        .select(id_col, "is_exact_dup")
+        .groupBy(id_col)
+        .agg(F.expr("bool_and(_inst_dup)").alias("is_exact_dup"))
     )
 
     bands = keyed.selectExpr(
@@ -326,23 +359,26 @@ def dup_fingerprints(
 ) -> DataFrame:
     """Fingerprint rows for the incremental-dedup state table (`dup_marks`
     state= input): per doc, one 'exact' row (k1 = xxhash64(text),
-    k2 = length) plus one 'band' row per LSH band key (k2 = 0). ~24 bytes ×
+    k2 = xxhash64(1, text) — the independent second hash of the exact
+    window) plus one 'band' row per LSH band key (k2 = 0). ~24 bytes ×
     (1 + B) rows per document — the only thing a later batch needs to dedup
     against this one; document bodies never persist into state."""
     sig_expr = (
         F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
     )
-    keyed = df.select(
+    # NULL-text docs emit no fingerprints — they are exempt from dedup
+    # (dup_marks filters them identically, so state and batch stay aligned)
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.xxhash64(text_col).alias("_h"),
-        F.length(text_col).cast("long").alias("_len"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
         sig_expr.alias("_sig"),
     )
     exact = keyed.select(
         id_col,
         F.lit("exact").alias("kind"),
         F.col("_h").alias("k1"),
-        F.col("_len").alias("k2"),
+        F.col("_h2").alias("k2"),
     )
     band = keyed.select(
         id_col,

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from wikidataquality_spark.operators.barrier import barrier
 from wikidataquality_spark.operators.heuristics import (
     alpha_ratio,
     distinct_word_ratio,
@@ -125,7 +126,9 @@ def jaccard_pairs_prefix_filtered(
         F.sequence(F.lit(0), F.size("_wh") - n),
         lambda i: F.xxhash64(*[F.element_at(F.col("_wh"), i + j + 1) for j in range(n)]),
     )
-    # localCheckpoint(eager) is load-bearing here, not just a persist swap:
+    # barrier() (checkpoint-dir-aware eager materialization — see
+    # operators/barrier.py for the fault-tolerance tradeoff) is load-bearing
+    # here, not just a persist swap:
     # without a materialization boundary, the explode below pushes an
     # isnotnull(_grams) filter clear down to the parquet scan, inlining the
     # WHOLE gram expression — and element_at(transform(split(text)), i)
@@ -133,9 +136,7 @@ def jaccard_pairs_prefix_filtered(
     # (measured: 18.6s vs 1.5s for the ordered build at sf0.1). Checkpoint
     # blocks are freed by the ContextCleaner when the result DataFrame is
     # dropped — no cache leak (r02 VERDICT "what's wrong" #1).
-    g = whd.select("_id", F.array_distinct(gram_ids).alias("_grams")).localCheckpoint(
-        eager=True
-    )
+    g = barrier(whd.select("_id", F.array_distinct(gram_ids).alias("_grams")))
 
     # 1+2. explode to (doc, gram), hash-agg global gram frequencies, join
     # back, and re-group per doc rarest-first (sort by (freq, gram) — a
@@ -154,8 +155,8 @@ def jaccard_pairs_prefix_filtered(
             ).alias("_ordered"),
             F.count("*").alias("_sz"),
         )
-        .localCheckpoint(eager=True)
     )
+    ordered = barrier(ordered)
     # 3. prefix posexplode: |g| − ⌈t·|g|⌉ + 1 rarest grams, WITH positions
     # for the PPJoin positional filter below. The ε inside ceil() guards FP
     # round-up when t·|g| is mathematically an integer (e.g. t=0.6, |g|=5:

@@ -8,9 +8,13 @@ they can use Spark 4.x's hint-inference path instead of the removed
 `PandasUDFType.GROUPED_AGG` enum (r02 VERDICT "what's wrong" #2).
 
 ref≈ the reference's violation-ratio aggregation helpers
-(SpecialConstraintReport summary stats) — re-expressed as Arrow-batched
-grouped aggregates so a 10^12-row groupBy keeps partial aggregation
-JVM-side and only the per-group Series cross the Arrow boundary.
+(SpecialConstraintReport summary stats) — re-expressed as an Arrow-batched
+grouped aggregate. Honest scale caveat: GROUPED_AGG pandas UDFs DISABLE
+map-side partial aggregation — every raw row shuffles and one group's
+values must fit in a single Python worker (a 10^9-row hot key OOMs it).
+This module exists to cover the grouped-agg UDAF API surface; a production
+geomean is `exp(avg(log(v)))` in built-ins, which keeps partial aggregation
+and constant memory — exactly what the paired DuckDB oracle computes.
 """
 
 import numpy as np

@@ -42,7 +42,16 @@ def sliding_value_avg(
 
 
 def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Exactly-once-per-event_id within the watermark horizon."""
+    """Exactly-once-per-event_id within the watermark horizon.
+
+    Survivor choice is ARBITRARY when rows share an event_id but differ in
+    payload (Spark semantics: dropDuplicates keeps an unspecified row;
+    streaming keeps the first arrival) — so the surviving value/ts can vary
+    under repartitioning or retry, and batch and streaming twins may pick
+    different rows. Correct for its contract (idempotent event redelivery:
+    duplicates are byte-identical); producers that AMEND payloads under one
+    event_id need the min-id/last-ts survivor discipline of operators/dedup
+    instead."""
     src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
@@ -162,34 +171,42 @@ def incremental_validate(
         # track the pipeline's internal persist so THIS epoch's cache can be
         # released once both writes land — a long-running stream otherwise
         # leaks one cached intermediate per epoch until storage-memory
-        # eviction starts thrashing the live batch
+        # eviction starts thrashing the live batch. The release sits in a
+        # finally: a failed sink write would otherwise leak the cache, and a
+        # RETRIED epoch persists a fresh copy per attempt — repeated retries
+        # would accumulate exactly the sealed caches this mechanism exists
+        # to prevent.
         persisted: list = []
-        validated = validate(batch_df, dedup_state=state, persist_registry=persisted)
-        out = results(validated).withColumn("_epoch", SF.lit(epoch_id))
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(sink_dir)
-        )
-        if state_dir is not None:
-            # fingerprints come off the validated frame (text_extracted +
-            # cached minhash_sig) — the EXACT inputs dup_marks keyed on, and
-            # zero additional python passes over bodies
-            fp = dup_fingerprints(
-                validated,
-                text_col="text_extracted",
-                id_col="url",
-                sig_col="minhash_sig",
-            ).withColumn("_epoch", SF.lit(epoch_id))
+        try:
+            validated = validate(
+                batch_df, dedup_state=state, persist_registry=persisted
+            )
+            out = results(validated).withColumn("_epoch", SF.lit(epoch_id))
             (
-                fp.write.mode("overwrite")
+                out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_epoch")
-                .parquet(state_dir)
+                .parquet(sink_dir)
             )
-        for cached in persisted:
-            cached.unpersist()
+            if state_dir is not None:
+                # fingerprints come off the validated frame (text_extracted +
+                # cached minhash_sig) — the EXACT inputs dup_marks keyed on,
+                # and zero additional python passes over bodies
+                fp = dup_fingerprints(
+                    validated,
+                    text_col="text_extracted",
+                    id_col="url",
+                    sig_col="minhash_sig",
+                ).withColumn("_epoch", SF.lit(epoch_id))
+                (
+                    fp.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_epoch")
+                    .parquet(state_dir)
+                )
+        finally:
+            for cached in persisted:
+                cached.unpersist()
 
     return (
         pages_stream.writeStream.foreachBatch(_process)
