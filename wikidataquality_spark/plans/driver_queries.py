@@ -357,13 +357,15 @@ SELECT doc_id FROM (
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-level dedup: survivor = min doc_id per identical text
     (UniqueValueChecker recast, SURVEY §2A#7). At scale the window key is
-    (xxhash64(text), length(text)) — the same compound key as
-    operators/dedup.exact_dedup — so the shuffle moves ~12-byte keys, not
-    documents, and a 64-bit hash collision additionally needs equal lengths
-    (residual risk ~n²/2⁶⁴·P(len collide), owned here: a strict-exact
-    variant would carry the text through the shuffle)."""
+    two independently-seeded 64-bit hashes (xxhash64(text), xxhash64(1,
+    text)) — the same compound key as operators/dedup.exact_dedup — so the
+    shuffle moves 16-byte keys, not documents, and the false-drop
+    probability per pair is ~2⁻¹²⁸ (a strict-exact variant would carry the
+    text through the shuffle)."""
     df = _t(spark, sf_dir, "documents")
-    w = W.partitionBy(F.xxhash64("text"), F.length("text")).orderBy("doc_id")
+    w = W.partitionBy(
+        F.xxhash64("text"), F.xxhash64(F.lit(1), F.col("text"))
+    ).orderBy("doc_id")
     return (
         df.select("doc_id", "text")
         .withColumn("rn", F.row_number().over(w).cast("long"))
