@@ -55,3 +55,96 @@ def test_alpha_ratio(stats):
 def test_empty_doc_null_stats(stats):
     # empty text → trim→'' → split gives [''] (1 empty token, len 0)
     assert stats[4]["mean_word_len_stat"] == 0.0 or stats[4]["mean_word_len_stat"] is None
+
+
+def test_host_of_null_on_malformed_url(spark):
+    """Under Spark 4's default ANSI mode, plain parse_url THROWS on a
+    malformed URL — one bad crawl URL would abort a whole metrics job.
+    host_of must yield NULL instead (r03 model-layer review)."""
+    from wikidataquality_spark.operators.dedup import host_of
+
+    df = spark.createDataFrame(
+        [("https://ok.example.org/x",), ("ht!tp://%%%",), (None,)],
+        "url string",
+    )
+    rows = df.select(host_of("url").alias("h")).collect()
+    assert rows[0]["h"] == "ok.example.org"
+    assert rows[1]["h"] is None and rows[2]["h"] is None
+
+
+def test_url_wellformed_rule_survives_malformed_url(spark):
+    """The well-formedness RULE must mark a violation, not die on ANSI
+    INVALID_URL."""
+    from wikidataquality_spark.rules.builder import apply_rules
+    from wikidataquality_spark.rules.model import Rule
+
+    df = spark.createDataFrame([("ht!tp://%%%",)], "url string")
+    out = apply_rules(df, [Rule("u.wf", "url_wellformed", {"column": "url"})])
+    assert out.first()["violations"][0]["status"] == "violation"
+
+
+def test_pii_hit_count_no_double_count_on_overlapping_patterns(spark):
+    """A span matching two PII patterns (phone-shaped email localpart,
+    IP-shaped email domain) is scrubbed once and must count once: the old
+    independent per-pattern counts on the raw text counted it twice."""
+    from wikidataquality_spark.operators.scrub import pii_hit_count, scrub_column
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at +1-555-123-4567@mail.com now",),   # email ⊃ phone shape
+            ("server a@1.2.3.4.com is fine",),              # email ⊃ ip shape
+            ("call +1-555-123-4567 or 1.2.3.4",),           # genuinely two
+        ],
+        "text string",
+    )
+    rows = df.select(
+        pii_hit_count("text").alias("n"), scrub_column("text").alias("s")
+    ).collect()
+    assert [r["n"] for r in rows] == [1, 1, 2]
+    assert rows[0]["s"].count("<EMAIL>") == 1 and "<PHONE>" not in rows[0]["s"]
+
+
+def test_rule_metrics_long_shape(spark):
+    from wikidataquality_spark.metrics import rule_metrics_long
+    from wikidataquality_spark.rules.builder import apply_rules
+    from wikidataquality_spark.rules.model import Rule
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("u1", "2025-01-01 00:00:00", "en"), ("u2", "2025-01-01 00:00:00", None)],
+        "url string, warc_ts string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    validated = apply_rules(
+        df, [Rule("one_of.lang", "one_of", {"column": "lang", "allowed": "en"})]
+    )
+    rows = {
+        (r["partition"], r["rule_id"], r["status"]): r["n"]
+        for r in rule_metrics_long(validated).collect()
+    }
+    assert rows == {
+        ("2025-01-01", "one_of.lang", "compliance"): 1,
+        ("2025-01-01", "one_of.lang", "exception"): 1,
+    }
+
+
+def test_langid_nan_and_null_conf():
+    """predict() must survive float-NaN missing strings (pandas object
+    columns deliver them) and emit NULL conf for NULL text, matching the
+    fused stage's exception semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidataquality_spark.operators.langid import _load_model
+    from wikidataquality_spark.operators.langid_ngram import (
+        _load_model as _load_ngram_model,
+    )
+
+    ng = _load_ngram_model()
+    out = ng.predict(pd.Series([float("nan"), "the quick brown fox and the dog"]))
+    assert out["lang_pred"].iloc[0] is None
+
+    marker = _load_model()
+    m = marker.predict(pd.Series([None, "the quick brown fox and the dog"]))
+    assert np.isnan(m["lang_conf"].iloc[0])
+    assert m["lang_conf"].iloc[1] > 0

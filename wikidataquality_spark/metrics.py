@@ -32,8 +32,24 @@ def partition_column(df: DataFrame, by: str = "date") -> DataFrame:
     raise ValueError(f"unknown partition scheme {by!r}")
 
 
+def rule_metrics_long(validated: DataFrame, by: str = "date") -> DataFrame:
+    """Long-format metrics(partition, rule_id, status, n) — the FIXTURES.md
+    shape: one row per (partition, rule, status), append-friendly for a
+    metrics table whose status vocabulary may grow."""
+    df = partition_column(validated, by)
+    return (
+        df.select("partition", F.explode("violations").alias("v"))
+        .groupBy(
+            "partition",
+            F.col("v.rule").alias("rule_id"),
+            F.col("v.status").alias("status"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def rule_metrics(validated: DataFrame, by: str = "date") -> DataFrame:
-    """Per-partition, per-rule pass/fail/exception counts."""
+    """Wide per-rule pass/fail/exception table (metrics_wide in FIXTURES.md)."""
     df = partition_column(validated, by)
     v = df.select("partition", F.explode("violations").alias("v")).select(
         "partition", F.col("v.rule").alias("rule_id"), F.col("v.status").alias("status")

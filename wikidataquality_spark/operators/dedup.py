@@ -495,8 +495,12 @@ def simhash_dedup(
 
 
 def host_of(url_col: str | Column = "url") -> Column:
+    """Host of a crawl URL, NULL when unparseable. try_parse_url, not
+    parse_url: under Spark 4's default ANSI mode a single malformed URL in
+    the corpus would otherwise throw INVALID_URL and abort the whole job
+    (verified live) — a quality filter must judge bad URLs, not die on them."""
     col = F.col(url_col) if isinstance(url_col, str) else url_col
-    return F.parse_url(col, F.lit("HOST"))
+    return F.try_parse_url(col, F.lit("HOST"))
 
 
 def repartition_by_host_salted(

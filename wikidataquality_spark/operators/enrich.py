@@ -12,12 +12,22 @@ Why fused (measured on local[32], 100k docs):
 The standalone Column-expression operators (operators/heuristics.py) remain
 the relational/query surface (they are what the DuckDB oracle checks, and the
 right choice when stats feed further Catalyst logic); the pipeline hot path
-uses this fused stage. Semantics match for any doc with ≥1 token; the KNOWN
-divergence is empty/whitespace-only text: split(trim(''), '\\s+') in the
-Column surface yields [''] (n_words=1, ratios defined) while tokenize()
-yields zero tokens (n_words=0, NULL ratios). Each surface is internally
-consistent with its own oracle (DuckDB resp. golden fixtures); both drop
-such docs anyway via the doc-length rule.
+uses this fused stage. The two surfaces INTENTIONALLY tokenize differently
+and their stats diverge on real text — each is internally consistent with
+its own oracle (DuckDB resp. golden fixtures + planted-defect tests), and
+neither is a drop-in replica of the other:
+  - fused stats run over tokenize()'s NORMALIZED tokens — lowercased
+    (stopword_ratio counts "The"; the quality-filter semantics Gopher/C4
+    use), CJK split to char unigrams (a zh line gets a real word count and
+    mean_word_len≈1 instead of one giant 'word'), Python unicode whitespace
+    (NBSP splits);
+  - the Column surface splits raw text on Java ASCII \\s+, case-sensitive —
+    the shape a SQL user writes and DuckDB can mirror exactly;
+  - symbol_ratio: fused strips Python [^\\w\\s] (underscore is a word char),
+    Column strips Java [\\p{L}\\p{N}\\s] (underscore counts as a symbol);
+  - empty/whitespace-only text: Column split(trim(''), '\\s+') yields ['']
+    (n_words=1, ratios defined) while tokenize() yields zero tokens
+    (n_words=0, NULL ratios); both surfaces drop such docs via doc-length.
 
 Parity: this one operator implements SURVEY §2B stages Extract/LangID/
 Perplexity/Heuristics with the once-per-worker model lifecycle of
@@ -105,6 +115,7 @@ class _FusedScorer:
         n_rows = len(texts)
         filled = texts.fillna("")
         isna = texts.isna().to_numpy()
+        notna = ~isna  # one precomputed mask for every NULL gather
 
         tok = tokenize(texts)
         codes = tok.codes
@@ -139,7 +150,7 @@ class _FusedScorer:
         conf = np.where(total > 0, scores.max(axis=1) / np.where(total > 0, total, 1), 0.0)
         pred = pd.Series(np.array(self.langs, dtype=object)[best_j], index=texts.index)
         cjk_ratio = (filled.str.count(_CJK_RE) / filled.str.len().clip(lower=1)).to_numpy()
-        pred = pred.where(cjk_ratio <= 0.3, "zh").where(~texts.isna(), None)
+        pred = pred.where(cjk_ratio <= 0.3, "zh").where(notna, None)
         conf = np.where(cjk_ratio > 0.3, 0.99, conf)
 
         # heuristics — all bincounts / vectorized str ops over the same frame
@@ -181,23 +192,23 @@ class _FusedScorer:
         has_pii = filled.str.contains(_PII_EMAIL_RE).to_numpy()
 
         def _nullable(arr):
-            return pd.Series(arr, index=texts.index).where(~texts.isna(), np.nan)
+            return pd.Series(arr, index=texts.index).where(notna, np.nan)
 
         return pd.DataFrame(
             {
                 "lang_pred": pred,
                 "lang_conf": _nullable(conf),
                 "perplexity": _nullable(ppl),
-                "n_chars_stat": pd.Series(n_chars, index=texts.index).where(~texts.isna(), pd.NA).astype("Int64"),
-                "n_words_stat": pd.Series(counts, index=texts.index).where(~texts.isna(), pd.NA).astype("Int64"),
+                "n_chars_stat": pd.Series(n_chars, index=texts.index).where(notna, pd.NA).astype("Int64"),
+                "n_words_stat": pd.Series(counts, index=texts.index).where(notna, pd.NA).astype("Int64"),
                 "mean_word_len_stat": _nullable(mwl),
                 "stopword_ratio_stat": _nullable(swr),
                 "symbol_ratio_stat": _nullable(symbol_ratio),
                 "distinct_word_ratio_stat": _nullable(dwr),
                 "distinct_line_ratio_stat": _nullable(dlr),
                 "alpha_ratio_stat": _nullable(alpha_ratio),
-                "has_blockword": pd.Series(has_block, index=texts.index).where(~texts.isna(), pd.NA).astype("boolean"),
-                "has_pii_email": pd.Series(has_pii, index=texts.index).where(~texts.isna(), pd.NA).astype("boolean"),
+                "has_blockword": pd.Series(has_block, index=texts.index).where(notna, pd.NA).astype("boolean"),
+                "has_pii_email": pd.Series(has_pii, index=texts.index).where(notna, pd.NA).astype("boolean"),
             }
         )
 

@@ -81,6 +81,10 @@ class _MarkerModel:
         pred = best.where(cjk_ratio <= 0.3, "zh")
         conf = pd.Series(conf, index=texts.index).where(cjk_ratio <= 0.3, 0.99)
         pred = pred.where(~texts.isna(), None)
+        # NULL text → NULL conf, matching the fused stage (enrich.py): a
+        # 0.0 here would turn the range.lang_conf rule into a VIOLATION for
+        # missing text where the pipeline's own surface says 'exception'
+        conf = conf.where(~texts.isna(), np.nan)
         return pd.DataFrame({"lang_pred": pred, "lang_conf": conf.astype(float)})
 
 

@@ -77,7 +77,10 @@ class _NgramLangId:
         preds: list[str | None] = []
         confs: list[float] = []
         for t in texts:
-            if t is None or not t:
+            # isinstance, not `is None`: pandas object columns deliver
+            # missing strings as float NaN too (truthy, not None), which
+            # would crash at t.lower() below
+            if not isinstance(t, str) or not t:
                 preds.append(None)
                 confs.append(float("nan"))
                 continue

@@ -48,12 +48,16 @@ def with_scrubbed(df, text_col: str = "text", out_col: str = "scrubbed_text"):
 
 
 def pii_hit_count(text: str | Column = "text") -> Column:
-    """How many PII spans a document contains (metrics/violation scoring)."""
+    """How many PII spans a document contains (metrics/violation scoring).
+
+    Counts SEQUENTIALLY on the progressively-scrubbed text, mirroring
+    scrub_column's sequential replace: a span matching two patterns (an
+    IPv4 inside an email's domain, a phone inside an email) is scrubbed
+    once and must count once — independent per-pattern counts on the raw
+    text double-counted it."""
     col = F.col(text) if isinstance(text, str) else text
-    counts = [
-        F.size(F.split(col, pattern, -1)) - 1 for _, pattern, _ in PII_PATTERNS
-    ]
-    total = counts[0]
-    for c in counts[1:]:
-        total = total + c
+    total = F.lit(0)
+    for _, pattern, repl in PII_PATTERNS:
+        total = total + (F.size(F.split(col, pattern, -1)) - 1)
+        col = F.regexp_replace(col, pattern, repl)
     return total

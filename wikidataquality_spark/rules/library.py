@@ -176,7 +176,9 @@ def url_wellformed_rule(rule: Rule) -> CheckExpr:
     (CommonsLinkChecker recast, ref≈Checker/CommonsLinkChecker.php:~30-110 —
     'string must be a well-formed link')."""
     col = sql_ident(rule.param("column", "url"))
-    host = f"parse_url({col}, 'HOST')"
+    # try_parse_url: under ANSI mode plain parse_url THROWS on a malformed
+    # URL — the rule must mark it a violation, not abort the job
+    host = f"try_parse_url({col}, 'HOST')"
     ok = (
         f"(({col} RLIKE '^https?://') AND ({host} IS NOT NULL) "
         f"AND contains({host}, '.'))"
