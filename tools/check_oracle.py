@@ -7,6 +7,7 @@ order-insensitive values. Usage: python tools/check_oracle.py [sf_dir] [name...]
 
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
@@ -14,7 +15,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from wikidataquality_spark.session import get_spark  # noqa: E402
 from wikidataquality_spark.tables import TABLE_NAMES  # noqa: E402
@@ -43,6 +45,12 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from wikidataquality_spark.plans.driver_queries import ORACLE, QUERIES
+
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd name filter must not report 0/0 passed with exit 0
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -118,9 +118,9 @@ def main() -> None:
     )
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     out = os.path.join(FIXTURE_DIR, "golden_labels.parquet")
-    r.coalesce(1).toPandas().to_parquet(out, index=False)
-    kept = r.filter("keep").count()
-    print(f"golden frozen: {out} ({r.count()} rows, {kept} kept)")
+    pdf = r.toPandas()  # one action; count/kept come from the collected frame
+    pdf.to_parquet(out, index=False)
+    print(f"golden frozen: {out} ({len(pdf)} rows, {int(pdf['keep'].sum())} kept)")
     freeze_signature_fixtures(spark)
     freeze_query_fixtures(spark)
     freeze_langid_truth()

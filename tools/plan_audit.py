@@ -121,6 +121,14 @@ def pruned_ok(plan: str) -> bool:
         r"[^\n]*ReadSchema: struct<(.*?)>\n",
         plan,
     )
+    # fail CLOSED: every base-table scan must have a parsed ReadSchema — a
+    # truncated schema string (metadata length cap) or a changed explain
+    # layout would otherwise make this check vacuously green
+    n_locations = len(
+        re.findall(r"Location:[^\n]*?/(?:[a-z_]+)\.parquet", plan)
+    )
+    if n_locations != len(scans):
+        return False
     for table, struct in scans:
         full = _WIDTHS.get(table)
         if full is None or full <= 4:
@@ -150,7 +158,13 @@ def signals(plan: str) -> dict[str, bool]:
 def main() -> int:
     from wikidataquality_spark.plans.driver_queries import QUERIES
 
-    spark = get_spark(cpus=8)
+    # maxMetadataStringLength: explain() truncates metadata values at 100
+    # chars by default — a WIDE table's unpruned ReadSchema would lose its
+    # closing '>' and silently escape the pruned_ok regex, failing the gate
+    # OPEN for exactly the select-* regression it exists to catch
+    spark = get_spark(
+        cpus=8, extra_conf={"spark.sql.maxMetadataStringLength": "4096"}
+    )
     rows = []
     failed = []
     for name, must in EXPECTATIONS.items():

@@ -83,7 +83,17 @@ def main(argv: list[str] | None = None) -> int:
         done = completed_partitions(args.output)
         if done:
             prior = pages.filter(F.col("partition").isin(sorted(done)))
-            dedup_state = dup_fingerprints(prior)
+            # fingerprint the SAME bytes the pipeline dedups on: validate()
+            # keys dup_marks on text_extracted (extract(html)), not the raw
+            # text column — raw-text fingerprints would hash differently
+            # whenever text != extract(html) (and would fingerprint docs
+            # whose extraction failed, which the batch side dedup-exempts)
+            from wikidataquality_spark.operators.extract import extracted_text
+
+            dedup_state = dup_fingerprints(
+                prior.withColumn("text_extracted", extracted_text("html")),
+                text_col="text_extracted",
+            )
         pages = resume_filter(pages, args.output)
     if args.salt_hot:
         from wikidataquality_spark.operators.dedup import repartition_by_host_salted

@@ -276,13 +276,17 @@ def gen_corpus(n_pages: int) -> str:
     (a single file would make the first stage one serial task; many more
     files than threads just multiplies task-launch overhead, which is the
     driver-serial cost the efficiency ratio is most sensitive to)."""
-    path = f"/tmp/wdq_scaling/pages_{n_pages}_42_d32"
+    sys.path.insert(0, REPO)
+    from wikidataquality_spark.datagen import DATAGEN_VERSION
+
+    # DATAGEN_VERSION in the cache key: a datagen change must invalidate the
+    # bench corpus too, or BASELINE.md numbers describe a stale input
+    path = f"/tmp/wdq_scaling/pages_{n_pages}_42_d32_v{DATAGEN_VERSION}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sys.path.insert(0, REPO)
         from wikidataquality_spark.datagen import write_pages_parquet
         from wikidataquality_spark.session import get_spark
 
-        single = f"/tmp/wdq_scaling/pages_{n_pages}_42.parquet"
+        single = f"/tmp/wdq_scaling/pages_{n_pages}_42_v{DATAGEN_VERSION}.parquet"
         write_pages_parquet(single, n_pages, seed=42)
         spark = get_spark(cpus=8, app_name="gen_corpus")
         spark.read.parquet(single).repartition(32, "url").write.mode(

@@ -23,6 +23,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# top-level import: resolving this only AFTER the bench completes would
+# discard minutes of measurements on an ImportError under `python -m` runs
+from scaling_bench import replace_section  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -43,7 +48,11 @@ def main() -> None:
     spark = get_spark(cpus=cpus, shuffle_partitions=32, app_name="skew_bench")
     ensure_shipped(spark)
 
-    base = write_pages_parquet(f"/tmp/wdq_skew/pages_{n_pages}.parquet", n_pages, seed=42)
+    from wikidataquality_spark.datagen import DATAGEN_VERSION
+
+    base = write_pages_parquet(
+        f"/tmp/wdq_skew/pages_{n_pages}_v{DATAGEN_VERSION}.parquet", n_pages, seed=42
+    )
     # deterministic skew injection: ~60% of urls rewritten onto ONE host
     pages = spark.read.parquet(base).withColumn(
         "url",
@@ -119,11 +128,6 @@ def main() -> None:
         f"| salted | {results['salted_host']['wall_sec']} | {results['salted_host']['max_partition_share']} |\n\n"
         f"**Speedup from salting: {speedup}×**\n"
     )
-    # section-aware rewrite (scaling_bench.replace_section): splitting at the
-    # marker and keeping only the head would truncate every section another
-    # tool appended AFTER this one (e.g. the local-cluster experiment)
-    from scaling_bench import replace_section
-
     with open(baseline, "w") as f:
         f.write(replace_section(content, marker, table))
 

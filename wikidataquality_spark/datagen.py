@@ -34,8 +34,12 @@ SEED = 42
 # bump when generate_pages / generate_pages_with_meta output changes — the
 # shared /tmp corpus caches are keyed by this, so stale fixtures MISS instead
 # of silently validating old datagen output (write_pages_parquet skips
-# generation when the file exists)
-DATAGEN_VERSION = 1
+# generation when the file exists).
+# v2: exact_dup pages stay byte-exact (no post-copy PII/blockword injection)
+#     and dup pages' true_lang follows the copied SOURCE text — the v1
+#     labels poisoned ~10% of langid training rows and falsified ~22% of
+#     exact_dup planted-truth labels.
+DATAGEN_VERSION = 2
 
 
 def fixture_pages_path(
@@ -137,6 +141,7 @@ def generate_pages_with_meta(n_rows: int, seed: int = SEED) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
     texts: list[str] = []
+    true_langs: list[str] = []
 
     for i in range(n_rows):
         lang = LANGS[int(rng.integers(0, len(LANGS)))]
@@ -146,16 +151,25 @@ def generate_pages_with_meta(n_rows: int, seed: int = SEED) -> pd.DataFrame:
 
         defect_kind = "none"
         if defect < 0.06 and i > 10:
-            # exact duplicate of an earlier page
+            # exact duplicate of an earlier page — the COPY's ground truth is
+            # the source page's language (the drawn `lang` is wrong with
+            # p=4/5 and was poisoning ~10% of langid training labels), and
+            # the copy must stay byte-exact: PII/blockword injection below is
+            # skipped, else ~22% of 'exact_dup'-labeled pages weren't dups
             defect_kind = "exact_dup"
-            text = texts[int(rng.integers(0, i))]
+            j = int(rng.integers(0, i))
+            text = texts[j]
+            lang = true_langs[j]
         elif defect < 0.12 and i > 10:
-            # near duplicate: copy an earlier page, perturb one sentence
+            # near duplicate: copy an earlier page, perturb one sentence.
+            # Ground truth follows the SOURCE page (majority of the text).
             defect_kind = "near_dup"
-            src = texts[int(rng.integers(0, i))]
+            j = int(rng.integers(0, i))
+            src = texts[j]
             lines = src.split("\n")
             lines[int(rng.integers(0, len(lines)))] = _sentence(rng, lang, 10)
             text = "\n".join(lines)
+            lang = true_langs[j]
         elif defect < 0.18:
             # gibberish (high perplexity)
             defect_kind = "gibberish"
@@ -179,14 +193,16 @@ def generate_pages_with_meta(n_rows: int, seed: int = SEED) -> pd.DataFrame:
         else:
             text = "\n".join(sents)
 
-        # PII injection (orthogonal to other defects)
-        if rng.random() < 0.15:
+        # PII / blockword injection (orthogonal to other defects) — but never
+        # into an exact_dup page: mutating the copy would falsify its label.
+        # The rng.random() draws still happen so the stream position advances
+        # uniformly whether or not the page is a dup.
+        if rng.random() < 0.15 and defect_kind != "exact_dup":
             words = text.split(" ")
             pos = int(rng.integers(0, len(words)))
             words.insert(pos, _pii(rng))
             text = " ".join(words)
-        # blockword injection
-        if rng.random() < 0.08:
+        if rng.random() < 0.08 and defect_kind != "exact_dup":
             words = text.split(" ")
             pos = int(rng.integers(0, len(words)))
             words.insert(pos, str(rng.choice(list(BLOCKWORDS))))
@@ -206,6 +222,7 @@ def generate_pages_with_meta(n_rows: int, seed: int = SEED) -> pd.DataFrame:
             }
         )
         texts.append(text)
+        true_langs.append(lang)
 
     return pd.DataFrame(rows)
 

@@ -59,13 +59,20 @@ def _update_user_stats(
     if state.exists:
         n, total, last = state.get
     else:
-        n, total, last = 0, 0.0, 0
+        # last starts as None (emits NULL), NOT 0: the batch twin is
+        # F.max(unix_micros(ts)), which ignores NULLs and returns NULL when
+        # a key has no valid timestamp — a 0 init (and max() clamp) would
+        # emit epoch-0 for all-NULL keys and mask pre-1970 timestamps,
+        # breaking the advertised streamed == batch parity
+        n, total, last = 0, 0.0, None
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        # datetime64[any-unit] → µs explicitly (pandas 2 may hand us ns or µs)
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64").max()
-        last = max(last, int(ts_us))
+        ts = pdf["ts"].dropna()
+        if len(ts):
+            # datetime64[any-unit] → µs explicitly (pandas 2 may hand ns or µs)
+            ts_us = int(ts.to_numpy().astype("datetime64[us]").astype("int64").max())
+            last = ts_us if last is None else max(last, ts_us)
     state.update((n, total, last))
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "total_value": total, "last_seen_us": last}]
