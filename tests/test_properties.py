@@ -85,3 +85,53 @@ def test_minhash_catches_planted_near_dups(spark):
     # must be unique
     n_unique = survivors.select("text").distinct().count()
     assert n_unique == survivors.count()
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sql_str_roundtrip_property(s):
+    """sql_str must round-trip ARBITRARY strings through Spark's escaped
+    string-literal parser — rule params come from untrusted CSV config, so
+    any byte sequence that parses differently (or breaks the parser) is an
+    injection/corruption vector. Checked against the parser itself via a
+    shared module-scoped session."""
+    from wikidataquality_spark.rules.model import sql_str
+
+    spark = _shared_spark()
+    got = spark.sql(f"SELECT {sql_str(s)} AS v").first()["v"]
+    assert got == s
+
+
+@given(st.text(alphabet="ab` \\'x-;$", min_size=1, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_sql_ident_roundtrip_property(name):
+    """sql_ident must address a column of ANY hostile name (backticks,
+    quotes, backslashes, spaces, SQL punctuation). Dots are F.col
+    nested-field syntax by contract and have their own dedicated test
+    (test_rules.test_sql_identifier_dotted_param_resolves_nested_field)."""
+    from pyspark.sql import functions as SF
+
+    from wikidataquality_spark.rules.model import sql_ident
+
+    spark = _shared_spark()
+    df = spark.range(1).select(SF.lit(7).alias(name))
+    got = df.selectExpr(f"{sql_ident(name)} AS v").first()["v"]
+    assert got == 7
+
+
+_SPARK_CACHE = []
+
+
+def _shared_spark():
+    if not _SPARK_CACHE:
+        from wikidataquality_spark.session import get_spark
+
+        _SPARK_CACHE.append(get_spark(cpus=2))
+    return _SPARK_CACHE[0]
