@@ -220,3 +220,52 @@ def test_resume_dedups_against_completed_partitions(spark, tmp_path):
     assert len(dup_row) == 1
     assert "unique_value.exact_dup" in dup_row[0]["violated_rules"]
     assert dup_row[0]["keep"] is False
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source/sink: schema-exact round-trip, and filters reach the ORC
+    scan (PushedFilters non-empty) just like parquet."""
+    import contextlib
+    import io
+
+    from pyspark.sql.types import StructType
+
+    from wikidataquality_spark.io.formats import read_orc, write_orc
+
+    rows = [(1, "alpha", 3.5), (2, "beta", -1.0), (3, None, 0.0)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    path = str(tmp_path / "orc_table")
+    write_orc(df, path)
+    back = read_orc(spark, path, StructType.fromDDL("id bigint, name string, score double"))
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("id") > 1).select("id").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_text_lines_and_binary_files_sources(spark, tmp_path):
+    """Line-text (WET-shaped) and binaryFile (multimodal blob ingestion)
+    sources: one row per line / per file, content bytes intact, and the
+    binaryFile glob filter prunes at the listing."""
+    from wikidataquality_spark.io.formats import read_binary_files, read_text_lines
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    lines = read_text_lines(spark, str(tmp_path / "a.txt"))
+    assert [r["value"] for r in lines.orderBy("value").collect()] == [
+        "line one",
+        "line two",
+    ]
+
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    (blob_dir / "x.ppm").write_bytes(b"P6 1 1 255 \x01\x02\x03")
+    (blob_dir / "y.wav").write_bytes(b"RIFFxxxx")
+    (blob_dir / "skip.log").write_text("not media")
+    media = read_binary_files(spark, str(blob_dir), glob="*.{ppm,wav}")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in media.collect()}
+    assert set(got) == {"x.ppm", "y.wav"}
+    assert got["x.ppm"] == b"P6 1 1 255 \x01\x02\x03"
+    assert all(r["length"] > 0 for r in media.collect())

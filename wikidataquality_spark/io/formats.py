@@ -1,4 +1,5 @@
-"""CSV / JSON / Parquet source & sink helpers with explicit schemas.
+"""CSV / JSON / Parquet / ORC / text / binary-file source & sink helpers
+with explicit schemas.
 
 Parity: the reference ingests its rule config and external data from CSV/TSV
 dumps (ref≈maintenance/UpdateConstraintsTable.php:~20-180,
@@ -61,6 +62,40 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC source (native in Spark, no extra jar): the other columnar lake
+    format a webtext corpus commonly arrives in. Splittable, predicate
+    pushdown and column pruning work exactly as for parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line-per-row text source (`value string`) — the WET-file shape of
+    Common-Crawl-style dumps before any structure is imposed. Splittable on
+    uncompressed/bzip2 inputs; one task per gzip member otherwise."""
+    return spark.read.text(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-blob ingestion for the multimodal path: one row per file with
+    (path, modificationTime, length, content:binary) — the natural way raw
+    image/audio/video files enter the MEDIA_SCHEMA pipeline
+    (operators/multimodal.py). Metadata columns (path/length) come from the
+    file listing, so metadata-only pruning never reads blob bytes; at corpus
+    scale prefer many small-to-medium files over a few giants (one file =
+    one row = one task's memory)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
 
 
 def export_once(df: DataFrame, path: str, fmt: str) -> str:
