@@ -34,6 +34,14 @@ from pyspark.sql import types as T
 
 from wikidataquality_spark.rules.model import sql_ident
 
+# Fingerprint-state format tag for the EXACT kind. v1 rows carried
+# k2=length(text); v2 carries the independent second hash xxhash64(1, text).
+# The kind string embeds the version so a stale persisted state table is
+# DETECTED (unknown kind -> loud error in incremental_validate) instead of
+# silently matching nothing.
+STATE_EXACT_KIND = "exact2"
+STATE_KINDS = (STATE_EXACT_KIND, "band")
+
 # MinHash geometry: H hashes = B bands × R rows. Jaccard threshold ≈ (1/B)^(1/R)
 # → B=16, R=8 ⇒ ~0.71; near-dup pairs (1 sentence changed of ~6) sit well above.
 MINHASH_H = 128
@@ -57,15 +65,22 @@ def exact_dedup(
 
     NULL text (extraction failures) is exempt from dedup: unknown content is
     not 'identical' content — without the exemption every NULL-text doc
-    shares one hash partition and all but one would be silently dropped."""
+    shares one hash partition and all but one would be silently dropped.
+    Exemption happens BEFORE the window (filter + union back), not as an
+    escape clause after it: xxhash64(NULL) is a constant, so a corpus with
+    millions of extraction failures would otherwise sort its entire NULL
+    population in one straggler window partition just to discard the rank."""
     w = W.partitionBy(
         F.xxhash64(text_col), F.xxhash64(F.lit(1), F.col(text_col))
     ).orderBy(id_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) | F.col(text_col).isNull())
+    nn = F.col(text_col).isNotNull()
+    deduped = (
+        df.filter(nn)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return deduped.unionByName(df.filter(~nn))
 
 
 def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -227,15 +242,19 @@ def dup_marks(
 
     `state` (optional) makes the operator INCREMENTAL: a fingerprint table of
     previously-processed documents (schema of `dup_fingerprints`: id, kind
-    'exact'|'band', k1, k2) is unioned into both flag windows, so a new batch
-    is deduplicated against the whole corpus seen so far without re-reading
-    any document body. The production analogue at 10^12 docs is an Iceberg
-    fingerprint table keyed by (kind, k1) that successive crawl snapshots
-    append to — state rows are ~24 bytes/doc·(1+B bands), and only they
-    shuffle. Flags equal the global batch computation whenever ingest order
-    respects the survivor total order (min-id): every state id precedes every
-    batch id. State rows whose id collides with a batch id are dropped first,
-    so a retried batch (exactly-once resume) never flags itself."""
+    STATE_EXACT_KIND|'band', k1, k2) is unioned into both flag windows, so a
+    new batch is deduplicated against the whole corpus seen so far without
+    re-reading any document body. The production analogue at 10^12 docs is an
+    Iceberg fingerprint table keyed by (kind, k1) that successive crawl
+    snapshots append to — state rows are ~24 bytes/doc·(1+B bands), and only
+    they shuffle. Survivor precedence: a state match ALWAYS flags the batch
+    copy (the already-written document survives); among batch rows the min
+    id wins. Flags therefore equal the global batch computation whenever
+    ingest order respects the survivor total order (every state id precedes
+    every batch id — streaming/windows.py enforces this), and degrade to
+    written-copy-wins otherwise (partition resume). State rows whose id
+    collides with a batch id are dropped first, so a retried batch
+    (exactly-once resume) never flags itself."""
     qid = sql_ident(id_col)
     qtext = sql_ident(text_col)
     # SQL-string plan construction (one selectExpr per step instead of a py4j
@@ -273,7 +292,7 @@ def dup_marks(
     exact_in = keyed.selectExpr(qid, "_h", "_h2", "FALSE AS _from_state")
     if state is not None:
         exact_in = exact_in.unionByName(
-            state.filter(F.col("kind") == "exact").select(
+            state.filter(F.col("kind") == STATE_EXACT_KIND).select(
                 F.col(id_col),
                 F.col("k1").alias("_h"),
                 F.col("k2").alias("_h2"),
@@ -285,12 +304,19 @@ def dup_marks(
     # this is the plain per-row flag; with a re-crawled id appearing twice,
     # the per-instance flags would otherwise rejoin onto BOTH instances and
     # drop the survivor itself.
+    # Survivor order: state rows sort FIRST (`_from_state DESC` — an
+    # already-written copy always wins), THEN min id. Under the streaming
+    # survivor-order precondition (every state id < every batch id) this is
+    # identical to plain min-id — but a partition-resume caller (run_pipeline
+    # --resume) feeds state whose ids are arbitrary relative to the batch,
+    # and ordering by id alone would leave BOTH copies kept whenever the
+    # unwritten copy's id sorts first.
     exact = (
         exact_in.selectExpr(
             qid,
             "_from_state",
-            f"(row_number() OVER (PARTITION BY _h, _h2 ORDER BY {qid})) > 1"
-            " AS _inst_dup",
+            "(row_number() OVER (PARTITION BY _h, _h2 "
+            f"ORDER BY _from_state DESC, {qid})) > 1 AS _inst_dup",
         )
         .filter("NOT _from_state")
         .groupBy(id_col)
@@ -310,13 +336,19 @@ def dup_marks(
                 F.lit(True).alias("_from_state"),
             )
         )
+    # same state precedence as the exact window: a bucket containing ANY
+    # state row flags every batch row in it (the written copy survives);
+    # otherwise min-id within the batch. bool_or piggybacks on the same
+    # window partitioning — no extra shuffle.
     near = (
         bands.selectExpr(
             qid,
             "_from_state",
             f"min({qid}) OVER (PARTITION BY _band_key) AS _keep_id",
+            "max(CASE WHEN _from_state THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY _band_key) AS _has_state",
         )
-        .filter(f"({qid} != _keep_id) AND (NOT _from_state)")
+        .filter(f"(_has_state = 1 OR {qid} != _keep_id) AND (NOT _from_state)")
         .select(id_col)
         .distinct()
         .selectExpr(qid, "TRUE AS is_near_dup")
@@ -376,7 +408,7 @@ def dup_fingerprints(
     )
     exact = keyed.select(
         id_col,
-        F.lit("exact").alias("kind"),
+        F.lit(STATE_EXACT_KIND).alias("kind"),
         F.col("_h").alias("k1"),
         F.col("_h2").alias("k2"),
     )

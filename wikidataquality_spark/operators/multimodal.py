@@ -383,28 +383,33 @@ _MEDIA_CACHE_VERSION = "v1"
 def _cached_parquet(spark, key: str, write_to) -> DataFrame:
     """Read-through /tmp parquet cache, content-keyed and cross-session.
 
-    Concurrency-safe: a writer stages under a pid-unique dir, then publishes
-    with an atomic os.rename; concurrent sessions either see the published
-    dir (and read it) or race benignly — the loser's rename fails and it
-    reads the winner's identical, deterministic content."""
+    Concurrency-safe via an exclusive flock around the whole
+    check-stage-publish sequence: without it, two sessions recovering from a
+    stale PARTIAL publish (crashed writer, no _SUCCESS) could each rmtree
+    what the other just published — one crashing on the rename, a third
+    reader transiently seeing no cache at all. Content is deterministic, so
+    whoever holds the lock first publishes and everyone else just reads."""
+    import fcntl
     import os
     import shutil
 
     cache = f"/tmp/wdq_media_cache/{_MEDIA_CACHE_VERSION}/{key}"
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        staging = f"{cache}.staging.{os.getpid()}"
-        write_to(staging)
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return spark.read.parquet(cache)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
         try:
-            os.rename(staging, cache)
-        except OSError:
+            # re-check under the lock: the previous holder may have published
             if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-                # a stale PARTIAL publish (crashed writer, no _SUCCESS)
-                # blocks the rename but is unreadable — replace it
-                shutil.rmtree(cache, ignore_errors=True)
+                if os.path.exists(cache):
+                    # stale partial publish — unreadable, replace it
+                    shutil.rmtree(cache)
+                staging = f"{cache}.staging.{os.getpid()}"
+                write_to(staging)
                 os.rename(staging, cache)
-            else:
-                # another session published first; its content is identical
-                shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return spark.read.parquet(cache)
 
 

@@ -128,8 +128,12 @@ def incremental_validate(
     # no _epoch= partition dirs for Spark to discover, and without _epoch in
     # the explicit schema the filter below would raise UNRESOLVED_COLUMN on
     # every retry — permanently wedging the stream instead of treating the
-    # empty table as "no prior state"
-    state_read_schema = state_schema.add("_epoch", ST.LongType())
+    # empty table as "no prior state". Built as a NEW StructType:
+    # StructType.add MUTATES and returns self, which would silently put
+    # _epoch into state_schema (and the first-batch empty frame) too.
+    state_read_schema = ST.StructType(
+        state_schema.fields + [ST.StructField("_epoch", ST.LongType())]
+    )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         state = None
@@ -159,7 +163,24 @@ def incremental_validate(
                 # computation. Fail loudly instead of silently diverging.
                 # Cost: two column-pruned min/max scans per epoch; a 10^12-doc
                 # deployment would keep a per-epoch watermark file instead.
-                smax = state.agg(SF.max("url")).first()[0]
+                # The same action also piggybacks a state-FORMAT check: a
+                # state table written by an older fingerprint format (e.g.
+                # v1's kind='exact' rows, whose k2 was length(text)) must
+                # fail loudly — its rows would otherwise silently never match.
+                from wikidataquality_spark.operators.dedup import STATE_KINDS
+
+                kinds_sql = ", ".join(f"'{k}'" for k in STATE_KINDS)
+                smax, bad_kind = state.agg(
+                    SF.max("url"),
+                    SF.max(SF.when(~SF.col("kind").isin(*STATE_KINDS), SF.col("kind"))),
+                ).first()
+                if bad_kind is not None:
+                    raise ValueError(
+                        f"incremental_validate: state table contains rows of "
+                        f"unknown fingerprint kind {bad_kind!r} (expected one "
+                        f"of {kinds_sql}) — likely written by an older "
+                        "fingerprint format; rebuild the state table"
+                    )
                 bmin = batch_df.agg(SF.min("url")).first()[0]
                 if smax is not None and bmin is not None and bmin <= smax:
                     raise ValueError(
