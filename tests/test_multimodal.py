@@ -191,12 +191,14 @@ def test_wav_rejects_unsupported_layout():
 
     from wikidataquality_spark.operators.multimodal import decode_wav
 
+    # stereo + 8-bit became SUPPORTED layouts (downmix / rescale); the reject
+    # path now covers what decode_wav still can't represent: 24-bit samples
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(2)
-        w.setsampwidth(2)
+        w.setnchannels(1)
+        w.setsampwidth(3)
         w.setframerate(8000)
-        w.writeframes(np.zeros(64, dtype="<i2").tobytes())
+        w.writeframes(np.zeros(64 * 3, dtype=np.uint8).tobytes())
     with pytest.raises(ValueError, match="unsupported WAV layout"):
         decode_wav(buf.getvalue())
 
@@ -239,3 +241,66 @@ def test_clip_ratio_counts_negative_rail(spark):
     got = {r["media_id"]: r["clip_ratio"] for r in audio_features(df).collect()}
     assert got[1] == 1.0
     assert got[2] == 0.5
+
+
+def test_total_decode_poisoned_corpus_completes(spark):
+    """r03 VERDICT #3: a poisoned corpus must COMPLETE, emitting one
+    structured error row per corrupt blob — never a task-killing raise."""
+    from wikidataquality_spark.operators.multimodal import (
+        audio_features,
+        corrupt_media,
+        image_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    good = synthetic_media(spark, n=8)
+    bad = corrupt_media(spark)
+    both = good.unionByName(bad)
+
+    imgs = image_features(both.filter(F.col("meta.kind") == "image"))
+    rows = {r["media_id"]: r for r in imgs.collect()}
+    assert rows[-200]["err"] == "ValueError: truncated PPM pixel data"
+    assert rows[-201]["err"] == "ValueError: not a P6 PPM blob"
+    assert rows[-200]["mean_luma"] is None
+    assert rows[-200]["n_bytes"] == 45  # hash/len still computed for triage
+    assert all(r["err"] is None for mid, r in rows.items() if mid >= 0)
+
+    auds = audio_features(both.filter(F.col("meta.kind") == "audio"))
+    arows = {r["media_id"]: r for r in auds.collect()}
+    assert arows[-202]["err"] == "ValueError: not a RIFF/WAV blob"
+    assert all(r["err"] is None for mid, r in arows.items() if mid >= 0)
+
+    frames = sample_frames(both.filter(F.col("meta.kind") == "video"))
+    frows = frames.collect()
+    errs = [r for r in frows if r["err"] is not None]
+    assert len(errs) == 1 and errs[0]["media_id"] == -203
+    assert errs[0]["err"] == "ValueError: truncated PPMV frame header at frame 1"
+    # the frame before the truncation point is rescued, and is decodable
+    rescued = [r for r in frows if r["media_id"] == -203 and r["err"] is None]
+    assert [r["frame_index"] for r in rescued] == [0]
+    from wikidataquality_spark.operators.multimodal import decode_ppm
+
+    assert decode_ppm(bytes(rescued[0]["frame_blob"])).shape == (4, 4, 3)
+
+
+def test_decode_wav_stereo_downmix_and_8bit():
+    """r03 VERDICT #7: stereo downmixes (l+r)//2; 8-bit rescales to int16."""
+    import numpy as np
+
+    from wikidataquality_spark.operators.multimodal import decode_wav, encode_wav
+
+    stereo = np.stack(
+        [np.full(10, 1000, dtype=np.int16), np.full(10, 3001, dtype=np.int16)],
+        axis=1,
+    )
+    s, sr = decode_wav(encode_wav(stereo, 8000, nchannels=2))
+    assert sr == 8000 and list(s) == [2000] * 10  # floor((1000+3001)/2)
+
+    s8, sr8 = decode_wav(encode_wav(np.full(5, 192, dtype=np.uint8), 16000, sampwidth=1))
+    assert sr8 == 16000 and list(s8) == [16384] * 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a RIFF/WAV blob"):
+        decode_wav(b"\x00" * 32)

@@ -91,3 +91,19 @@ def test_external_dbs_and_markdown_render(spark):
     capped = render_markdown(constraint_report(_validated(spark)), max_rows=2)
     assert "truncated at 2 rows" in capped
     assert capped.count("\n| ") == 3  # header divider + 2 data rows
+
+
+def test_render_markdown_escapes_pipes_and_newlines(spark):
+    """Cell values from arbitrary documents must not break table structure."""
+    from wikidataquality_spark.report import render_markdown
+
+    df = spark.createDataFrame(
+        [("a|b", "line1\nline2"), ("plain", "x\r\ny")], "k string, v string"
+    )
+    md = render_markdown(df)
+    import re
+
+    body = [ln for ln in md.splitlines() if ln.startswith("|")][2:]
+    # 2 columns = exactly 3 UNESCAPED pipes per row
+    assert all(len(re.findall(r"(?<!\\)\|", ln)) == 3 for ln in body)
+    assert "a\\|b" in md and "line1 line2" in md

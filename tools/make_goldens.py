@@ -88,8 +88,11 @@ def freeze_query_fixtures(spark) -> None:
     from wikidataquality_spark.plans.driver_queries import QUERIES
 
     mm = QUERIES["multimodal_features"](spark, SF001_DIR)
+    # every anchor row (ref_* goods, planted corruption, rescued frames,
+    # robust audio layouts) has NEGATIVE media_id and lives as hand-derived
+    # literals in the oracle SQL — only the synthetic bulk is frozen
     _freeze(
-        mm.filter(~mm["part"].isin("ref_image", "ref_audio")),
+        mm.filter(mm["media_id"] >= 0),
         "multimodal_expected.parquet",
     )
 

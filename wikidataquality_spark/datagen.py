@@ -228,9 +228,15 @@ def generate_pages_with_meta(n_rows: int, seed: int = SEED) -> pd.DataFrame:
 
 
 def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:
-    """Materialize the corpus to parquet (idempotent; skips if file exists)."""
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    """Materialize the corpus to parquet — write-once and crash/concurrency
+    safe. Every correctness gate (golden confusion, property tests, stream
+    corpus, make_goldens) trusts this shared cross-session cache, so it gets
+    the same staged-rename + flock publish as the media cache (r03 ADVICE:
+    a crashed writer used to leave a partial file at the final path that the
+    exists() fast-path then trusted forever)."""
+    from wikidataquality_spark.io.locking import publish_file
+
+    def write(staging: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -244,5 +250,6 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:
                 pa.field("lang", pa.string()),
             ]
         )
-        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
-    return path
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), staging)
+
+    return publish_file(path, write)

@@ -17,7 +17,6 @@ Format selection:
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import uuid
@@ -45,18 +44,15 @@ def _manifest_lock(table_dir: str):
     os.replace makes each individual write atomic, but two concurrent
     write_partitioned calls against one table_dir would otherwise interleave
     read→modify→write and the last writer would erase the other's run entry
-    and completed partitions. flock covers same-host concurrency (the
-    sandbox and single-driver deployments); a multi-driver production
-    deployment replaces this whole manifest with an Iceberg catalog commit,
-    which is the real transaction."""
+    and completed partitions. Locking goes through io/locking.py — the one
+    seam whose flock implementation a multi-driver/object-store deployment
+    swaps for conditional puts or an Iceberg catalog commit, which is the
+    real transaction."""
+    from wikidataquality_spark.io.locking import exclusive_lock
+
     os.makedirs(table_dir, exist_ok=True)
-    lock_path = _manifest_path(table_dir) + ".lock"
-    with open(lock_path, "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            yield
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
+    with exclusive_lock(_manifest_path(table_dir) + ".lock"):
+        yield
 
 
 def read_manifest(table_dir: str) -> dict:

@@ -62,6 +62,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("resized_w", T.IntegerType(), True),
         T.StructField("resized_h", T.IntegerType(), True),
+        T.StructField("err", T.StringType(), True),  # NULL on success
     ]
 )
 
@@ -70,6 +71,7 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_index", T.IntegerType(), False),
         T.StructField("frame_blob", T.BinaryType(), True),
+        T.StructField("err", T.StringType(), True),  # NULL on success
     ]
 )
 
@@ -83,8 +85,17 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
         T.StructField("clip_ratio", T.DoubleType(), True),
+        T.StructField("err", T.StringType(), True),  # NULL on success
     ]
 )
+
+
+def _err_str(e: Exception) -> str:
+    """Stable, bounded error label for a failed decode. The decoders raise
+    their OWN ValueErrors on every corruption class they detect, so the
+    strings pinned in oracle anchors are this repo's constants, not stdlib
+    message text that could drift across Python versions."""
+    return f"{type(e).__name__}: {e}"[:160]
 
 
 def _fake_pixels(blob: bytes, w: int, h: int) -> np.ndarray:
@@ -136,6 +147,8 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if len(blob) < pos + w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
     return data.reshape(h, w, 3)
 
@@ -176,38 +189,60 @@ def demux_ppmv(blob: bytes):
         pos = end
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Encode int16 mono PCM samples as a standard WAV (stdlib `wave` —
-    44-byte RIFF header + little-endian frames; no external audio libs)."""
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, nchannels: int = 1, sampwidth: int = 2
+) -> bytes:
+    """Encode PCM samples as a standard WAV (stdlib `wave` — 44-byte RIFF
+    header + little-endian frames; no external audio libs). Mono int16 by
+    default; stereo takes an (n, 2) array, 8-bit takes uint8 values."""
     import io
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setnchannels(nchannels)
+        w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
-        w.writeframes(samples.astype("<i2").tobytes())
+        dt = "<i2" if sampwidth == 2 else "u1"
+        w.writeframes(np.asarray(samples).astype(dt).tobytes())
     return buf.getvalue()
 
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """Parse a WAV blob into (int16 mono samples, sample_rate). Real codec:
-    the RIFF container is parsed by stdlib `wave`; only 16-bit mono PCM is
-    accepted (the corpus contract) — anything else raises loudly rather than
-    silently mis-featurizing."""
+    the RIFF container is parsed by stdlib `wave`. Accepted layouts (r03
+    VERDICT #7 — one mono-int16-only contract was too narrow for crawled
+    audio):
+      - 16-bit mono PCM: passthrough;
+      - 16-bit stereo:   downmixed (l+r)//2 in int32 (floor division —
+        deterministic, no float rounding in the hot path);
+      - 8-bit PCM (unsigned, per the WAV spec): rescaled (x-128)·256 to the
+        int16 range, stereo downmixed the same way AFTER rescale.
+    Anything else (24-bit, >2 channels, non-RIFF bytes) raises this module's
+    own ValueError so the total-decode wrapper emits a stable error row."""
     import io
     import wave
 
+    if blob[:4] != b"RIFF":
+        raise ValueError("not a RIFF/WAV blob")
     with wave.open(io.BytesIO(blob), "rb") as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+        nch, width = w.getnchannels(), w.getsampwidth()
+        if nch not in (1, 2) or width not in (1, 2):
             raise ValueError(
-                f"unsupported WAV layout: channels={w.getnchannels()} "
-                f"sampwidth={w.getsampwidth()} (want 16-bit mono PCM)"
+                f"unsupported WAV layout: channels={nch} sampwidth={width} "
+                "(want 8/16-bit PCM, mono or stereo)"
             )
         sr = w.getframerate()
         data = w.readframes(w.getnframes())
-    return np.frombuffer(data, dtype="<i2"), sr
+    if width == 2:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) * 256
+    if nch == 2:
+        if len(samples) % 2:
+            raise ValueError("truncated stereo WAV frame data")
+        samples = (samples[0::2] + samples[1::2]) // 2
+    return samples.astype(np.int16), sr
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -224,13 +259,38 @@ def audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, blob in zip(keep["media_id"], keep["blob"]):
                 b = bytes(blob)
-                samples, sr = decode_wav(b)
+                base = {
+                    "media_id": media_id,
+                    "n_bytes": len(b),
+                    "content_hash": hashlib.sha256(b).hexdigest(),
+                }
+                # TOTAL decode (r03 VERDICT #3): a crawled corpus is full of
+                # malformed blobs; one raise here would fail the Arrow batch,
+                # then the task, then (after 4 retries) the whole 100 TB job.
+                # Corruption becomes a structured error ROW instead.
+                try:
+                    samples, sr = decode_wav(b)
+                except Exception as e:  # noqa: BLE001 — totality on purpose
+                    rows.append(
+                        {
+                            **base,
+                            # explicit Nones keep the pandas columns object-
+                            # dtyped (int+None), which Arrow maps to nullable
+                            # longs — missing keys would become float NaN and
+                            # fail the safe cast to LongType
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "rms": None,
+                            "clip_ratio": None,
+                            "err": _err_str(e),
+                        }
+                    )
+                    continue
                 x = samples.astype(np.float64)
                 rows.append(
                     {
-                        "media_id": media_id,
-                        "n_bytes": len(b),
-                        "content_hash": hashlib.sha256(b).hexdigest(),
+                        **base,
                         "sample_rate": int(sr),
                         "n_samples": len(samples),
                         "duration_ms": len(samples) * 1000 // sr,
@@ -243,6 +303,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                         )
                         if len(samples)
                         else 0.0,
+                        "err": None,
                     }
                 )
             yield pd.DataFrame(
@@ -280,18 +341,35 @@ def image_features(
             keep = pdf[pdf["blob"].notna()]
             rows = []
             for media_id, blob in zip(keep["media_id"], keep["blob"]):
-                px = _decode_image(bytes(blob), deterministic_fake)
+                b = bytes(blob)
+                base = {
+                    "media_id": media_id,
+                    "n_bytes": len(b),
+                    "content_hash": hashlib.sha256(b).hexdigest(),
+                }
+                try:  # TOTAL decode — see audio_features
+                    px = _decode_image(b, deterministic_fake)
+                except Exception as e:  # noqa: BLE001 — totality on purpose
+                    rows.append(
+                        {
+                            **base,
+                            "mean_luma": None,
+                            "resized_w": None,
+                            "resized_h": None,
+                            "err": _err_str(e),
+                        }
+                    )
+                    continue
                 sy = max(px.shape[0] // target_h, 1)
                 sx = max(px.shape[1] // target_w, 1)
                 resized = px[::sy, ::sx][:target_h, :target_w]
                 rows.append(
                     {
-                        "media_id": media_id,
-                        "n_bytes": len(blob),
-                        "content_hash": hashlib.sha256(bytes(blob)).hexdigest(),
+                        **base,
                         "mean_luma": float(resized.mean()),
                         "resized_w": int(resized.shape[1]),
                         "resized_h": int(resized.shape[0]),
+                        "err": None,
                     }
                 )
             yield pd.DataFrame(
@@ -327,14 +405,37 @@ def sample_frames(
                             bytes(blob) + idx.to_bytes(4, "big")
                         ).digest()
                         out.append(
-                            {"media_id": media_id, "frame_index": idx, "frame_blob": frame}
+                            {
+                                "media_id": media_id,
+                                "frame_index": idx,
+                                "frame_blob": frame,
+                                "err": None,
+                            }
                         )
                     continue
-                for idx, frame in demux_ppmv(bytes(blob)):
-                    if idx % every_nth == 0:
-                        out.append(
-                            {"media_id": media_id, "frame_index": idx, "frame_blob": frame}
-                        )
+                # TOTAL demux — a truncated container yields the frames that
+                # parsed cleanly plus ONE error row (frame_index −1) flagging
+                # the blob; never a task-killing raise (see audio_features)
+                try:
+                    for idx, frame in demux_ppmv(bytes(blob)):
+                        if idx % every_nth == 0:
+                            out.append(
+                                {
+                                    "media_id": media_id,
+                                    "frame_index": idx,
+                                    "frame_blob": frame,
+                                    "err": None,
+                                }
+                            )
+                except Exception as e:  # noqa: BLE001 — totality on purpose
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_index": -1,
+                            "frame_blob": None,
+                            "err": _err_str(e),
+                        }
+                    )
             yield pd.DataFrame(
                 out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
             )
@@ -388,29 +489,22 @@ def _cached_parquet(spark, key: str, write_to) -> DataFrame:
     stale PARTIAL publish (crashed writer, no _SUCCESS) could each rmtree
     what the other just published — one crashing on the rename, a third
     reader transiently seeing no cache at all. Content is deterministic, so
-    whoever holds the lock first publishes and everyone else just reads."""
-    import fcntl
-    import os
-    import shutil
+    whoever holds the lock first publishes and everyone else just reads.
 
-    cache = f"/tmp/wdq_media_cache/{_MEDIA_CACHE_VERSION}/{key}"
-    if os.path.exists(os.path.join(cache, "_SUCCESS")):
-        return spark.read.parquet(cache)
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
-    with open(cache + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            # re-check under the lock: the previous holder may have published
-            if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-                if os.path.exists(cache):
-                    # stale partial publish — unreadable, replace it
-                    shutil.rmtree(cache)
-                staging = f"{cache}.staging.{os.getpid()}"
-                write_to(staging)
-                os.rename(staging, cache)
-        finally:
-            fcntl.flock(lk, fcntl.LOCK_UN)
-    return spark.read.parquet(cache)
+    The cache root is keyed by uid under TMPDIR and created 0o700 (r03
+    ADVICE): a fixed world-writable /tmp path let any local user pre-poison
+    the cache the oracle gates read, or squat the .lock file so open() fails."""
+    import os
+    import tempfile
+
+    from wikidataquality_spark.io.locking import publish_dir
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"wdq_media_cache_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    cache = os.path.join(root, _MEDIA_CACHE_VERSION, key)
+    return spark.read.parquet(publish_dir(cache, write_to))
 
 
 def _generate_media(spark, n: int, seed: int) -> DataFrame:
@@ -481,6 +575,57 @@ def ref_media(spark) -> DataFrame:
     measured, a 3-row count() took 4-5s — while the parquet-backed scan is
     milliseconds."""
     return _cached_parquet(spark, "ref_media", lambda p: _write_ref_media(spark, p))
+
+
+def corrupt_media(spark) -> DataFrame:
+    """Hand-crafted malformed + edge-layout blobs — the planted-corruption
+    anchor set for decode TOTALITY (r03 VERDICT #3/#7). Every row's expected
+    output (error string or hand-derived features) is pinned as literal
+    VALUES in the `multimodal_features` oracle SQL:
+      - -200 image: P6 header claiming 10×10 but only 32 pixel bytes
+                    ⇒ err "ValueError: truncated PPM pixel data"
+      - -201 image: GIF89a bytes ⇒ err "ValueError: not a P6 PPM blob"
+      - -202 audio: junk bytes ⇒ err "ValueError: not a RIFF/WAV blob"
+      - -203 video: PPMV claiming 2 frames, frame 1 header cut short
+                    ⇒ frame 0 demuxes fine, plus one error row
+                    "ValueError: truncated PPMV frame header at frame 1"
+      - -210 audio: STEREO 16-bit, L=+1000/R=+3000 constant, 400 frames @
+                    8 kHz ⇒ downmix 2000 ⇒ rms 2000.0, clip 0.0, 50 ms
+      - -211 audio: 8-BIT mono, constant 192, 320 samples @ 16 kHz ⇒
+                    rescale (192−128)·256 = 16384 ⇒ rms 16384.0, 20 ms
+    """
+    return _cached_parquet(spark, "corrupt_media_v1", lambda p: _write_corrupt_media(spark, p))
+
+
+def _write_corrupt_media(spark, path: str) -> None:
+    trunc_ppm = b"P6\n10 10\n255\n" + bytes(range(32))
+    not_ppm = b"GIF89a" + bytes(64)
+    not_wav = b"\x00\x01\x02\x03junkjunkjunk"
+    frame0 = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    trunc_ppmv = PPMV_MAGIC + (2).to_bytes(4, "big") + frame0 + b"P6\n8 8\n"
+    stereo = np.stack(
+        [np.full(400, 1000, dtype=np.int16), np.full(400, 3000, dtype=np.int16)],
+        axis=1,
+    )
+    wav_stereo = encode_wav(stereo, 8000, nchannels=2)
+    wav_8bit = encode_wav(np.full(320, 192, dtype=np.uint8), 16000, sampwidth=1)
+    rows = [
+        (-200, "ref://corrupt/trunc_ppm", bytearray(trunc_ppm),
+         ("image", "ppm", 10, 10, None, None, None)),
+        (-201, "ref://corrupt/not_ppm", bytearray(not_ppm),
+         ("image", "ppm", None, None, None, None, None)),
+        (-202, "ref://corrupt/not_wav", bytearray(not_wav),
+         ("audio", "wav", None, None, None, None, None)),
+        (-203, "ref://corrupt/trunc_ppmv", bytearray(trunc_ppmv),
+         ("video", "ppmv", 4, 4, 2, None, None)),
+        (-210, "ref://audio/stereo", bytearray(wav_stereo),
+         ("audio", "wav", None, None, None, 8000, 50)),
+        (-211, "ref://audio/8bit", bytearray(wav_8bit),
+         ("audio", "wav", None, None, None, 16000, 20)),
+    ]
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def _write_ref_media(spark, path: str) -> None:

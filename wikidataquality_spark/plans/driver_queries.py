@@ -1807,21 +1807,49 @@ _FIXTURES = "/root/repo/tests/fixtures"
     "multimodal_features",
     f"""
 SELECT part, media_id, frame_index, n_bytes, content_hash,
-       mean_luma, rms, clip_ratio, duration_ms
+       mean_luma, rms, clip_ratio, duration_ms, '' AS err
 FROM read_parquet('{_FIXTURES}/multimodal_expected.parquet')
 UNION ALL
 SELECT * FROM (VALUES
   ('ref_image', CAST(-100 AS BIGINT), CAST(-1 AS BIGINT), CAST(781 AS BIGINT),
    '4d4144487053447b1605399fdc64f9c3d23353ef520e012770d3be55f50d4547',
-   127.5, -1.0, -1.0, CAST(-1 AS BIGINT)),
+   127.5, -1.0, -1.0, CAST(-1 AS BIGINT), ''),
   ('ref_audio', CAST(-101 AS BIGINT), CAST(-1 AS BIGINT), CAST(2044 AS BIGINT),
    'e2194a6bd40ad614f32a1e1a149c90a10a36a96600ff960cded387ad091eeb15',
-   -1.0, 16384.0, 0.0, CAST(125 AS BIGINT)),
+   -1.0, 16384.0, 0.0, CAST(125 AS BIGINT), ''),
   ('ref_audio', CAST(-102 AS BIGINT), CAST(-1 AS BIGINT), CAST(1644 AS BIGINT),
    '47ff62cbbc53057691d93867c00182433e1be40c9ace1013a6a3df7973afa4e7',
-   -1.0, 32767.0, 1.0, CAST(50 AS BIGINT))
+   -1.0, 32767.0, 1.0, CAST(50 AS BIGINT), ''),
+  -- planted corruption: decode is TOTAL — one structured error row per bad
+  -- blob, never a task-killing raise (multimodal.corrupt_media docstring
+  -- derives every literal)
+  ('error', CAST(-200 AS BIGINT), CAST(-1 AS BIGINT), CAST(45 AS BIGINT),
+   'dba8288aaab936843c932f18f54692a833641fc8effeae66fb460748c8d28c3b',
+   -1.0, -1.0, -1.0, CAST(-1 AS BIGINT), 'ValueError: truncated PPM pixel data'),
+  ('error', CAST(-201 AS BIGINT), CAST(-1 AS BIGINT), CAST(70 AS BIGINT),
+   '85c6722be51489cb79f9e29bd240407858a3313872ffa830fe734a864abd5565',
+   -1.0, -1.0, -1.0, CAST(-1 AS BIGINT), 'ValueError: not a P6 PPM blob'),
+  ('error', CAST(-202 AS BIGINT), CAST(-1 AS BIGINT), CAST(16 AS BIGINT),
+   'b3c509d5c6e9acbc0b3441501ad7db8ec62eff4c8b5c2a7b01875217dd8b8446',
+   -1.0, -1.0, -1.0, CAST(-1 AS BIGINT), 'ValueError: not a RIFF/WAV blob'),
+  ('error', CAST(-203 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+   '', -1.0, -1.0, -1.0, CAST(-1 AS BIGINT),
+   'ValueError: truncated PPMV frame header at frame 1'),
+  -- the frame BEFORE the truncation point demuxes fine and is rescued
+  -- (bytes pinned by sha256 — computed JVM-side, no decode)
+  ('frame_rescued', CAST(-203 AS BIGINT), CAST(0 AS BIGINT), CAST(59 AS BIGINT),
+   'cbbd1395012fad276af0c69ad5f440419a1b00fd30a8d25aada2cd86c2702a8b',
+   -1.0, -1.0, -1.0, CAST(-1 AS BIGINT), ''),
+  -- robust layouts: stereo downmix (1000+3000)//2 = 2000; 8-bit rescale
+  -- (192-128)*256 = 16384
+  ('ref_audio', CAST(-210 AS BIGINT), CAST(-1 AS BIGINT), CAST(1644 AS BIGINT),
+   '64c9d87860cb1351af79e3e3834aeaa637053f25fc0d699469be16f691403ac7',
+   -1.0, 2000.0, 0.0, CAST(50 AS BIGINT), ''),
+  ('ref_audio', CAST(-211 AS BIGINT), CAST(-1 AS BIGINT), CAST(364 AS BIGINT),
+   '138b140349c68032660c0e6557ca3fd289678a030f255c7df0e1a7c076be514b',
+   -1.0, 16384.0, 0.0, CAST(20 AS BIGINT), '')
 ) AS t(part, media_id, frame_index, n_bytes, content_hash,
-       mean_luma, rms, clip_ratio, duration_ms)
+       mean_luma, rms, clip_ratio, duration_ms, err)
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,9 +1866,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±16384 square wave, full-scale clipped tone) whose n_bytes / mean_luma /
     rms / clip_ratio / duration are HAND-DERIVED literals in the oracle SQL
     (781 B & 127.5; 2044 B & 16384.0 & 125 ms; 1644 B & 32767.0 & 50 ms), so
-    a green no longer only means 'matches my own frozen output'."""
+    a green no longer only means 'matches my own frozen output'. The anchor
+    set also plants four CORRUPT blobs and two edge audio layouts
+    (corrupt_media): their error rows / downmixed features are further
+    hand-derived oracle literals — totality of the decoders is driver-gated,
+    not just unit-tested."""
     from wikidataquality_spark.operators.multimodal import (
         audio_features,
+        corrupt_media,
         image_features,
         ref_media,
         sample_frames,
@@ -1848,28 +1881,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ONE image-decode pass and ONE audio-decode pass over everything
-    # (synthetic ∪ ref ∪ sampled frames), instead of a mapInPandas stage per
-    # union branch: five Arrow python stages collapse to three
+    # (synthetic ∪ ref ∪ corrupt ∪ sampled frames), instead of a mapInPandas
+    # stage per union branch: the Arrow python stages stay at three
     # (sample_frames → image_features → audio_features), each stage's fixed
     # cost (task launch, worker pickup, Arrow init) paid once. Provenance is
-    # encoded in media_id — ref blobs are negative, synthetic ids < 1000,
+    # encoded in media_id — anchor blobs are negative, synthetic ids < 1000,
     # frames are id·1000+frame_index (≥ 3000, video ids start at 3) — and
     # decoded back to (part, media_id, frame_index) in plain SQL afterwards.
+    # Decode is TOTAL: corrupt blobs become part='error' rows (err carries
+    # the decoder's own ValueError text), and a truncated video container
+    # still yields its parseable frame prefix (part='frame_rescued').
     media = synthetic_media(spark, n=64)
     ref = ref_media(spark)
-    frames_in = sample_frames(
-        media.filter(F.col("meta.kind") == "video"), every_nth=10
+    bad = corrupt_media(spark)
+
+    frames_all = sample_frames(
+        media.filter(F.col("meta.kind") == "video").unionByName(
+            bad.filter(F.col("meta.kind") == "video")
+        ),
+        every_nth=10,
+    )
+    frames_in = frames_all.filter(
+        F.col("err").isNull() & (F.col("media_id") >= 0)
     ).selectExpr("media_id * 1000 + frame_index AS media_id", "frame_blob AS blob")
+    video_err = frames_all.filter(F.col("err").isNotNull()).selectExpr(
+        "'error' AS part",
+        "media_id",
+        "CAST(-1 AS LONG) AS frame_index",
+        "CAST(-1 AS LONG) AS n_bytes",
+        "'' AS content_hash",
+        "CAST(-1.0 AS DOUBLE) AS mean_luma",
+        "CAST(-1.0 AS DOUBLE) AS rms",
+        "CAST(-1.0 AS DOUBLE) AS clip_ratio",
+        "CAST(-1 AS LONG) AS duration_ms",
+        "err",
+    )
+    # frames demuxed from a corrupt container before its truncation point:
+    # bytes pinned JVM-side (length + sha2), no python decode stage needed
+    rescued = frames_all.filter(
+        F.col("err").isNull() & (F.col("media_id") < 0)
+    ).selectExpr(
+        "'frame_rescued' AS part",
+        "media_id",
+        "CAST(frame_index AS LONG) AS frame_index",
+        "CAST(length(frame_blob) AS LONG) AS n_bytes",
+        "sha2(frame_blob, 256) AS content_hash",
+        "CAST(-1.0 AS DOUBLE) AS mean_luma",
+        "CAST(-1.0 AS DOUBLE) AS rms",
+        "CAST(-1.0 AS DOUBLE) AS clip_ratio",
+        "CAST(-1 AS LONG) AS duration_ms",
+        "'' AS err",
+    )
+
     imgs_in = (
         media.filter(F.col("meta.kind") == "image")
         .select("media_id", "blob")
         .unionByName(
             ref.filter(F.col("meta.kind") == "image").select("media_id", "blob")
         )
+        .unionByName(bad.filter(F.col("meta.kind") == "image").select("media_id", "blob"))
         .unionByName(frames_in)
     )
     img_rows = image_features(imgs_in).selectExpr(
-        "CASE WHEN media_id < 0 THEN 'ref_image' WHEN media_id < 1000 THEN 'image'"
+        "CASE WHEN err IS NOT NULL THEN 'error'"
+        " WHEN media_id < 0 THEN 'ref_image' WHEN media_id < 1000 THEN 'image'"
         " ELSE 'frame' END AS part",
         "CASE WHEN media_id >= 1000 THEN media_id DIV 1000 ELSE media_id END"
         " AS media_id",
@@ -1877,28 +1952,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS frame_index",
         "n_bytes",
         "content_hash",
-        "round(mean_luma, 4) AS mean_luma",
+        "coalesce(round(mean_luma, 4), CAST(-1.0 AS DOUBLE)) AS mean_luma",
         "CAST(-1.0 AS DOUBLE) AS rms",
         "CAST(-1.0 AS DOUBLE) AS clip_ratio",
         "CAST(-1 AS LONG) AS duration_ms",
+        "coalesce(err, '') AS err",
     )
 
     auds_in = (
         media.filter(F.col("meta.kind") == "audio")
         .unionByName(ref.filter(F.col("meta.kind") == "audio"))
+        .unionByName(bad.filter(F.col("meta.kind") == "audio"))
     )
     aud_rows = audio_features(auds_in).selectExpr(
-        "CASE WHEN media_id < 0 THEN 'ref_audio' ELSE 'audio' END AS part",
+        "CASE WHEN err IS NOT NULL THEN 'error'"
+        " WHEN media_id < 0 THEN 'ref_audio' ELSE 'audio' END AS part",
         "media_id",
         "CAST(-1 AS LONG) AS frame_index",
         "n_bytes",
         "content_hash",
         "CAST(-1.0 AS DOUBLE) AS mean_luma",
-        "round(rms, 4) AS rms",
-        "round(clip_ratio, 4) AS clip_ratio",
-        "duration_ms",
+        "coalesce(round(rms, 4), CAST(-1.0 AS DOUBLE)) AS rms",
+        "coalesce(round(clip_ratio, 4), CAST(-1.0 AS DOUBLE)) AS clip_ratio",
+        "coalesce(duration_ms, CAST(-1 AS LONG)) AS duration_ms",
+        "coalesce(err, '') AS err",
     )
-    return img_rows.unionByName(aud_rows)
+    return img_rows.unionByName(aud_rows).unionByName(video_err).unionByName(rescued)
 
 
 # ---------------------------------------------------------------------------

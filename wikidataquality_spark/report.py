@@ -85,12 +85,20 @@ def render_markdown(report: DataFrame, max_rows: int = 200, title: str | None = 
     if title:
         lines.append(f"# {title}")
         lines.append("")
-    lines.append("| " + " | ".join(cols) + " |")
+    def cell(v) -> str:
+        # cell values come from arbitrary documents (rule details carry
+        # array_join/host strings): a literal '|' or newline would break the
+        # table's row structure and silently misalign columns (r03 ADVICE)
+        return (
+            ""
+            if v is None
+            else str(v).replace("|", "\\|").replace("\r", " ").replace("\n", " ")
+        )
+
+    lines.append("| " + " | ".join(cell(c) for c in cols) + " |")
     lines.append("| " + " | ".join("---" for _ in cols) + " |")
     for r in rows:
-        lines.append(
-            "| " + " | ".join("" if r[c] is None else str(r[c]) for c in cols) + " |"
-        )
+        lines.append("| " + " | ".join(cell(r[c]) for c in cols) + " |")
     if truncated:
         lines.append("")
         lines.append(f"_… truncated at {max_rows} rows_")

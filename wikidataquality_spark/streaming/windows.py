@@ -151,9 +151,19 @@ def incremental_validate(
                 # ONLY a missing state table means "first batch"; any other
                 # failure (permissions, state_dir is a file, transient FS)
                 # must abort the batch — validating against silently-empty
-                # state would diverge from the batch contract with no error
-                msg = str(e)
-                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                # state would diverge from the batch contract with no error.
+                # Checked STRUCTURALLY via the error condition (r03 ADVICE:
+                # substring-matching the message text would turn every
+                # legitimate first batch into a permanent abort the moment a
+                # Spark version or locale changes the wording).
+                from pyspark.errors import AnalysisException
+
+                cond = (
+                    e.getCondition()
+                    if isinstance(e, AnalysisException)
+                    else None
+                )
+                if cond != "PATH_NOT_FOUND":
                     raise
                 state = spark.createDataFrame([], state_schema)
             else:
