@@ -73,23 +73,12 @@ def main() -> int:
     out = {"metric": "ivf_recall_at_10", "n_vectors": n, "sf_dir": sf_dir, **results}
     print(json.dumps(out))
     if write:
-        with open(os.path.join(REPO, "PLANS.md"), "a") as f:
-            f.write(
-                "\n## IVF recall (tools/ivf_recall.py)\n\n"
-                f"recall@{k} vs exact brute force, {n} vectors ({sf_dir}), "
-                "trained spherical k-means centroids (train_centroids, seed 13), "
-                "20 queries:\n\n"
-                + "\n".join(
-                    f"- `{cfg}`: {r}" for cfg, r in results.items()
-                )
-                + "\n\nNote: the synthetic embeddings are near-uniform on the "
-                "sphere (worst case for any space partitioner — cells are "
-                "Voronoi slivers, true neighbors sit near cell borders), so "
-                "these numbers are a recall FLOOR; clustered real-world "
-                "embeddings partition far better. n_probe = n_lists is exact "
-                "by construction (driver query `ivf_ann_topk` uses it and is "
-                "hash-equal to the brute-force oracle).\n"
-            )
+        # persisted for plan_audit.py, which renders the block each time it
+        # regenerates PLANS.md (a full overwrite — appending here would
+        # duplicate the block)
+        with open(os.path.join(REPO, "tools", "ivf_recall.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print("saved tools/ivf_recall.json — run tools/plan_audit.py to render")
     return 0
 
 
