@@ -242,3 +242,75 @@ def test_stateful_dup_marks_written_copy_wins(spark):
     }
     assert flags["a://unwritten"] == (True, True)
     assert flags["b://fresh"] == (False, False)
+
+
+def test_incremental_validate_kill_and_resume(spark, tmp_path):
+    """Checkpoint resume (r03 VERDICT #5): run 1 drains what exists (the
+    first url-range file) and terminates — the 'kill'. The remaining ranges
+    then land and run 2 starts from the SAME checkpoint: the file-source log
+    must skip the already-processed file, the fingerprint state must carry
+    over, and the final sink must equal the batch pipeline on the full
+    corpus with zero duplicates — the production resume shape of a
+    periodically-relaunched availableNow ingest job."""
+    import glob
+    import os
+    import shutil
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.pipeline import results, validate
+    from wikidataquality_spark.streaming.windows import incremental_validate
+
+    corpus = write_pages_parquet(str(tmp_path / "pages_200.parquet"), 200, seed=17)
+    split = str(tmp_path / "split")
+    spark.read.parquet(corpus).repartitionByRange(3, "url").write.parquet(split)
+    parts = sorted(glob.glob(os.path.join(split, "part-*")))
+    assert len(parts) == 3
+    # survivor order: range k must stream as micro-batch k (oldest-first)
+    for i, p in enumerate(parts):
+        os.utime(p, (1_700_000_000 + 600 * i,) * 2)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink, ckpt, state = (str(tmp_path / d) for d in ("sink", "ckpt", "state"))
+    schema = spark.read.parquet(split).schema
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = incremental_validate(spark, stream, sink, ckpt, state_dir=state)
+        q.awaitTermination(300)
+
+    shutil.copy2(parts[0], os.path.join(src, os.path.basename(parts[0])))
+    run()
+    first = spark.read.parquet(sink)
+    n_first = first.count()
+    assert 0 < n_first < 200
+    assert first.select("_epoch").distinct().count() == 1
+
+    for p in parts[1:]:
+        shutil.copy2(p, os.path.join(src, os.path.basename(p)))
+    run()  # resume from the same checkpoint
+
+    s = spark.read.parquet(sink)
+    assert s.count() == 200  # no reprocessing of the pre-kill file
+    assert s.select("url").distinct().count() == 200
+    assert s.select("_epoch").distinct().count() == 3
+
+    persisted: list = []
+    b = results(validate(spark.read.parquet(corpus), persist_registry=persisted))
+    mism = (
+        s.alias("s")
+        .join(b.alias("b"), "url")
+        .filter(
+            ~F.col("s.keep").eqNullSafe(F.col("b.keep"))
+            | ~F.col("s.scrubbed_text").eqNullSafe(F.col("b.scrubbed_text"))
+            | ~F.col("s.violated_rules").eqNullSafe(F.col("b.violated_rules"))
+        )
+        .count()
+    )
+    for cached in persisted:
+        cached.unpersist()
+    assert mism == 0

@@ -274,7 +274,15 @@ def main() -> int:
         "`embedding_neardup_pairs` and `ngram_jaccard_pairs` — the two r01\n"
         "scale-killers — are gated on no_nested_loop + equi_join: candidate\n"
         "generation must be an equi-join (LSH (table,bucket) self-join / PPJoin\n"
-        "prefix-gram join), never an `id_a < id_b` theta join."
+        "prefix-gram join), never an `id_a < id_b` theta join.\n\n"
+        "Pair-query shuffle sizing (r03 VERDICT #4): the EXECUTED adaptive\n"
+        "plan of `ngram_jaccard_pairs` at sf0.1 shows `AQEShuffleRead\n"
+        "coalesced` — runtime partition coalescing fires, so tiny-SF shuffles\n"
+        "don't pay 32 reducer tasks. Steady-state wall is ~2.1s at sf0.1, of\n"
+        "which ~1.1s is the two eager materialization jobs (gram build +\n"
+        "rarest-first regroup) — fixed per-job overhead that amortizes at\n"
+        "real scale; forcing shuffle.partitions=8 was measured worth only\n"
+        "~8% on top of AQE, so no per-query partition override is hardcoded."
     )
     out = "\n".join(lines) + "\n"
     # re-append the persisted IVF recall measurement (tools/ivf_recall.py

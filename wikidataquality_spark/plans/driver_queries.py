@@ -1895,11 +1895,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ref_media(spark)
     bad = corrupt_media(spark)
 
-    frames_all = sample_frames(
-        media.filter(F.col("meta.kind") == "video").unionByName(
-            bad.filter(F.col("meta.kind") == "video")
-        ),
-        every_nth=10,
+    # barrier(): three downstream selections (good frames → image decode,
+    # error rows, rescued frames) would otherwise each re-run the demux
+    # mapInPandas — union branches share no subplan in Spark, so without a
+    # materialization the python demux stage executes 3×
+    from wikidataquality_spark.operators.barrier import barrier
+
+    frames_all = barrier(
+        sample_frames(
+            media.filter(F.col("meta.kind") == "video").unionByName(
+                bad.filter(F.col("meta.kind") == "video")
+            ),
+            every_nth=10,
+        )
     )
     frames_in = frames_all.filter(
         F.col("err").isNull() & (F.col("media_id") >= 0)
