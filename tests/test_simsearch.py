@@ -109,6 +109,44 @@ def test_train_centroids_deterministic_and_unit(spark, emb):
         assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-9
 
 
+def test_train_centroids_cached_hits_and_invalidates(spark, emb, sf001_dir, tmp_path, monkeypatch):
+    """Train-once cache: a second call with the same data version returns the
+    cached bank WITHOUT retraining; touching the source (new mtime) misses."""
+    from wikidataquality_spark.operators import simsearch
+    from wikidataquality_spark.operators.simsearch import (
+        train_centroids,
+        train_centroids_cached,
+    )
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))  # isolate the cache root
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    src = f"{sf001_dir}/embeddings.parquet"
+    fresh = train_centroids(emb, n_lists=4, sample_n=256)
+    c1 = train_centroids_cached(emb, src, n_lists=4, sample_n=256)
+    assert c1 == fresh  # json round-trip is exact
+
+    calls = []
+
+    def spy(*a, **k):
+        calls.append(1)
+        return fresh
+
+    monkeypatch.setattr(simsearch, "train_centroids", spy)
+    c2 = train_centroids_cached(emb, src, n_lists=4, sample_n=256)
+    assert c2 == fresh and calls == []  # cache hit: no retrain
+
+    # a changed data version (copied file ⇒ new mtime) forces a retrain
+    import shutil
+
+    src2 = str(tmp_path / "embeddings2.parquet")
+    shutil.copytree(src, src2) if __import__("os").path.isdir(src) else shutil.copy(src, src2)
+    c3 = train_centroids_cached(emb, src2, n_lists=4, sample_n=256)
+    assert c3 == fresh and calls == [1]
+
+
 def test_assign_cells_plan_has_no_exchange(spark, emb):
     """r03 VERDICT #1 gate: cell assignment must be row-local — the physical
     plan may contain NO Exchange and NO Window (the old crossJoin+row_number

@@ -218,6 +218,85 @@ def train_centroids(
     return cents.tolist()
 
 
+CENTROID_CACHE_VERSION = "v1"
+
+
+def train_centroids_cached(
+    embeddings: DataFrame,
+    source_path: str,
+    n_lists: int = 8,
+    dim: int = 64,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train-once IVF index build: centroids are trained at most once per
+    (data version, training params) and republished from a JSON cache after
+    that — the production ANN shape, where the index artifact lives beside
+    the table snapshot and probes never retrain (retraining per query would
+    re-scan the corpus sample on every call at 100 TB).
+
+    The data version is a fingerprint of the source parquet's file listing —
+    (relative name, size, mtime_ns) per data file — so appending, rewriting,
+    or compacting the table invalidates the cache, while a byte-identical
+    re-read hits it. On a real deployment this key is the Iceberg/Delta
+    snapshot id; here the listing is its filesystem stand-in. Publication
+    goes through io/locking.publish_file (flock + staged rename), the same
+    seam every other cross-process cache in the repo uses, so concurrent
+    first-callers train once, not N times. json.dump round-trips Python
+    floats exactly, so cached centroids are bit-identical to fresh ones
+    (train_centroids is deterministic for a fixed corpus + seed)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    ents: list[tuple[str, int, int]] = []
+    if os.path.isfile(source_path):
+        st = os.stat(source_path)
+        ents.append((os.path.basename(source_path), st.st_size, st.st_mtime_ns))
+    else:
+        for root, _, files in os.walk(source_path):
+            for fn in sorted(files):
+                if fn.startswith((".", "_")) or fn.endswith(".crc"):
+                    continue
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                ents.append(
+                    (os.path.relpath(p, source_path), st.st_size, st.st_mtime_ns)
+                )
+    params = [n_lists, dim, sample_n, iters, seed, id_col, vec_col]
+    key = hashlib.sha256(
+        json.dumps([CENTROID_CACHE_VERSION, sorted(ents), params]).encode()
+    ).hexdigest()[:24]
+    cache_root = os.path.join(
+        tempfile.gettempdir(), f"wdq_ivf_cache_{os.getuid()}"
+    )
+    os.makedirs(cache_root, mode=0o700, exist_ok=True)
+    target = os.path.join(cache_root, f"centroids_{key}.json")
+
+    def write(staging: str) -> None:
+        cents = train_centroids(
+            embeddings,
+            n_lists=n_lists,
+            dim=dim,
+            sample_n=sample_n,
+            iters=iters,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        with open(staging, "w") as f:
+            json.dump(cents, f)
+
+    from wikidataquality_spark.io.locking import publish_file
+
+    with open(publish_file(target, write)) as f:
+        return json.load(f)
+
+
 def _cell_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
     """array<struct<score,cell>> — each centroid's dot(vec, c)/‖c‖, a pure
     Column HOF over a LITERAL centroid bank. argmax of dot/‖c‖ equals argmax
