@@ -78,6 +78,37 @@ def _race_worker(target: str, tag: str, q) -> None:
         q.put(("err", tag, repr(e)))
 
 
+def test_user_cache_root_creates_0700_and_rejects_squats(tmp_path, monkeypatch):
+    """The one cache-root constructor (r04 review): mode 0o700 on creation,
+    and a pre-existing world-writable or symlinked root fails loudly instead
+    of silently serving attacker-controlled cache contents."""
+    import stat
+    import tempfile
+
+    from wikidataquality_spark.io.locking import user_cache_root
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    root = user_cache_root("wdq_test_cache")
+    st = os.stat(root)
+    assert stat.S_IMODE(st.st_mode) == 0o700
+    assert user_cache_root("wdq_test_cache") == root  # idempotent
+
+    # squat 1: world-writable pre-existing dir
+    os.chmod(root, 0o777)
+    with pytest.raises(PermissionError, match="group/other-writable"):
+        user_cache_root("wdq_test_cache")
+    os.chmod(root, 0o700)
+
+    # squat 2: symlink at the expected path
+    real = tmp_path / "elsewhere"
+    real.mkdir()
+    link = tmp_path / f"wdq_link_cache_{os.getuid()}"
+    link.symlink_to(real)
+    with pytest.raises(PermissionError, match="not a directory"):
+        user_cache_root("wdq_link_cache")
+
+
 def test_publish_file_multiprocess_race(tmp_path):
     """N processes race the same target: exactly one writer wins, every
     process sees a COMPLETE file (single-writer content, never empty or

@@ -216,6 +216,31 @@ def test_truncated_ppmv_raises():
         list(demux_ppmv(blob[: len(blob) // 2 + 3]))
 
 
+def test_truncated_ppmv_pixels_never_yields_short_frame():
+    """A frame whose HEADER is complete but whose pixel bytes are cut short
+    must raise, not be yielded as a clean frame (r04 review: downstream
+    publishes every err-NULL frame as 'rescued' trusted bytes, so a silent
+    short yield would ship corrupt pixels with a valid-looking sha256)."""
+    from wikidataquality_spark.operators.multimodal import PPMV_MAGIC, demux_ppmv
+
+    blob = PPMV_MAGIC + (1).to_bytes(4, "big") + b"P6\n8 8\n255\n" + bytes(10)
+    with pytest.raises(ValueError, match="truncated PPMV frame pixel data at frame 0"):
+        list(demux_ppmv(blob))
+
+    # and mid-container: frame 0 still yields cleanly first
+    from wikidataquality_spark.operators.multimodal import encode_ppm
+
+    import numpy as np
+
+    f0 = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    blob2 = PPMV_MAGIC + (2).to_bytes(4, "big") + f0 + b"P6\n8 8\n255\n" + bytes(10)
+    out = []
+    with pytest.raises(ValueError, match="truncated PPMV frame pixel data at frame 1"):
+        for idx, frame in demux_ppmv(blob2):
+            out.append((idx, frame))
+    assert out == [(0, f0)]
+
+
 def test_clip_ratio_counts_negative_rail(spark):
     """int16 abs overflow regression: np.abs(-32768) stays -32768, so
     full-scale NEGATIVE clipping was invisible to the old clip computation.

@@ -98,12 +98,28 @@ def test_render_markdown_escapes_pipes_and_newlines(spark):
     from wikidataquality_spark.report import render_markdown
 
     df = spark.createDataFrame(
-        [("a|b", "line1\nline2"), ("plain", "x\r\ny")], "k string, v string"
+        # the third row's value contains a LITERAL backslash-pipe sequence:
+        # without backslash-first escaping it renders '\\|' — an escaped
+        # backslash followed by a LIVE pipe (r04 review)
+        [("a|b", "line1\nline2"), ("plain", "x\r\ny"), ("back\\|slash", "z")],
+        "k string, v string",
     )
     md = render_markdown(df)
-    import re
+
+    def live_pipes(ln: str) -> int:
+        # a pipe is a live delimiter unless consumed by a preceding '\'
+        n, i = 0, 0
+        while i < len(ln):
+            if ln[i] == "\\":
+                i += 2
+                continue
+            if ln[i] == "|":
+                n += 1
+            i += 1
+        return n
 
     body = [ln for ln in md.splitlines() if ln.startswith("|")][2:]
-    # 2 columns = exactly 3 UNESCAPED pipes per row
-    assert all(len(re.findall(r"(?<!\\)\|", ln)) == 3 for ln in body)
+    # 2 columns = exactly 3 LIVE pipes per row
+    assert all(live_pipes(ln) == 3 for ln in body)
     assert "a\\|b" in md and "line1 line2" in md
+    assert "back\\\\\\|slash" in md  # \ → \\ then | → \|

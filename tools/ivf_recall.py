@@ -2,8 +2,10 @@
 
 r03 VERDICT #2 done-criterion: with trained k-means centroids (not the old
 lowest-id stand-in), document recall@k for production probe settings
-(n_probe < n_lists). Prints one JSON line and appends a dated block to
-PLANS.md when run with --write.
+(n_probe < n_lists). Prints one JSON line; with --write it saves
+tools/ivf_recall.json, which tools/plan_audit.py renders into PLANS.md on
+its next run (PLANS.md is a full overwrite — appending here would
+duplicate the block).
 
 Usage: python tools/ivf_recall.py [sf_dir] [--write]
 """

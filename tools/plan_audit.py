@@ -40,7 +40,10 @@ ARROW_EXEMPT = {
     "minhash_neardup_docs": "signature UDF feeds band-explode AND survivor-verify branches",
     "simhash_neardup_docs": "signature UDF feeds band-explode AND hamming-verify branches",
     "langid_ngram_docs": "bulk corpus + planted-truth corpus are two different inputs",
-    "qf_golden_confusion": "full pipeline enrich + golden-label corpus are two inputs",
+    # qf_golden_confusion was exempt while the raw-substring counter (which
+    # double-counted the tree+details print) hid that its enrich is in fact
+    # ONE fused Arrow stage — with node-header counting it passes, so it is
+    # now ENFORCED (r04 review)
 }
 
 # query → signals that MUST hold for the plan to be accepted
@@ -200,8 +203,11 @@ def signals(plan: str) -> dict[str, bool]:
         ),
         # at most ONE scalar-Arrow python stage: a second ArrowEvalPython
         # node means a fused enrich regressed into stage-per-UDF (each stage
-        # pays worker pickup + Arrow serialize both ways on every row)
-        "arrow_le1": plan.count("ArrowEvalPython") <= 1,
+        # pays worker pickup + Arrow serialize both ways on every row).
+        # Count the details-section node headers '(N) ArrowEvalPython' —
+        # formatted explain prints every node TWICE (tree line + details
+        # header), so a raw substring count asserts zero stages, not ≤1
+        "arrow_le1": len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) <= 1,
         # no row-at-a-time python: BatchEvalPython is the 10-100x-slower
         # pickled-row path; everything must go through Arrow
         "no_batch_python": "BatchEvalPython" not in plan,
@@ -253,7 +259,7 @@ def main() -> int:
         "referenced columns; broadcast = dim joins are BroadcastHashJoin; topk =",
         "order+limit compiles to TakeOrderedAndProject; partial_agg = map-side",
         "combine; no_cartesian = no CartesianProduct node; arrow_le1 = at most",
-        "one scalar-Arrow python stage (fusion gate; four documented",
+        "one scalar-Arrow python stage (fusion gate; three documented",
         "multi-input exemptions); no_batch_python = no row-at-a-time python.",
         "no_cartesian + no_batch_python are required of EVERY query and",
         "arrow_le1 of every non-exempt query (appended automatically).\n",

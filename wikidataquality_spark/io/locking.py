@@ -22,8 +22,32 @@ from __future__ import annotations
 import fcntl
 import os
 import shutil
+import stat as stat_mod
+import tempfile
 from collections.abc import Callable
 from contextlib import contextmanager
+
+
+def user_cache_root(name: str) -> str:
+    """Per-uid 0o700 cache directory under TMPDIR — the ONE constructor for
+    every cross-session cache root (media fixtures, IVF centroid banks).
+
+    makedirs(mode=0o700, exist_ok=True) alone is NOT enough: mode applies
+    only at creation, so an attacker who pre-creates the path world-writable
+    (or symlinks it elsewhere) would silently own every cache the oracle
+    gates read. The directory is therefore verified after the fact — it must
+    be a real directory (not a symlink), owned by this uid, with no group/
+    other write bits — and anything else fails loudly."""
+    root = os.path.join(tempfile.gettempdir(), f"{name}_{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if not stat_mod.S_ISDIR(st.st_mode):
+        raise PermissionError(f"cache root {root} is not a directory (symlink squat?)")
+    if st.st_uid != os.getuid():
+        raise PermissionError(f"cache root {root} is owned by uid {st.st_uid}, not us")
+    if st.st_mode & (stat_mod.S_IWGRP | stat_mod.S_IWOTH):
+        raise PermissionError(f"cache root {root} is group/other-writable")
+    return root
 
 
 @contextmanager

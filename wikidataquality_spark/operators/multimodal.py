@@ -185,6 +185,11 @@ def demux_ppmv(blob: bytes):
         scan += 1
         w, h, _ = fields
         end = scan + w * h * 3
+        if end > len(blob):
+            # a complete header but truncated pixel bytes must NOT be
+            # yielded as a clean frame — downstream publishes every
+            # err-NULL frame as 'rescued' trusted bytes
+            raise ValueError(f"truncated PPMV frame pixel data at frame {idx}")
         yield idx, blob[pos:end]
         pos = end
 
@@ -491,19 +496,16 @@ def _cached_parquet(spark, key: str, write_to) -> DataFrame:
     reader transiently seeing no cache at all. Content is deterministic, so
     whoever holds the lock first publishes and everyone else just reads.
 
-    The cache root is keyed by uid under TMPDIR and created 0o700 (r03
-    ADVICE): a fixed world-writable /tmp path let any local user pre-poison
-    the cache the oracle gates read, or squat the .lock file so open() fails."""
+    The cache root is keyed by uid under TMPDIR, created 0o700, and
+    ownership-verified (r03 ADVICE + r04 review: a fixed world-writable /tmp
+    path — or a pre-squatted uid-keyed one, since makedirs' mode applies
+    only at creation — let any local user pre-poison the cache the oracle
+    gates read, or squat the .lock file so open() fails)."""
     import os
-    import tempfile
 
-    from wikidataquality_spark.io.locking import publish_dir
+    from wikidataquality_spark.io.locking import publish_dir, user_cache_root
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"wdq_media_cache_{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    cache = os.path.join(root, _MEDIA_CACHE_VERSION, key)
+    cache = os.path.join(user_cache_root("wdq_media_cache"), _MEDIA_CACHE_VERSION, key)
     return spark.read.parquet(publish_dir(cache, write_to))
 
 

@@ -251,7 +251,6 @@ def train_centroids_cached(
     import hashlib
     import json
     import os
-    import tempfile
 
     ents: list[tuple[str, int, int]] = []
     if os.path.isfile(source_path):
@@ -271,11 +270,9 @@ def train_centroids_cached(
     key = hashlib.sha256(
         json.dumps([CENTROID_CACHE_VERSION, sorted(ents), params]).encode()
     ).hexdigest()[:24]
-    cache_root = os.path.join(
-        tempfile.gettempdir(), f"wdq_ivf_cache_{os.getuid()}"
-    )
-    os.makedirs(cache_root, mode=0o700, exist_ok=True)
-    target = os.path.join(cache_root, f"centroids_{key}.json")
+    from wikidataquality_spark.io.locking import publish_file, user_cache_root
+
+    target = os.path.join(user_cache_root("wdq_ivf_cache"), f"centroids_{key}.json")
 
     def write(staging: str) -> None:
         cents = train_centroids(
@@ -290,8 +287,6 @@ def train_centroids_cached(
         )
         with open(staging, "w") as f:
             json.dump(cents, f)
-
-    from wikidataquality_spark.io.locking import publish_file
 
     with open(publish_file(target, write)) as f:
         return json.load(f)
@@ -335,9 +330,14 @@ def assign_cells(
     physical plan has NO Exchange and NO Window (gated by
     tests/test_simsearch.py::test_assign_cells_plan_has_no_exchange).
 
-    Unassignable rows (NULL / wrong-length vector ⇒ NULL scores) fold to
-    cell 0, a cell no query ever probes — they drop out of ANN results
-    instead of polluting cell 1 as the old NULLS-LAST window did."""
+    Unassignable rows (NULL / wrong-length vector ⇒ NULL scores): the
+    n_keep=1 (data-side) path folds them to cell 0 — a cell no probe list
+    ever contains, so they never join; the n_keep>1 (probe-side) path DROPS
+    them (the NULL-score filter empties the array and explode emits no row
+    — deliberately not explode_outer: a coalesce-to-cell-0 probe would meet
+    the data side's cell-0 rows and emit NULL-cosine candidates). End state
+    is identical either way: an unassignable row contributes no ANN
+    results, and neither path shuffles."""
     scores = _cell_scores(F.col(vcol), centroids)
     if n_keep == 1:
         best = F.aggregate(

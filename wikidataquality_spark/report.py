@@ -88,11 +88,18 @@ def render_markdown(report: DataFrame, max_rows: int = 200, title: str | None = 
     def cell(v) -> str:
         # cell values come from arbitrary documents (rule details carry
         # array_join/host strings): a literal '|' or newline would break the
-        # table's row structure and silently misalign columns (r03 ADVICE)
+        # table's row structure and silently misalign columns (r03 ADVICE).
+        # Backslashes are escaped FIRST — a value already containing '\|'
+        # would otherwise render as '\\|', which markdown reads as an
+        # escaped backslash followed by a LIVE pipe delimiter
         return (
             ""
             if v is None
-            else str(v).replace("|", "\\|").replace("\r", " ").replace("\n", " ")
+            else str(v)
+            .replace("\\", "\\\\")
+            .replace("|", "\\|")
+            .replace("\r", " ")
+            .replace("\n", " ")
         )
 
     lines.append("| " + " | ".join(cell(c) for c in cols) + " |")
