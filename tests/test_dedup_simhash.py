@@ -116,6 +116,91 @@ def test_null_text_exempt_from_dedup(spark):
     assert dup_fingerprints(df).filter(F.col("url").isin("u3", "u4", "u5")).count() == 0
 
 
+def test_contentless_text_exempt_from_near_dup(spark):
+    """Token-less (whitespace-only) docs carry no content signal: their
+    minhash base and simhash both collapse to constants, so byte-DIFFERENT
+    contentless docs would near-dup each other (r04 review — the NULL
+    exemption existed, the token-less one did not). Byte-IDENTICAL
+    whitespace pages are still legitimately EXACT dups."""
+    from wikidataquality_spark.operators.dedup import (
+        dup_fingerprints,
+        dup_marks,
+        minhash_dedup,
+        simhash_dedup,
+    )
+
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog today"),
+        ("u2", "   "),
+        ("u3", "\n\n"),
+        ("u4", "\t"),
+        ("u5", "   "),  # byte-identical to u2 → exact dup, not near
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    # destructive near-dup variants: every contentless row survives
+    assert minhash_dedup(df).count() == 5
+    assert simhash_dedup(df).count() == 5
+
+    flags = {
+        r["url"]: (r["is_exact_dup"], r["is_near_dup"]) for r in dup_marks(df).collect()
+    }
+    assert flags["u2"] == (False, False)
+    assert flags["u3"] == (False, False) and flags["u4"] == (False, False)
+    assert flags["u5"] == (True, False)  # byte-identical whitespace: exact only
+
+    # state table: contentless docs emit an exact fingerprint but NO band rows
+    fp = dup_fingerprints(df)
+    assert fp.filter((F.col("url") == "u2") & (F.col("kind") == "band")).count() == 0
+    assert fp.filter((F.col("url") == "u2") & (F.col("kind") != "band")).count() == 1
+
+
+def test_short_doc_word_order_distinguishes(spark):
+    """Sub-SHINGLE_K docs collapse to one shingle; the combiner must be
+    position-sensitive — a plain token-hash sum made 'river bank' and
+    'bank river' near-dup each other (r04 review)."""
+    from wikidataquality_spark.operators.dedup import minhash_dedup
+
+    rows = [
+        ("u1", "river bank"),
+        ("u2", "bank river"),
+        ("u3", "river bank"),  # genuine exact/near dup of u1
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = minhash_dedup(df)
+    kept = {r["url"] for r in out.collect()}
+    assert "u2" in kept  # permuted doc survives
+    assert kept == {"u1", "u2"}  # identical short doc still deduped
+
+
+def test_null_host_population_is_salted(spark):
+    """When unparseable URLs (host → NULL) exceed hot_fraction, the NULL
+    'host' must salt like any hot host — isin() is NULL for NULL input, so
+    the old predicate silently sent every malformed-URL row to the single
+    (NULL, 0) partition (r04 review)."""
+    from wikidataquality_spark.operators.dedup import (
+        host_of,
+        repartition_by_host_salted,
+    )
+
+    rows = [(f"http://ok{i % 7}.example.com/p{i}", i) for i in range(60)] + [
+        (f"not a url at all {i}", i) for i in range(140)
+    ]
+    df = spark.createDataFrame(rows, "url string, v long")
+    out = repartition_by_host_salted(df, n_partitions=16, hot_fraction=0.05)
+    assert out.count() == 200  # no rows lost
+    null_part_counts = (
+        out.filter(host_of("url").isNull())
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    # the 140 malformed-URL rows must spread over >1 partition
+    assert len(null_part_counts) > 1
+    assert max(r["count"] for r in null_part_counts) < 140
+
+
 def test_duplicate_ids_do_not_drop_survivor(spark):
     """A re-crawled url (same id twice, identical text) must not lose the
     document: per-instance exact flags used to rejoin onto BOTH instances of

@@ -60,6 +60,49 @@ def test_batch_twin_schema(spark, events_batch):
     assert set(out.columns) == {"user_id", "n_events", "total_value", "last_seen_us"}
 
 
+def test_all_null_value_key_matches_batch_twin(spark):
+    """A key whose `value`s are ALL NULL must stream total_value NULL, not
+    0.0 — the batch twin is F.sum(value), which returns NULL for such keys
+    (r04 review: the 0.0 init broke parity exactly the way the old
+    last_seen_us epoch-0 init did)."""
+    import pandas as pd
+
+    from wikidataquality_spark.streaming.stateful import _update_user_stats
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        exists = property(lambda s: s._v is not None)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {"value": pd.array([None, None], dtype="float64"),
+         "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+    [row] = list(_update_user_stats((7,), iter([pdf]), st))
+    assert row.iloc[0]["n_events"] == 2
+    assert row.iloc[0]["total_value"] is None
+
+    # a later batch WITH values starts the sum from those values, not 0+them
+    pdf2 = pd.DataFrame(
+        {"value": [1.5, None], "ts": pd.to_datetime(["2024-01-03"] * 2)}
+    )
+    [row2] = list(_update_user_stats((7,), iter([pdf2]), st))
+    assert row2.iloc[0]["total_value"] == 1.5
+
+    # and the batch twin returns NULL for an all-NULL key — same contract
+    batch = spark.createDataFrame(
+        [(7, None, "2024-01-01 00:00:00")], "user_id long, value double, ts string"
+    )
+    [b] = running_user_stats(batch).collect()
+    assert b["total_value"] is None
+
+
 def test_idle_timeout_eviction_logic():
     """The eviction path of the stateful update fn, driven with a fake
     GroupState — a real stream with ProcessingTimeTimeout keeps scheduling

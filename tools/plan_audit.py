@@ -37,13 +37,13 @@ UNIVERSAL = ["no_cartesian", "no_batch_python"]
 # Queries with >1 ArrowEvalPython by DESIGN (each reason names the extra
 # stage; anything else growing a second Arrow stage is a fusion regression):
 ARROW_EXEMPT = {
-    "minhash_neardup_docs": "signature UDF feeds band-explode AND survivor-verify branches",
-    "simhash_neardup_docs": "signature UDF feeds band-explode AND hamming-verify branches",
     "langid_ngram_docs": "bulk corpus + planted-truth corpus are two different inputs",
-    # qf_golden_confusion was exempt while the raw-substring counter (which
-    # double-counted the tree+details print) hid that its enrich is in fact
-    # ONE fused Arrow stage — with node-header counting it passes, so it is
-    # now ENFORCED (r04 review)
+    # Three r03 exemptions retired this round: qf_golden_confusion was exempt
+    # only while the raw-substring counter (which double-counted the
+    # tree+details print) hid that its enrich is ONE fused Arrow stage; the
+    # minhash/simhash queries lost their second signature-UDF subtree when
+    # the groupBy+verify-join-back became a single min(struct) window
+    # (operators/dedup.py) — all three are now ENFORCED (r04 review).
 }
 
 # query → signals that MUST hold for the plan to be accepted
@@ -259,7 +259,7 @@ def main() -> int:
         "referenced columns; broadcast = dim joins are BroadcastHashJoin; topk =",
         "order+limit compiles to TakeOrderedAndProject; partial_agg = map-side",
         "combine; no_cartesian = no CartesianProduct node; arrow_le1 = at most",
-        "one scalar-Arrow python stage (fusion gate; three documented",
+        "one scalar-Arrow python stage (fusion gate; one documented",
         "multi-input exemptions); no_batch_python = no row-at-a-time python.",
         "no_cartesian + no_batch_python are required of EVERY query and",
         "arrow_le1 of every non-exempt query (appended automatically).\n",

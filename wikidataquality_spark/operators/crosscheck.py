@@ -74,8 +74,12 @@ def compare_string(a: Column, b: Column, partial_distance: int = 2) -> Column:
 def compare_quantity(a: Column, b: Column, abs_tol: float = 0.0) -> Column:
     """QuantityValueComparer: exact → match; within the tolerance interval
     (the reference compares against the quantity's upper/lower bounds) →
-    partial."""
-    ad, bd = a.cast("double"), b.cast("double")
+    partial. try_cast, not cast: external dumps deliver quantities as
+    strings, and under Spark 4's default ANSI mode a single '12 kg' in
+    10^12 rows would otherwise raise CAST_INVALID_INPUT and abort the whole
+    job — a quality filter must judge malformed values (NULL cast ⇒ every
+    when() is NULL ⇒ MISMATCH), not die on them."""
+    ad, bd = a.try_cast("double"), b.try_cast("double")
     core = (
         F.when(ad == bd, F.lit(MATCH))
         .when(F.abs(ad - bd) <= F.lit(abs_tol), F.lit(PARTIAL))
@@ -87,9 +91,11 @@ def compare_quantity(a: Column, b: Column, abs_tol: float = 0.0) -> Column:
 def compare_timestamp(a: Column, b: Column, tol_seconds: int = 0) -> Column:
     """TimeValueComparer: same instant → match; within tol_seconds (the
     reference's calendar-precision slack) → partial. Integer epoch math so
-    the comparison is exact on any engine."""
-    au = F.unix_micros(a.cast("timestamp"))
-    bu = F.unix_micros(b.cast("timestamp"))
+    the comparison is exact on any engine. try_cast for the same ANSI-mode
+    totality reason as compare_quantity: '2024-13-45' classifies as
+    MISMATCH instead of aborting the job."""
+    au = F.unix_micros(a.try_cast("timestamp"))
+    bu = F.unix_micros(b.try_cast("timestamp"))
     core = (
         F.when(au == bu, F.lit(MATCH))
         .when(F.abs(au - bu) <= F.lit(tol_seconds * 1_000_000), F.lit(PARTIAL))

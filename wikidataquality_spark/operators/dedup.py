@@ -83,6 +83,21 @@ def exact_dedup(
     return deduped.unionByName(df.filter(~nn))
 
 
+def has_dedupable_content(text_col: str | Column) -> Column:
+    """TRUE when a doc participates in near-dup detection: non-NULL text
+    with at least one token. NULL text (extraction failures) and
+    whitespace-only text both carry NO content signal — their signatures
+    collapse to constants (minhash base [0] / simhash 0), so without this
+    exemption every contentless doc in the corpus would near-dup every
+    other one and all but the min-id survivor would be silently dropped
+    (r04 review: the NULL exemption existed, the token-less one did not).
+    rlike('\\S') — any non-whitespace char — is exactly 'split() yields ≥1
+    token' (NOT trim() != '': Spark's trim strips SPACES only, so a
+    tab/newline-only doc would slip through)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return col.isNotNull() & col.rlike(r"\S")
+
+
 def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE_P, size=MINHASH_H, dtype=np.uint64)
@@ -104,7 +119,20 @@ _SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E377
 def _shingles_from_hashes(th: np.ndarray) -> np.ndarray:
     """k-gram shingle hashes from per-token hashes (rolling xor-mix)."""
     if len(th) < SHINGLE_K:
-        return np.array([th.sum() if len(th) else 0], dtype=np.uint64)
+        # sub-k docs collapse to ONE shingle, combined with the SAME
+        # position multipliers as the full path — a plain th.sum() was
+        # order-insensitive, so 'river bank' and 'bank river' produced
+        # identical signatures and near-dup'd each other (r04 review).
+        # Zero-token docs keep the constant 0, but callers EXEMPT them
+        # from dedup entirely (contentless ≠ duplicate content).
+        if not len(th):
+            return np.array([0], dtype=np.uint64)
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(len(th)):
+            # array (not scalar) multiply: uint64 wraparound is the intended
+            # modulus and numpy only warns on SCALAR overflow
+            acc ^= th[j : j + 1] * _SHINGLE_MIX[j]
+        return acc
     n_sh = len(th) - SHINGLE_K + 1
     acc = np.zeros(n_sh, dtype=np.uint64)
     for j in range(SHINGLE_K):
@@ -197,21 +225,22 @@ def minhash_dedup(
     a row with a smaller id (deterministic min-id survivor per bucket).
 
     Plan shape: one pandas-UDF projection (signatures), one explode (B rows/doc,
-    key+id only), one groupBy(band_key) shuffle for bucket minima, one
-    broadcast-able join back, one left_anti against the dropped-id set.
+    key+id only), min(id) OVER (PARTITION BY band_key) — ONE exchange, no
+    groupBy+join-back (r04 review: the old two-consumer shape put the UDF
+    lineage under two different exchanges, so the signature UDF recomputed
+    over the full corpus twice; the window form has a single consumer) —
+    then one left_anti against the dropped-id set.
     """
-    # NULL text is exempt: minhash of unknown content is a constant signature,
-    # so every extraction-failure doc would share all 16 band buckets and be
-    # dropped as a "near-dup" of unrelated pages
-    sigs = df.filter(F.col(text_col).isNotNull()).select(
+    # contentless docs (NULL or token-less text) are exempt — see
+    # has_dedupable_content
+    sigs = df.filter(has_dedupable_content(text_col)).select(
         F.col(id_col), minhash_udf(F.col(text_col)).alias("_sig")
     )
     bands = sigs.select(
         id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key")
     )
-    bucket_min = bands.groupBy("_band_key").agg(F.min(id_col).alias("_keep_id"))
     dropped = (
-        bands.join(bucket_min, "_band_key")
+        bands.withColumn("_keep_id", F.min(id_col).over(W.partitionBy("_band_key")))
         .filter(F.col(id_col) != F.col("_keep_id"))
         .select(id_col)
         .distinct()
@@ -266,6 +295,11 @@ def dup_marks(
     # every extraction-failure doc would flag as a dup of unrelated pages —
     # and since every rule is NULL-inapplicable, those spurious flags would
     # be the sole keep/drop decider for exactly those docs.
+    # _has_tok gates the NEAR path only (r04 review): token-less text (e.g.
+    # whitespace-only) yields the constant minhash base, so byte-DIFFERENT
+    # contentless docs would near-dup each other — but byte-IDENTICAL
+    # whitespace pages are legitimately EXACT dups, so the exact window
+    # keeps the NULL-only exemption.
     if sig_col is not None:
         qsig = sql_ident(sig_col)
         keyed = df.where(f"{qtext} IS NOT NULL").selectExpr(
@@ -273,6 +307,7 @@ def dup_marks(
             f"xxhash64({qtext}) AS _h",
             f"xxhash64(1, {qtext}) AS _h2",
             f"{qsig} AS _sig",
+            f"regexp_like({qtext}, '\\\\S') AS _has_tok",
         )
     else:
         keyed = df.filter(F.col(text_col).isNotNull()).select(
@@ -280,6 +315,7 @@ def dup_marks(
             F.xxhash64(text_col).alias("_h"),
             F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
             minhash_udf(F.col(text_col)).alias("_sig"),
+            F.col(text_col).rlike(r"\S").alias("_has_tok"),
         )
     if state is not None:
         state = state.join(keyed.select(id_col), id_col, "left_anti")
@@ -323,7 +359,7 @@ def dup_marks(
         .agg(F.expr("bool_and(_inst_dup)").alias("is_exact_dup"))
     )
 
-    bands = keyed.selectExpr(
+    bands = keyed.where("_has_tok").selectExpr(
         qid,
         f"explode({band_keys_sql('_sig')}) AS _band_key",
         "FALSE AS _from_state",
@@ -398,13 +434,16 @@ def dup_fingerprints(
     sig_expr = (
         F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
     )
-    # NULL-text docs emit no fingerprints — they are exempt from dedup
-    # (dup_marks filters them identically, so state and batch stay aligned)
+    # NULL-text docs emit no fingerprints, and token-less docs emit no BAND
+    # fingerprints — mirroring dup_marks' exemptions exactly (NULL-only on
+    # the exact window, _has_tok on the near window) so state and batch
+    # stay aligned
     keyed = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.xxhash64(text_col).alias("_h"),
         F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
         sig_expr.alias("_sig"),
+        F.col(text_col).rlike(r"\S").alias("_has_tok"),
     )
     exact = keyed.select(
         id_col,
@@ -412,7 +451,7 @@ def dup_fingerprints(
         F.col("_h").alias("k1"),
         F.col("_h2").alias("k2"),
     )
-    band = keyed.select(
+    band = keyed.where("_has_tok").select(
         id_col,
         F.lit("band").alias("kind"),
         F.explode(band_keys(F.col("_sig"))).alias("k1"),
@@ -499,22 +538,32 @@ def simhash_dedup(
     scale.
 
     Plan shape (narrow end-to-end): signatures are one pandas-UDF projection
-    of (id, 8-byte sig); banding explodes to 4 key rows/doc; the bucket
-    groupBy, verify join, and final left_anti all move ≤16-byte rows."""
-    sigs = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh"))
-    bands = sigs.select(id_col, "_sh", F.explode(simhash_band_keys("_sh")).alias("_bk"))
-    # min(id) OVER (PARTITION BY bucket) instead of groupBy+self-join: one
-    # exchange on the band key, no join (same rewrite as dup_marks' near path)
-    cand = (
-        bands.withColumn("_keep_id", F.min(id_col).over(W.partitionBy("_bk")))
-        .filter(F.col(id_col) != F.col("_keep_id"))
-        .select(id_col, "_sh", "_keep_id")
-        .distinct()
+    of (id, 8-byte sig); banding explodes to 4 key rows/doc; the anchor id
+    AND its signature come from ONE min(struct(id, sig)) OVER (PARTITION BY
+    bucket) — ids are unique, so the struct ordering never reaches the sig
+    field and the winner is exactly the bucket's min-id row. That window
+    replaces the old groupBy + verify-join-back, which (a) was a second
+    exchange and (b) consumed the signature-UDF lineage from two different
+    exchange subtrees, recomputing the UDF over the full corpus twice
+    (r04 review). Hamming verification is inline; everything after the UDF
+    moves ≤16-byte rows."""
+    # contentless docs (NULL or token-less text) are exempt: simhash of no
+    # tokens is the constant 0, so every such doc would share all 4 band
+    # buckets, verify at hamming 0, and be dropped as a "near-dup" of
+    # byte-different whitespace-only pages — see has_dedupable_content
+    sigs = df.filter(has_dedupable_content(text_col)).select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh")
     )
-    keep_sigs = sigs.select(F.col(id_col).alias("_keep_id"), F.col("_sh").alias("_keep_sh"))
+    bands = sigs.select(id_col, "_sh", F.explode(simhash_band_keys("_sh")).alias("_bk"))
+    anchor = F.min(F.struct(F.col(id_col).alias("i"), F.col("_sh").alias("s"))).over(
+        W.partitionBy("_bk")
+    )
     dropped = (
-        cand.join(keep_sigs, "_keep_id")
-        .filter(F.bit_count(F.col("_sh").bitwiseXOR(F.col("_keep_sh"))) <= max_hamming)
+        bands.withColumn("_anchor", anchor)
+        .filter(F.col(id_col) != F.col("_anchor")["i"])
+        .filter(
+            F.bit_count(F.col("_sh").bitwiseXOR(F.col("_anchor")["s"])) <= max_hamming
+        )
         .select(id_col)
         .distinct()
     )
@@ -560,7 +609,16 @@ def repartition_by_host_salted(
         ]  # only the (tiny) hot set ever reaches the driver
     finally:
         per_host.unpersist()
+    # NULL host (unparseable URL — host_of's own defence case) can itself be
+    # the hottest "host": a crawl with 10% malformed URLs puts them ALL in
+    # one (NULL, 0) partition unless salted. isin() is NULL for NULL input
+    # (it would fall to the unsalted branch silently), so NULL-hot is
+    # handled as an explicit isNull() arm (r04 review).
+    hot_nn = [h for h in hot if h is not None]
+    is_hot = host.isin(hot_nn) if hot_nn else F.lit(False)
+    if any(h is None for h in hot):
+        is_hot = is_hot | host.isNull()
     salt = F.when(
-        host.isin(hot), F.pmod(F.xxhash64(url_col), F.lit(n_salts))
+        is_hot, F.pmod(F.xxhash64(url_col), F.lit(n_salts))
     ).otherwise(F.lit(0))
     return df.repartition(n_partitions, host, salt)

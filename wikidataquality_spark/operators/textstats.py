@@ -1,8 +1,9 @@
 """Text analysis operators: token counting, fingerprinting, n-gram Jaccard,
 quality scoring (training-data pipeline ops from the task brief).
 
-Everything here is pure Column expressions (codegen, oracle-comparable) except
-simhash64, which packs bits driver-side-free inside one expression tree.
+Everything here is pure Column expressions (codegen, oracle-comparable).
+(SimHash itself lives in operators/dedup.py as a pandas UDF — it is NOT a
+Column expression and has none of the codegen/oracle-comparable properties.)
 """
 
 from __future__ import annotations

@@ -59,15 +59,24 @@ def _update_user_stats(
     if state.exists:
         n, total, last = state.get
     else:
-        # last starts as None (emits NULL), NOT 0: the batch twin is
-        # F.max(unix_micros(ts)), which ignores NULLs and returns NULL when
-        # a key has no valid timestamp — a 0 init (and max() clamp) would
-        # emit epoch-0 for all-NULL keys and mask pre-1970 timestamps,
-        # breaking the advertised streamed == batch parity
-        n, total, last = 0, 0.0, None
+        # total and last start as None (emit NULL), NOT 0: the batch twins
+        # are F.sum(value) / F.max(unix_micros(ts)), which ignore NULLs and
+        # return NULL when a key has no valid value — a 0 init would emit
+        # 0.0/epoch-0 for all-NULL keys (and the max() clamp would mask
+        # pre-1970 timestamps), breaking the advertised streamed == batch
+        # parity (r04 review: total_value had exactly this bug while the
+        # adjacent comment fixed it for last_seen_us only)
+        n, total, last = 0, None, None
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # dropna mirrors F.sum's NULL-skipping. Caveat, documented: Arrow
+        # hands NULL and genuine NaN to pandas as the same NaN in a float
+        # column, so a true NaN value (which F.sum would propagate) is
+        # indistinguishable here and is skipped like a NULL
+        vals = pdf["value"].dropna()
+        if len(vals):
+            batch_sum = float(vals.sum())
+            total = batch_sum if total is None else total + batch_sum
         ts = pdf["ts"].dropna()
         if len(ts):
             # datetime64[any-unit] → µs explicitly (pandas 2 may hand ns or µs)
