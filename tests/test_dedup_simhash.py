@@ -135,12 +135,18 @@ def test_contentless_text_exempt_from_near_dup(spark):
         ("u3", "\n\n"),
         ("u4", "\t"),
         ("u5", "   "),  # byte-identical to u2 → exact dup, not near
+        # UNICODE whitespace: Java rlike('\\S') passes these (ASCII classes)
+        # but Python split() yields zero tokens — the NULL-signature gate,
+        # not the regex, must exempt them (r04 review)
+        ("u6", " "),  # NBSP
+        ("u7", "  "),
+        ("u8", "　"),  # ideographic space
     ]
     df = spark.createDataFrame(rows, "url string, text string")
 
     # destructive near-dup variants: every contentless row survives
-    assert minhash_dedup(df).count() == 5
-    assert simhash_dedup(df).count() == 5
+    assert minhash_dedup(df).count() == 8
+    assert simhash_dedup(df).count() == 8
 
     flags = {
         r["url"]: (r["is_exact_dup"], r["is_near_dup"]) for r in dup_marks(df).collect()
@@ -148,6 +154,8 @@ def test_contentless_text_exempt_from_near_dup(spark):
     assert flags["u2"] == (False, False)
     assert flags["u3"] == (False, False) and flags["u4"] == (False, False)
     assert flags["u5"] == (True, False)  # byte-identical whitespace: exact only
+    assert flags["u6"] == (False, False)  # NBSP-only: no near flag
+    assert flags["u7"] == (False, False) and flags["u8"] == (False, False)
 
     # state table: contentless docs emit an exact fingerprint but NO band rows
     fp = dup_fingerprints(df)

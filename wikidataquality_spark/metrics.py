@@ -32,28 +32,33 @@ def partition_column(df: DataFrame, by: str = "date") -> DataFrame:
     raise ValueError(f"unknown partition scheme {by!r}")
 
 
+def _exploded_checks(validated: DataFrame, by: str) -> DataFrame:
+    """(partition, rule_id, status) — one row per check result; the shared
+    projection both metrics shapes aggregate from (kept single-sourced so
+    the two FIXTURES.md tables cannot drift — r04 review)."""
+    df = partition_column(validated, by)
+    return df.select("partition", F.explode("violations").alias("v")).select(
+        "partition", F.col("v.rule").alias("rule_id"), F.col("v.status").alias("status")
+    )
+
+
 def rule_metrics_long(validated: DataFrame, by: str = "date") -> DataFrame:
     """Long-format metrics(partition, rule_id, status, n) — the FIXTURES.md
     shape: one row per (partition, rule, status), append-friendly for a
     metrics table whose status vocabulary may grow."""
-    df = partition_column(validated, by)
     return (
-        df.select("partition", F.explode("violations").alias("v"))
-        .groupBy(
-            "partition",
-            F.col("v.rule").alias("rule_id"),
-            F.col("v.status").alias("status"),
-        )
+        _exploded_checks(validated, by)
+        .groupBy("partition", "rule_id", "status")
         .agg(F.count("*").alias("n"))
     )
 
 
 def rule_metrics(validated: DataFrame, by: str = "date") -> DataFrame:
-    """Wide per-rule pass/fail/exception table (metrics_wide in FIXTURES.md)."""
-    df = partition_column(validated, by)
-    v = df.select("partition", F.explode("violations").alias("v")).select(
-        "partition", F.col("v.rule").alias("rule_id"), F.col("v.status").alias("status")
-    )
+    """Wide per-rule pass/fail/exception table (metrics_wide in FIXTURES.md).
+    Aggregated from the shared exploded projection directly (NOT from the
+    long table: conditional counts in one pass beat a second aggregation
+    over pre-grouped rows)."""
+    v = _exploded_checks(validated, by)
     return v.groupBy("partition", "rule_id").agg(
         F.count(F.when(F.col("status") == COMPLIANCE, 1)).alias("pass_count"),
         F.count(F.when(F.col("status") == VIOLATION, 1)).alias("fail_count"),

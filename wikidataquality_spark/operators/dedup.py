@@ -84,16 +84,20 @@ def exact_dedup(
 
 
 def has_dedupable_content(text_col: str | Column) -> Column:
-    """TRUE when a doc participates in near-dup detection: non-NULL text
-    with at least one token. NULL text (extraction failures) and
-    whitespace-only text both carry NO content signal — their signatures
-    collapse to constants (minhash base [0] / simhash 0), so without this
-    exemption every contentless doc in the corpus would near-dup every
-    other one and all but the min-id survivor would be silently dropped
-    (r04 review: the NULL exemption existed, the token-less one did not).
-    rlike('\\S') — any non-whitespace char — is exactly 'split() yields ≥1
-    token' (NOT trim() != '': Spark's trim strips SPACES only, so a
-    tab/newline-only doc would slip through)."""
+    """Cheap SOUND pre-filter for near-dup participation: non-NULL text with
+    at least one ASCII-visible char. Contentless docs (NULL or token-less
+    text) carry no content signal — their signatures would collapse to
+    constants, so byte-different contentless docs would near-dup each other
+    and all but the min-id survivor would be silently dropped (r04 review).
+
+    This predicate is deliberately only a PRE-filter: Java's '\\S' uses
+    ASCII character classes, so a doc of unicode whitespace (NBSP,
+    ideographic space) passes it even though Python split() — the
+    signature tokenizer — yields zero tokens. The AUTHORITATIVE exemption
+    is `signature IS NULL`: the UDFs emit NULL for token-less text, so the
+    gate is defined by the tokenizer itself and cannot drift from it.
+    Soundness (never excludes a tokenful doc) holds because Java's \\s set
+    is a subset of Python's whitespace set."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return col.isNotNull() & col.rlike(r"\S")
 
@@ -178,7 +182,17 @@ def minhash_sig_series(
         if t is None:
             sigs.append(None)
             continue
-        base = _shingle_hashes(t.lower().split(), vocab)
+        tokens = t.lower().split()
+        if not tokens:
+            # NULL signature for token-less text: the TOKENIZER itself
+            # defines contentlessness, so downstream exemptions gate on
+            # `signature IS NULL` and can never disagree with it. (A
+            # Spark-side regex gate can: Java '\\S' uses ASCII classes, so
+            # an NBSP-only doc passes rlike('\\S') while Python split()
+            # yields zero tokens — r04 review.)
+            sigs.append(None)
+            continue
+        base = _shingle_hashes(tokens, vocab)
         sigs.append(_minhash_sig(base, a, b).tolist())
     return pd.Series(sigs, index=texts.index)
 
@@ -231,13 +245,21 @@ def minhash_dedup(
     over the full corpus twice; the window form has a single consumer) —
     then one left_anti against the dropped-id set.
     """
-    # contentless docs (NULL or token-less text) are exempt — see
-    # has_dedupable_content
+    # contentless docs (NULL or token-less text) are exempt: the rlike is a
+    # cheap sound pre-filter, the NULL-signature filter is the tokenizer-
+    # defined authority — see has_dedupable_content
     sigs = df.filter(has_dedupable_content(text_col)).select(
         F.col(id_col), minhash_udf(F.col(text_col)).alias("_sig")
     )
+    # NULL-signature (token-less) rows drop out via explode-of-NULL — a
+    # filter on the UDF output would re-extract the UDF into a second
+    # ArrowEvalPython stage (filter + projection each evaluate it); the
+    # CASE keeps ONE consumer and explode skips NULL arrays
     bands = sigs.select(
-        id_col, F.explode(band_keys(F.col("_sig"))).alias("_band_key")
+        id_col,
+        F.explode(
+            F.when(F.col("_sig").isNotNull(), band_keys(F.col("_sig")))
+        ).alias("_band_key"),
     )
     dropped = (
         bands.withColumn("_keep_id", F.min(id_col).over(W.partitionBy("_band_key")))
@@ -295,11 +317,13 @@ def dup_marks(
     # every extraction-failure doc would flag as a dup of unrelated pages —
     # and since every rule is NULL-inapplicable, those spurious flags would
     # be the sole keep/drop decider for exactly those docs.
-    # _has_tok gates the NEAR path only (r04 review): token-less text (e.g.
-    # whitespace-only) yields the constant minhash base, so byte-DIFFERENT
-    # contentless docs would near-dup each other — but byte-IDENTICAL
-    # whitespace pages are legitimately EXACT dups, so the exact window
-    # keeps the NULL-only exemption.
+    # The NEAR path additionally exempts token-less text (r04 review):
+    # byte-DIFFERENT contentless docs must not near-dup each other, but
+    # byte-IDENTICAL whitespace pages ARE legitimately exact dups, so the
+    # exact window keeps the NULL-only exemption. The near gate is
+    # `_sig IS NOT NULL` — the signature UDF emits NULL for token-less
+    # text, so the exemption is defined by the tokenizer itself (a regex
+    # gate diverged on unicode whitespace).
     if sig_col is not None:
         qsig = sql_ident(sig_col)
         keyed = df.where(f"{qtext} IS NOT NULL").selectExpr(
@@ -307,7 +331,6 @@ def dup_marks(
             f"xxhash64({qtext}) AS _h",
             f"xxhash64(1, {qtext}) AS _h2",
             f"{qsig} AS _sig",
-            f"regexp_like({qtext}, '\\\\S') AS _has_tok",
         )
     else:
         keyed = df.filter(F.col(text_col).isNotNull()).select(
@@ -315,7 +338,6 @@ def dup_marks(
             F.xxhash64(text_col).alias("_h"),
             F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
             minhash_udf(F.col(text_col)).alias("_sig"),
-            F.col(text_col).rlike(r"\S").alias("_has_tok"),
         )
     if state is not None:
         state = state.join(keyed.select(id_col), id_col, "left_anti")
@@ -359,9 +381,12 @@ def dup_marks(
         .agg(F.expr("bool_and(_inst_dup)").alias("is_exact_dup"))
     )
 
-    bands = keyed.where("_has_tok").selectExpr(
+    bands = keyed.selectExpr(
         qid,
-        f"explode({band_keys_sql('_sig')}) AS _band_key",
+        # explode of the CASE: NULL-signature (token-less) rows emit no
+        # band rows — same single-UDF-consumer rationale as minhash_dedup
+        f"explode(CASE WHEN _sig IS NOT NULL THEN {band_keys_sql('_sig')} END)"
+        " AS _band_key",
         "FALSE AS _from_state",
     )
     if state is not None:
@@ -434,16 +459,14 @@ def dup_fingerprints(
     sig_expr = (
         F.col(sig_col) if sig_col is not None else minhash_udf(F.col(text_col))
     )
-    # NULL-text docs emit no fingerprints, and token-less docs emit no BAND
-    # fingerprints — mirroring dup_marks' exemptions exactly (NULL-only on
-    # the exact window, _has_tok on the near window) so state and batch
-    # stay aligned
+    # NULL-text docs emit no fingerprints, and token-less docs (NULL
+    # signature) emit no BAND fingerprints — mirroring dup_marks' exemptions
+    # exactly so state and batch stay aligned
     keyed = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.xxhash64(text_col).alias("_h"),
         F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
         sig_expr.alias("_sig"),
-        F.col(text_col).rlike(r"\S").alias("_has_tok"),
     )
     exact = keyed.select(
         id_col,
@@ -451,10 +474,12 @@ def dup_fingerprints(
         F.col("_h").alias("k1"),
         F.col("_h2").alias("k2"),
     )
-    band = keyed.where("_has_tok").select(
+    band = keyed.select(
         id_col,
         F.lit("band").alias("kind"),
-        F.explode(band_keys(F.col("_sig"))).alias("k1"),
+        F.explode(
+            F.when(F.col("_sig").isNotNull(), band_keys(F.col("_sig")))
+        ).alias("k1"),
         F.lit(0).cast("long").alias("k2"),
     )
     return exact.unionByName(band)
@@ -484,10 +509,12 @@ def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            mask[i] = True
             tokens = t.lower().split()
             if not tokens:
+                # NULL signature for token-less text — same tokenizer-
+                # defined exemption contract as minhash_sig_series
                 continue
+            mask[i] = True
             th = np.fromiter(
                 (vocab[w] if w in vocab else vocab.setdefault(w, _fnv64(w)) for w in tokens),
                 dtype=np.uint64,
@@ -554,7 +581,15 @@ def simhash_dedup(
     sigs = df.filter(has_dedupable_content(text_col)).select(
         F.col(id_col), simhash_udf(F.col(text_col)).alias("_sh")
     )
-    bands = sigs.select(id_col, "_sh", F.explode(simhash_band_keys("_sh")).alias("_bk"))
+    # explode-of-NULL drops token-less rows without a UDF-output filter
+    # (which would re-extract the UDF into a second Arrow stage)
+    bands = sigs.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.when(F.col("_sh").isNotNull(), simhash_band_keys("_sh"))
+        ).alias("_bk"),
+    )
     anchor = F.min(F.struct(F.col(id_col).alias("i"), F.col("_sh").alias("s"))).over(
         W.partitionBy("_bk")
     )

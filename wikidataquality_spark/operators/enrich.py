@@ -49,6 +49,7 @@ from wikidataquality_spark.operators.extract import extract_text_series
 from wikidataquality_spark.operators.heuristics import STOPWORDS
 from wikidataquality_spark.operators.langid import _CJK_RE, _load_model
 from wikidataquality_spark.operators.perplexity import _load_models
+from wikidataquality_spark.operators.scrub import PII_PATTERNS, TOXICITY_PATTERNS
 from wikidataquality_spark.operators.tokenize import tokenize
 
 ENRICH_TYPE = T.StructType(
@@ -81,8 +82,13 @@ ENRICH_TYPE = T.StructType(
 _SYMBOL_RE = re.compile(r"[^\w\s]", re.UNICODE)  # non-letter/digit/underscore/ws
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 # non-capturing group: identical matches, and pandas str.contains stays quiet
-_BLOCKWORD_RE = re.compile(r"\b(?:badword|toxicword|slurword)\b")
-_PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+# compiled from the ONE frozen pattern source (operators/scrub.py) so the
+# has_blockword/has_pii_email rule flags can never drift from what
+# scrub_column actually redacts (r04 review: three unsynchronized copies).
+# These specific patterns are valid in both Java (regexp_replace) and
+# Python (re) dialects — keep them that way when editing scrub.py.
+_BLOCKWORD_RE = re.compile(TOXICITY_PATTERNS[0][1])
+_PII_EMAIL_RE = re.compile(PII_PATTERNS[0][1])
 
 
 class _FusedScorer:

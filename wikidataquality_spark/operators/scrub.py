@@ -17,17 +17,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-SCRUB_VERSION = "1"
+SCRUB_VERSION = "2"  # v2: phone prefix optional (r04 review)
 
 # (name, java_regex, replacement) — ORDER MATTERS and is frozen.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    # country/area prefix OPTIONAL (v2): the v1 pattern required 1-2 digits
+    # before the first separator, so the most common national formats
+    # '555-123-4567' and '(555) 123-4567' were never scrubbed (r04 review)
+    ("phone", r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
 
 TOXICITY_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("blockwords", r"\b(badword|toxicword|slurword)\b", "<REDACTED>"),
+    # non-capturing: match-identical for replace, and pandas str.contains
+    # (the enrich flag path compiles this same constant) warns on groups
+    ("blockwords", r"\b(?:badword|toxicword|slurword)\b", "<REDACTED>"),
 )
 
 ALL_PATTERNS = PII_PATTERNS + TOXICITY_PATTERNS
@@ -60,4 +65,9 @@ def pii_hit_count(text: str | Column = "text") -> Column:
     for _, pattern, repl in PII_PATTERNS:
         total = total + (F.size(F.split(col, pattern, -1)) - 1)
         col = F.regexp_replace(col, pattern, repl)
-    return total
+    # NULL text (extraction failure) counts 0 hits: F.size(NULL) is NULL
+    # under Spark 4 (and -1 under legacy sizeOfNull), so without the guard
+    # a metrics aggregation over extraction-failure rows silently skips or
+    # corrupts them (r04 review)
+    orig = F.col(text) if isinstance(text, str) else text
+    return F.when(orig.isNotNull(), total).otherwise(F.lit(0))

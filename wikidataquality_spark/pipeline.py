@@ -57,10 +57,6 @@ PIPELINE_RULES: tuple[Rule, ...] = (
     Rule("format.pii_email", "flag", {"column": "has_pii_email"}, severity="soft"),
 )
 
-BLOCKWORD_PATTERN = r"\b(badword|toxicword|slurword)\b"
-PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-
-
 @dataclass
 class PipelineConfig:
     rules: tuple[Rule, ...] = PIPELINE_RULES

@@ -1257,9 +1257,9 @@ SELECT doc_id,
       regexp_replace(
         regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        '\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        '(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-    '\b(badword|toxicword|slurword)\b', '<REDACTED>', 'g') AS scrubbed_text,
+    '\b(?:badword|toxicword|slurword)\b', '<REDACTED>', 'g') AS scrubbed_text,
   regexp_replace(text, '\b(slow|big)\b', '[REDACTED]', 'g') AS blocklist_text
 FROM documents
 """,

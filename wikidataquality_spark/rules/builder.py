@@ -43,6 +43,7 @@ def apply_rules(
     rules: Sequence[Rule],
     violations_col: str = "violations",
     keep_col: str = "keep",
+    violated_rules_col: str = "violated_rules",
 ) -> DataFrame:
     """Evaluate every per-row rule; append violations array + keep decision.
 
@@ -79,7 +80,10 @@ def apply_rules(
         {
             violations_col: F.expr(violations_sql),
             keep_col: F.expr(keep_sql),
-            "violated_rules": F.expr(violated_sql),
+            # parameterized like the other two outputs — a hardcoded name
+            # silently overwrote a pre-existing violated_rules column for
+            # callers renaming to avoid collisions (r04 review)
+            violated_rules_col: F.expr(violated_sql),
         }
     )
 

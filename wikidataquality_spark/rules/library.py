@@ -50,27 +50,35 @@ def format_rule(rule: Rule) -> CheckExpr:
     if pattern is None:
         raise ValueError(f"format rule {rule.rule_id} needs a 'pattern' param")
     matched = f"({col} RLIKE {sql_str(pattern)})"
-    passed = (
-        f"NOT {matched}"
-        if rule.param("mode", "must_not_match") == "must_not_match"
-        else matched
-    )
+    mode = rule.param("mode", "must_not_match")
+    if mode not in ("must_match", "must_not_match"):
+        # a typo'd mode would otherwise silently INVERT the rule (anything
+        # != 'must_not_match' fell through to must_match — r04 review)
+        raise ValueError(f"format rule {rule.rule_id}: unknown mode {mode!r}")
+    passed = f"NOT {matched}" if mode == "must_not_match" else matched
     return check_result_sql(rule, passed, applicable=f"({col} IS NOT NULL)")
 
 
 def one_of_rule(rule: Rule) -> CheckExpr:
     col = sql_ident(rule.param("column", "lang"))
     allowed = _split_list(rule.param("allowed"))
-    passed = (
-        f"({col} IN ({', '.join(sql_str(v) for v in allowed)}))"
-        if allowed
-        else "FALSE"
-    )
+    if not allowed:
+        # loud, like format/conflicts_with: an empty or mistyped 'allowed'
+        # would otherwise compile to passed=FALSE and silently drop every
+        # document with a non-NULL column (r04 review)
+        raise ValueError(f"one_of rule {rule.rule_id} needs a non-empty 'allowed'")
+    passed = f"({col} IN ({', '.join(sql_str(v) for v in allowed)}))"
     return check_result_sql(rule, passed, applicable=f"({col} IS NOT NULL)")
 
 
 def range_rule(rule: Rule) -> CheckExpr:
-    col = f"CAST({sql_ident(rule.param('column'))} AS DOUBLE)"
+    # TRY_CAST (valid in both Spark SQL and the DuckDB oracle dialect), not
+    # CAST: under Spark 4's default ANSI mode one non-numeric value in the
+    # column would raise CAST_INVALID_INPUT and abort the whole job — and
+    # the `applicable = col IS NOT NULL` clause below proves the DESIGN is
+    # cast-failure -> exception status, a path plain CAST makes unreachable
+    # (r04 review; same reasoning as host_of's try_parse_url)
+    col = f"TRY_CAST({sql_ident(rule.param('column'))} AS DOUBLE)"
     lo, hi = rule.fparam("min", float("-inf")), rule.fparam("max", float("inf"))
     return check_result_sql(
         rule,
@@ -81,9 +89,10 @@ def range_rule(rule: Rule) -> CheckExpr:
 
 
 def diff_range_rule(rule: Rule) -> CheckExpr:
+    # TRY_CAST for ANSI totality — see range_rule
     diff = (
-        f"(CAST({sql_ident(rule.param('column_a'))} AS DOUBLE) - "
-        f"CAST({sql_ident(rule.param('column_b'))} AS DOUBLE))"
+        f"(TRY_CAST({sql_ident(rule.param('column_a'))} AS DOUBLE) - "
+        f"TRY_CAST({sql_ident(rule.param('column_b'))} AS DOUBLE))"
     )
     lo, hi = rule.fparam("min", float("-inf")), rule.fparam("max", float("inf"))
     return check_result_sql(
@@ -96,7 +105,7 @@ def diff_range_rule(rule: Rule) -> CheckExpr:
 
 def single_value_rule(rule: Rule) -> CheckExpr:
     """Within-doc repetition: distinct-token ratio must be ≥ min."""
-    col = f"CAST({sql_ident(rule.param('column', 'distinct_word_ratio_stat'))} AS DOUBLE)"
+    col = f"TRY_CAST({sql_ident(rule.param('column', 'distinct_word_ratio_stat'))} AS DOUBLE)"
     lo = rule.fparam("min", 0.0)
     return check_result_sql(
         rule,
@@ -108,7 +117,7 @@ def single_value_rule(rule: Rule) -> CheckExpr:
 
 def multi_value_rule(rule: Rule) -> CheckExpr:
     """Minimum content: token count ≥ k."""
-    col = f"CAST({sql_ident(rule.param('column', 'n_words_stat'))} AS DOUBLE)"
+    col = f"TRY_CAST({sql_ident(rule.param('column', 'n_words_stat'))} AS DOUBLE)"
     k = rule.fparam("min", 1.0)
     return check_result_sql(
         rule,
