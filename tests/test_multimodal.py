@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -329,3 +330,65 @@ def test_decode_wav_stereo_downmix_and_8bit():
 
     with _pytest.raises(ValueError, match="not a RIFF/WAV blob"):
         decode_wav(b"\x00" * 32)
+
+
+def test_zero_sample_rate_wav_is_error_row_not_crash(spark):
+    """r04 review: stdlib wave READS a fmt chunk declaring framerate 0, and
+    duration_ms = n*1000//sr sat OUTSIDE the per-blob try — one such blob
+    ZeroDivisionErrored the task, the exact failure class total decode
+    exists to prevent. decode_wav must reject it with a repo-constant
+    ValueError so audio_features emits a structured err row."""
+    import wave as _wave
+
+    from wikidataquality_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(np.full(100, 5, dtype=np.int16), 8000)
+    # byte-patch the fmt chunk's sample-rate field (offset 24, LE uint32)
+    bad = bytearray(good)
+    bad[24:28] = (0).to_bytes(4, "little")
+    bad = bytes(bad)
+    import io
+
+    with _wave.open(io.BytesIO(bad), "rb") as w:  # precondition: wave reads it
+        assert w.getframerate() == 0
+    with pytest.raises(ValueError, match="invalid WAV sample rate"):
+        decode_wav(bad)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))], "media_id long, blob binary"
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert rows[1]["err"] is None and rows[1]["duration_ms"] == 12
+    assert rows[2]["err"] == "ValueError: invalid WAV sample rate 0"
+    assert rows[2]["duration_ms"] is None
+
+
+def test_nondigit_header_tokens_raise_repo_constant_errors():
+    """r04 review: bare int(b'ab') leaked stdlib ValueError wording (which
+    may drift across Python versions) into the err column that oracle
+    anchors pin; header parsing must raise this repo's own constants."""
+    from wikidataquality_spark.operators.multimodal import (
+        PPMV_MAGIC,
+        decode_ppm,
+        demux_ppmv,
+        encode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="^malformed PPM header field$"):
+        decode_ppm(b"P6\nab cd ef\n" + bytes(16))
+    with pytest.raises(ValueError, match="^malformed PPM header field$"):
+        decode_ppm(b"P6\n-3 4 255\n" + bytes(36))  # negative = non-digit
+
+    frame0 = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    blob = PPMV_MAGIC + (2).to_bytes(4, "big") + frame0 + b"P6\nxx 2\n255\n" + bytes(12)
+    out = []
+    with pytest.raises(
+        ValueError, match="^malformed PPMV frame header at frame 1$"
+    ):
+        for item in demux_ppmv(blob):
+            out.append(item)
+    assert len(out) == 1  # the parseable prefix frame still demuxed

@@ -201,3 +201,96 @@ def test_assign_cells_null_vector_goes_to_cell_zero(spark):
     assert rows[1] == 1
     assert rows[2] == 0  # NULL vector: unprobeable cell, drops out of ANN
     assert rows[3] == 0  # ragged vector likewise
+
+
+def test_degenerate_vectors_never_rank_or_pair(spark):
+    """r04 review: 0/0 cosine is NaN; Spark sorts NaN FIRST under desc and
+    evaluates NaN >= t as TRUE, so an unguarded zero-norm (or NaN-entry)
+    embedding would be every query's #1 neighbor AND pass every threshold.
+    cosine() must yield NULL for them, and the topk/threshold operators must
+    emit no row involving them."""
+    from wikidataquality_spark.operators.simsearch import (
+        embedding_neardup_pairs,
+        ivf_topk,
+        lsh_neardup_pairs,
+    )
+
+    base = [0.0] * 63
+    rows = [
+        (0, [1.0] + base),
+        (1, [0.9] + [0.1] + [0.0] * 62),
+        (2, [0.0] * 64),               # zero norm -> 0/0
+        (3, [float("nan")] + base),    # NaN entry, positive norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    got = brute_force_topk(emb, queries, k=4).collect()
+    bad = {2, 3}
+    assert got, "valid pairs must still rank"
+    for r in got:
+        assert r["q_id"] not in bad and r["vec_id"] not in bad
+        assert r["cos_sim"] == r["cos_sim"]  # no NaN survives
+
+    ivf = ivf_topk(emb, queries, k=4, n_lists=2, n_probe=2)
+    for r in ivf.collect():
+        assert r["q_id"] not in bad and r["vec_id"] not in bad
+
+    for fn in (embedding_neardup_pairs, lsh_neardup_pairs):
+        pairs = fn(emb, threshold=0.5).collect()
+        assert all(r["id_a"] not in bad and r["id_b"] not in bad for r in pairs)
+        assert any(
+            {r["id_a"], r["id_b"]} == {0, 1} for r in pairs
+        ), f"{fn.__name__}: the genuine near-dup pair must survive"
+
+
+def test_ivf_nprobe1_bad_query_returns_nothing(spark):
+    """r04 review: with n_probe=1 probes use the SAME fold-to-cell-0 path as
+    the data side, so a NULL/ragged query used to equi-join the data side's
+    cell-0 rows and return NULL-cosine 'neighbors'."""
+    from wikidataquality_spark.operators.simsearch import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [0.5] * 64), (2, None), (3, [1.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 64), (101, None), (102, [2.0] * 3)],
+        "q_id long, q_vec array<double>",
+    )
+    got = ivf_topk(emb, queries, k=5, n_lists=2, n_probe=1).collect()
+    assert {r["q_id"] for r in got} == {100}
+    assert {r["vec_id"] for r in got} <= {0, 1}
+    assert all(r["cos_sim"] is not None for r in got)
+
+
+def test_train_centroids_cached_rejects_missing_path(spark, emb, tmp_path):
+    """r04 review: a typo'd source path hashed a CONSTANT cache key (empty
+    file listing), silently serving one stale centroid bank for any corpus."""
+    from wikidataquality_spark.operators.simsearch import train_centroids_cached
+
+    with pytest.raises(ValueError, match="no data files"):
+        train_centroids_cached(emb, str(tmp_path / "nope.parquet"))
+
+
+def test_train_centroids_empty_cluster_reseeds_distinct(spark):
+    """r04 review: every empty cluster used to reseed to the SAME farthest
+    point, making duplicate centroids whose higher cell id the strictly-
+    greater router starves forever. Two tight far-apart pairs with k=4 force
+    >=2 empty clusters in iteration 1; all 4 centroids must stay distinct."""
+    from wikidataquality_spark.operators.simsearch import train_centroids
+
+    dim = 64
+    pts = []
+    for i, sign in enumerate([1.0, 1.0, -1.0, -1.0]):
+        v = [0.0] * dim
+        v[0] = sign
+        v[1] = 0.01 * (i % 2)  # tiny within-pair spread
+        pts.append((i, v))
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = train_centroids(emb, n_lists=4, dim=dim, sample_n=4, iters=4)
+    assert len(cents) == 4
+    uniq = {tuple(np.round(c, 9)) for c in cents}
+    assert len(uniq) == 4, "reseeded empty clusters must get distinct points"

@@ -142,7 +142,14 @@ def decode_ppm(blob: bytes) -> np.ndarray:
         start = pos
         while pos < len(blob) and not blob[pos : pos + 1].isspace():
             pos += 1
-        fields.append(int(blob[start:pos]))
+        tok = blob[start:pos]
+        if not tok.isdigit():
+            # our own constant, not int()'s stdlib message: _err_str pins
+            # error strings as repo constants stable across Python versions,
+            # and a bare int(b'ab') would leak stdlib wording into the err
+            # column (r04 review)
+            raise ValueError("malformed PPM header field")
+        fields.append(int(tok))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval != 255:
@@ -181,7 +188,11 @@ def demux_ppmv(blob: bytes):
                 scan += 1
             if start == scan:
                 raise ValueError(f"truncated PPMV frame header at frame {idx}")
-            fields.append(int(blob[start:scan]))
+            tok = blob[start:scan]
+            if not tok.isdigit():
+                # repo-constant error string — see decode_ppm (r04 review)
+                raise ValueError(f"malformed PPMV frame header at frame {idx}")
+            fields.append(int(tok))
         scan += 1
         w, h, _ = fields
         end = scan + w * h * 3
@@ -238,6 +249,13 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
                 "(want 8/16-bit PCM, mono or stereo)"
             )
         sr = w.getframerate()
+        if sr <= 0:
+            # stdlib wave happily READS a fmt chunk declaring framerate 0;
+            # unguarded it reaches audio_features' duration_ms division
+            # OUTSIDE the per-blob try and ZeroDivisionErrors the task —
+            # the exact failure class total decode exists to prevent
+            # (r04 review)
+            raise ValueError(f"invalid WAV sample rate {sr}")
         data = w.readframes(w.getnframes())
     if width == 2:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int32)

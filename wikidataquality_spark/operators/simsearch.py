@@ -54,7 +54,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, NULL (never NaN) for degenerate inputs. A
+    zero-norm vector gives 0/0 = NaN under IEEE doubles, and Spark both
+    sorts NaN FIRST under desc() and evaluates NaN >= t as TRUE — so one
+    all-zeros embedding in a crawled corpus would rank as every query's #1
+    neighbor AND pass every threshold filter (r04 review). NULL instead
+    sorts last and fails filters. nanvl catches NaN-ENTRY vectors the same
+    way (their dot is NaN even with a positive norm); NULL/ragged inputs
+    already propagate NULL through the zip_with fold."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(
+        den > 0, F.nanvl(dot(a, b) / den, F.lit(None).cast("double"))
+    )
 
 
 def brute_force_topk(
@@ -79,7 +90,7 @@ def brute_force_topk(
         query_id_col,
         id_col,
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
-    )
+    ).filter(F.col("cos_sim").isNotNull())  # degenerate vectors rank nowhere
     w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -150,6 +161,7 @@ def lsh_ann(
         cand.select(
             query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
         )
+        .filter(F.col("cos_sim").isNotNull())  # degenerate vectors rank nowhere
         .groupBy(query_id_col, id_col)
         .agg(F.first("cos_sim").alias("cos_sim"))
     )
@@ -207,6 +219,13 @@ def train_centroids(
     for _ in range(iters):
         d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (n, k)
         lab = d.argmin(axis=1)
+        # reseed order for empty clusters: farthest-from-assigned-centroid
+        # first, DISTINCT point per empty cluster — reseeding every empty
+        # cluster to the same argmax point made them duplicate centroids,
+        # and the strictly-greater probe router then starved the higher
+        # cell id forever (effective n_lists silently shrank — r04 review)
+        far = np.argsort(-d.min(axis=1), kind="stable")
+        n_empty = 0
         for j in range(k):
             pts = X[lab == j]
             if len(pts):
@@ -214,7 +233,8 @@ def train_centroids(
                 cn = np.linalg.norm(c)
                 cents[j] = c / cn if cn > 0 else c
             else:
-                cents[j] = X[int(d.min(axis=1).argmax())]
+                cents[j] = X[int(far[n_empty % len(far)])]
+                n_empty += 1
     return cents.tolist()
 
 
@@ -266,6 +286,14 @@ def train_centroids_cached(
                 ents.append(
                     (os.path.relpath(p, source_path), st.st_size, st.st_mtime_ns)
                 )
+    if not ents:
+        # a typo'd/moved path would otherwise hash a CONSTANT key — every
+        # corpus with a bad path silently shares one stale centroid bank and
+        # data-version invalidation (the fingerprint's whole point) is
+        # defeated (r04 review)
+        raise ValueError(
+            f"train_centroids_cached: no data files under {source_path!r}"
+        )
     params = [n_lists, dim, sample_n, iters, seed, id_col, vec_col]
     key = hashlib.sha256(
         json.dumps([CENTROID_CACHE_VERSION, sorted(ents), params]).encode()
@@ -331,13 +359,14 @@ def assign_cells(
     tests/test_simsearch.py::test_assign_cells_plan_has_no_exchange).
 
     Unassignable rows (NULL / wrong-length vector ⇒ NULL scores): the
-    n_keep=1 (data-side) path folds them to cell 0 — a cell no probe list
-    ever contains, so they never join; the n_keep>1 (probe-side) path DROPS
-    them (the NULL-score filter empties the array and explode emits no row
-    — deliberately not explode_outer: a coalesce-to-cell-0 probe would meet
-    the data side's cell-0 rows and emit NULL-cosine candidates). End state
-    is identical either way: an unassignable row contributes no ANN
-    results, and neither path shuffles."""
+    n_keep=1 path folds them to cell 0 — real cells are 1..n_lists, so
+    callers exclude them with one `_cell != 0` filter (ivf_topk does, on
+    BOTH sides: a probe assigned with n_probe=1 also folds to cell 0, and
+    without the filter a bad query would equi-join the data side's cell-0
+    rows and emit NULL-cosine candidates — r04 review); the n_keep>1 path
+    DROPS them (the NULL-score filter empties the array and explode emits
+    no row). End state is identical either way: an unassignable row
+    contributes no ANN results, and neither path shuffles."""
     scores = _cell_scores(F.col(vcol), centroids)
     if n_keep == 1:
         best = F.aggregate(
@@ -397,8 +426,18 @@ def ivf_topk(
             embeddings, n_lists=n_lists, dim=dim, id_col=id_col, vec_col=vec_col
         )
 
-    vecs = assign_cells(embeddings, centroids, vec_col, id_col, 1)
-    probes = assign_cells(queries, centroids, query_vec_col, query_id_col, n_probe)
+    # cell 0 = unassignable (NULL/ragged vector): real cells are 1..n_lists,
+    # so filter it from BOTH sides — with n_probe=1 the probe side uses the
+    # same fold-to-0 path as the data side, and without this filter a bad
+    # query would join the data side's cell-0 rows and return NULL-cosine
+    # "neighbors" (r04 review); the data-side filter also prunes dead rows
+    # before the join. Narrow filters, no exchange added.
+    vecs = assign_cells(embeddings, centroids, vec_col, id_col, 1).filter(
+        F.col("_cell") != 0
+    )
+    probes = assign_cells(
+        queries, centroids, query_vec_col, query_id_col, n_probe
+    ).filter(F.col("_cell") != 0)
     cand = vecs.join(F.broadcast(probes), "_cell").filter(
         F.col(id_col) != F.col(query_id_col)
     )
@@ -407,7 +446,7 @@ def ivf_topk(
     # dedup groupBy needed (the old n_keep>1-both-sides shape required one)
     scored = cand.select(
         query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
-    )
+    ).filter(F.col("cos_sim").isNotNull())  # degenerate vectors rank nowhere
     w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -576,7 +615,19 @@ def lsh_neardup_pairs(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cos_sim", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            # same degenerate-input policy as cosine(): NULL, never NaN —
+            # Spark evaluates NaN >= t as TRUE, so an unguarded 0/0 from a
+            # zero-norm vector would emit garbage pairs past the threshold
+            # (r04 review). On valid vectors the guarded expression is
+            # value-identical to the bare quotient, so SQL-twin parity holds.
+            "cos_sim",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.nanvl(
+                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                    F.lit(None).cast("double"),
+                ),
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
