@@ -483,27 +483,34 @@ def lsh_pair_tables(dim: int = 64) -> list[list[list[float]]]:
     ]
 
 
-def lsh_bucket_ids(
+def lsh_bucket_arrays(
     embeddings: DataFrame,
     tables: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, _table, _bucket) rows — every table's SimHash bucket id computed
-    in one mapInPandas pass over the vectors.
+    """(id, _buckets array<long>) — one row per vector carrying every
+    table's SimHash bucket id in table order, computed in one mapInPandas
+    pass. The array form (rather than exploded (id, table, bucket) rows) is
+    what lets lsh_neardup_pairs emit each colliding pair exactly once with
+    a map-side filter instead of a distinct shuffle of the pair stream.
 
     Bit-parity contract: simhash_bucket folds acc = acc + x_j·p_j in
     dimension order with double math; here acc is a numpy column vector and
     the loop adds V[:, j]·P[:, j] in the same order — identical IEEE ops per
     (row, plane), so sign patterns (and the packed bucket longs) equal the
-    Column version and the DuckDB twin exactly."""
+    Column version and the DuckDB twin exactly.
+
+    NULL / wrong-length vectors bucket to 0 in every table — the Column
+    path's behavior (NULL dot ≥ 0 is NULL → otherwise(0) per bit); np.stack
+    on a ragged batch would abort the task."""
     import pandas as pd
 
     bank = np.asarray(tables, dtype=np.float64)  # (T, B, D)
     n_tables, n_bits, dim = bank.shape
     flat = bank.reshape(n_tables * n_bits, dim)  # plane-major, table order
 
-    out_schema = f"{id_col} long, _table int, _bucket long"
+    out_schema = f"{id_col} long, _buckets array<long>"
 
     def compute(batches):
         for pdf in batches:
@@ -511,45 +518,42 @@ def lsh_bucket_ids(
             if len(ids_all) == 0:
                 continue
             vecs = pdf[vec_col].to_numpy()
-            # NULL / wrong-length vectors bucket to 0 in every table — the
-            # Column path's behavior (NULL dot ≥ 0 is NULL → otherwise(0)
-            # per bit); np.stack on a ragged batch would abort the task
             valid = np.fromiter(
                 (v is not None and len(v) == dim for v in vecs),
                 dtype=bool,
                 count=len(vecs),
             )
-            frames = []
-            if not valid.all():
-                bad = ids_all[~valid]
-                zeros = np.zeros(len(bad), dtype=np.int64)
-                for t in range(n_tables):
-                    frames.append(
-                        pd.DataFrame(
-                            {id_col: bad, "_table": np.int32(t), "_bucket": zeros}
-                        )
-                    )
-            ids = ids_all[valid]
-            if len(ids):
-                v = np.stack(vecs[valid]).astype(np.float64)  # (n, D)
-                acc = np.zeros((len(ids), flat.shape[0]))
+            packed = np.zeros((len(ids_all), n_tables), dtype=np.int64)
+            idx = np.nonzero(valid)[0]
+            if len(idx):
+                v = np.stack(vecs[idx]).astype(np.float64)  # (n, D)
+                acc = np.zeros((len(idx), flat.shape[0]))
                 for j in range(dim):
                     # same op order as the sequential fold: acc += x_j * p_j
                     acc += v[:, j : j + 1] * flat[:, j]
                 bits = (acc >= 0).astype(np.int64)  # (n, T*B)
                 for t in range(n_tables):
-                    packed = np.zeros(len(ids), dtype=np.int64)
+                    col = np.zeros(len(idx), dtype=np.int64)
                     for b in range(n_bits):
-                        packed = packed * 2 + bits[:, t * n_bits + b]
-                    frames.append(
-                        pd.DataFrame(
-                            {id_col: ids, "_table": np.int32(t), "_bucket": packed}
-                        )
-                    )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                        col = col * 2 + bits[:, t * n_bits + b]
+                    packed[idx, t] = col
+            yield pd.DataFrame({id_col: ids_all, "_buckets": list(packed)})
 
     return embeddings.select(id_col, vec_col).mapInPandas(compute, out_schema)
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _table, _bucket) exploded view of lsh_bucket_arrays — same
+    bit-parity and NULL/ragged contract; kept as the row-per-table surface
+    tests and ad-hoc bucket inspection use."""
+    return lsh_bucket_arrays(embeddings, tables, id_col=id_col, vec_col=vec_col).select(
+        id_col, F.posexplode("_buckets").alias("_table", "_bucket")
+    )
 
 
 def lsh_neardup_pairs(
@@ -575,7 +579,7 @@ def lsh_neardup_pairs(
     join shuffles (table, bucket, id, vec) rows only."""
     tables = lsh_pair_tables(dim)
     # All n_tables × n_bits projections in ONE vectorized Arrow pass
-    # (lsh_bucket_ids) instead of an n_tables-way union of Column dot-fold
+    # (lsh_bucket_arrays) instead of an n_tables-way union of Column dot-fold
     # expressions: the union's 32 zip_with/aggregate trees with 64 literals
     # each cost ~2s of codegen+eval per call at sf0.1; the numpy path is a
     # (rows × dims) × (dims × planes) product with the same sequential-fold
@@ -587,16 +591,52 @@ def lsh_neardup_pairs(
     # checkpoint dir set, executor loss recomputes instead of killing the job.
     from wikidataquality_spark.operators.barrier import barrier
 
+    # Emit-once (below) leaves NO exchange between here and the final
+    # filter: when the bucket join broadcasts its build side, the whole
+    # fan-out join + cosine verify runs at THIS RDD's parallelism. The id
+    # stream inherits the scan's input splits — one tiny split (or a few
+    # skewed ones) would serialize the compute-dense verify onto one core
+    # (measured 4.4s vs ~1.5s at sf0.1). Explicit numPartitions so AQE's
+    # byte-based coalescing — blind to compute density — can't undo it;
+    # the cost is one exchange of the ID stream (N·tables longs), nothing
+    # next to the pair-stream shuffle emit-once removes.
+    sc = embeddings.sparkSession.sparkContext
     bucketed = barrier(
-        lsh_bucket_ids(embeddings, tables, id_col=id_col, vec_col=vec_col)
+        lsh_bucket_arrays(embeddings, tables, id_col=id_col, vec_col=vec_col)
+        .repartition(sc.defaultParallelism)
     )
-    a = bucketed.select(F.col(id_col).alias("id_a"), "_table", "_bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), "_table", "_bucket")
+    # Emit-once: a pair colliding in several tables is emitted ONLY at its
+    # first colliding table — each join row carries both sides' full bucket
+    # arrays (n_tables longs, bounded) and a map-side filter rejects the
+    # pair when any EARLIER table already collided. This replaces the old
+    # `.distinct()` with zero shuffles: the pair stream (≫ the id stream —
+    # every bucket of size m contributes m(m−1)/2 rows) never gets hash-
+    # repartitioned just to dedup, which at corpus scale was the single
+    # largest exchange in the query.
+    pos = bucketed.select(
+        id_col, F.posexplode("_buckets").alias("_table", "_bucket"), "_buckets"
+    )
+    a = pos.select(
+        F.col(id_col).alias("id_a"), "_table", "_bucket", F.col("_buckets").alias("_bka")
+    )
+    b = pos.select(
+        F.col(id_col).alias("id_b"), "_table", "_bucket", F.col("_buckets").alias("_bkb")
+    )
+    # positions are 0-based: an earlier collision is any table s < _table
+    # with equal buckets. UNROLLED as a flat OR of element_at comparisons —
+    # the natural slice/zip_with/exists HOF spelling is interpreted (not
+    # codegen'd) and measured 2.6× slower on the full query at sf0.1; the
+    # unrolled form is n_tables simple predicates inside WholeStageCodegen.
+    earlier_collision = F.lit(False)
+    for s in range(len(tables)):
+        earlier_collision = earlier_collision | (
+            (F.col("_table") > s)
+            & (F.element_at("_bka", s + 1) == F.element_at("_bkb", s + 1))
+        )
     cand = (
         a.join(b, ["_table", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & ~earlier_collision)
         .select("id_a", "id_b")
-        .distinct()
     )
     # Precompute each vector's norm ONCE (2 folds per vector) so the
     # per-candidate verify is a single dot-product fold — the same
