@@ -123,6 +123,7 @@ def test_contentless_text_exempt_from_near_dup(spark):
     exemption existed, the token-less one did not). Byte-IDENTICAL
     whitespace pages are still legitimately EXACT dups."""
     from wikidataquality_spark.operators.dedup import (
+        STATE_BAND_KIND,
         dup_fingerprints,
         dup_marks,
         minhash_dedup,
@@ -159,8 +160,8 @@ def test_contentless_text_exempt_from_near_dup(spark):
 
     # state table: contentless docs emit an exact fingerprint but NO band rows
     fp = dup_fingerprints(df)
-    assert fp.filter((F.col("url") == "u2") & (F.col("kind") == "band")).count() == 0
-    assert fp.filter((F.col("url") == "u2") & (F.col("kind") != "band")).count() == 1
+    assert fp.filter((F.col("url") == "u2") & (F.col("kind") == STATE_BAND_KIND)).count() == 0
+    assert fp.filter((F.col("url") == "u2") & (F.col("kind") != STATE_BAND_KIND)).count() == 1
 
 
 def test_short_doc_word_order_distinguishes(spark):

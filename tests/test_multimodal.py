@@ -392,3 +392,49 @@ def test_nondigit_header_tokens_raise_repo_constant_errors():
         for item in demux_ppmv(blob):
             out.append(item)
     assert len(out) == 1  # the parseable prefix frame still demuxed
+
+
+def test_sample_frames_null_n_frames_metadata(spark):
+    """r04 review: the keep filter required meta.n_frames non-NULL even on
+    the real demux path (which counts frames from the blob itself), so a
+    corrupt container whose metadata extractor couldn't count frames was
+    silently dropped with neither frames nor an error row. Real path must
+    demux regardless; the fake path (which has no blob parse) must emit an
+    error row, keeping the decode total."""
+    from wikidataquality_spark.operators.multimodal import (
+        PPMV_MAGIC,
+        encode_ppm,
+        encode_ppmv,
+        sample_frames,
+    )
+
+    frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    good = encode_ppmv(frames)
+    truncated = good[: len(good) - 5]  # last frame's pixel data cut short
+    rows = [
+        (1, bytearray(good), {"n_frames": None, "kind": "video"}),
+        (2, bytearray(truncated), {"n_frames": None, "kind": "video"}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, blob binary, meta struct<n_frames: int, kind: string>",
+    )
+    out = sample_frames(media, every_nth=1).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # real demux ignores the NULL metadata: all 3 frames of the good blob
+    assert sorted(r["frame_index"] for r in by_id[1]) == [0, 1, 2]
+    assert all(r["err"] is None for r in by_id[1])
+    # truncated blob: parseable prefix frames plus ONE error row
+    errs = [r for r in by_id[2] if r["err"] is not None]
+    assert len(errs) == 1 and errs[0]["frame_index"] == -1
+    assert len(by_id[2]) >= 2  # at least one clean prefix frame demuxed
+
+    fake = sample_frames(media, every_nth=1, deterministic_fake=True).collect()
+    fake_by_id = {}
+    for r in fake:
+        fake_by_id.setdefault(r["media_id"], []).append(r)
+    for mid in (1, 2):
+        assert len(fake_by_id[mid]) == 1
+        assert fake_by_id[mid][0]["err"] == "ValueError: missing n_frames metadata"

@@ -55,8 +55,12 @@ def main() -> int:
     )
 
     results = {}
+    # train once per n_lists, not per (n_lists, n_probe): train_centroids is
+    # deterministic for fixed corpus+seed, so per-probe retraining paid the
+    # corpus sample + k-means 5x for 2 distinct banks (r04 review)
+    banks = {nl: train_centroids(emb, n_lists=nl) for nl in (8, 16)}
     for n_lists, n_probe in [(8, 1), (8, 2), (8, 4), (16, 2), (16, 4)]:
-        cents = train_centroids(emb, n_lists=n_lists)
+        cents = banks[n_lists]
         approx = set(
             map(
                 tuple,

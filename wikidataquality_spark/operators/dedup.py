@@ -40,7 +40,14 @@ from wikidataquality_spark.rules.model import sql_ident
 # DETECTED (unknown kind -> loud error in incremental_validate) instead of
 # silently matching nothing.
 STATE_EXACT_KIND = "exact2"
-STATE_KINDS = (STATE_EXACT_KIND, "band")
+# Band kind v2: the r04 dedup-correctness sweep changed band-fingerprint
+# SEMANTICS (positional sub-k shingle combiner for short docs, NULL
+# signature for token-less text), so pre-sweep band rows no longer match
+# the keys the same text hashes to today. Embedding the version in the
+# kind makes such stale state fail LOUDLY in incremental_validate's
+# unknown-kind check instead of silently matching nothing (r04 review).
+STATE_BAND_KIND = "band2"
+STATE_KINDS = (STATE_EXACT_KIND, STATE_BAND_KIND)
 
 # MinHash geometry: H hashes = B bands × R rows. Jaccard threshold ≈ (1/B)^(1/R)
 # → B=16, R=8 ⇒ ~0.71; near-dup pairs (1 sentence changed of ~6) sit well above.
@@ -293,7 +300,7 @@ def dup_marks(
 
     `state` (optional) makes the operator INCREMENTAL: a fingerprint table of
     previously-processed documents (schema of `dup_fingerprints`: id, kind
-    STATE_EXACT_KIND|'band', k1, k2) is unioned into both flag windows, so a
+    STATE_EXACT_KIND|STATE_BAND_KIND, k1, k2) is unioned into both flag windows, so a
     new batch is deduplicated against the whole corpus seen so far without
     re-reading any document body. The production analogue at 10^12 docs is an
     Iceberg fingerprint table keyed by (kind, k1) that successive crawl
@@ -391,7 +398,7 @@ def dup_marks(
     )
     if state is not None:
         bands = bands.unionByName(
-            state.filter(F.col("kind") == "band").select(
+            state.filter(F.col("kind") == STATE_BAND_KIND).select(
                 F.col(id_col),
                 F.col("k1").alias("_band_key"),
                 F.lit(True).alias("_from_state"),
@@ -453,7 +460,7 @@ def dup_fingerprints(
     """Fingerprint rows for the incremental-dedup state table (`dup_marks`
     state= input): per doc, one 'exact' row (k1 = xxhash64(text),
     k2 = xxhash64(1, text) — the independent second hash of the exact
-    window) plus one 'band' row per LSH band key (k2 = 0). ~24 bytes ×
+    window) plus one band-kind row per LSH band key (k2 = 0). ~24 bytes ×
     (1 + B) rows per document — the only thing a later batch needs to dedup
     against this one; document bodies never persist into state."""
     sig_expr = (
@@ -476,7 +483,7 @@ def dup_fingerprints(
     )
     band = keyed.select(
         id_col,
-        F.lit("band").alias("kind"),
+        F.lit(STATE_BAND_KIND).alias("kind"),
         F.explode(
             F.when(F.col("_sig").isNotNull(), band_keys(F.col("_sig")))
         ).alias("k1"),

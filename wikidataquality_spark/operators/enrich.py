@@ -87,8 +87,11 @@ _ALPHA_RE = re.compile(r"[A-Za-z]")
 # scrub_column actually redacts (r04 review: three unsynchronized copies).
 # These specific patterns are valid in both Java (regexp_replace) and
 # Python (re) dialects — keep them that way when editing scrub.py.
-_BLOCKWORD_RE = re.compile(TOXICITY_PATTERNS[0][1])
-_PII_EMAIL_RE = re.compile(PII_PATTERNS[0][1])
+# name-keyed, not positional: pattern ORDER in scrub.py is frozen only for
+# replacement sequencing — an inserted/reordered entry would silently rebind
+# a positional [0] to the wrong regex (r04 review)
+_BLOCKWORD_RE = re.compile(dict((n, p) for n, p, _ in TOXICITY_PATTERNS)["blockwords"])
+_PII_EMAIL_RE = re.compile(dict((n, p) for n, p, _ in PII_PATTERNS)["email"])
 
 
 class _FusedScorer:

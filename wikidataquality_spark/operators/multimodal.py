@@ -418,11 +418,30 @@ def sample_frames(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            keep = pdf[pdf["blob"].notna() & pdf["n_frames"].notna()]
+            # NULL blob = metadata-only row, skipped like the image/audio
+            # paths; NULL n_frames must NOT gate the real path — the demux
+            # reads the frame count from the blob itself, and a corrupt
+            # container whose metadata extractor couldn't count frames (the
+            # likeliest malformed state) would otherwise vanish with neither
+            # frames nor an error row, the silent loss the err column
+            # exists to prevent (r04 review)
+            keep = pdf[pdf["blob"].notna()]
             for media_id, blob, n_frames in zip(
                 keep["media_id"], keep["blob"], keep["n_frames"]
             ):
                 if deterministic_fake:
+                    if pd.isna(n_frames):
+                        # the fake path has no blob parse to fall back on —
+                        # keep the accounting total with an error row
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": -1,
+                                "frame_blob": None,
+                                "err": "ValueError: missing n_frames metadata",
+                            }
+                        )
+                        continue
                     for idx in range(0, int(n_frames), every_nth):
                         frame = hashlib.sha256(
                             bytes(blob) + idx.to_bytes(4, "big")
