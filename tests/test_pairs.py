@@ -183,3 +183,15 @@ def test_lsh_pairs_tolerate_null_and_ragged_vectors(spark):
         con.execute(lsh_neardup_pairs_sql(0.9, dim=dim)).fetchall()
     )
     assert want == sorted(pairs)
+
+
+def test_lsh_pairs_verify_runs_parallel(spark, sf0001_dir):
+    """Emit-once leaves NO exchange between the bucket checkpoint and the
+    final filter, so the compute-dense fan-out join + cosine verify runs at
+    the checkpoint RDD's partitioning. A tiny parquet source is ONE input
+    split; without the guard repartition the whole verify serialized onto
+    one core (measured 4.4s vs 1.5s at sf0.1). The final stage is narrow
+    all the way down, so the result's partition count IS the checkpoint's."""
+    e = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    out = lsh_neardup_pairs(e, threshold=0.5)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
