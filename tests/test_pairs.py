@@ -195,3 +195,59 @@ def test_lsh_pairs_verify_runs_parallel(spark, sf0001_dir):
     e = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
     out = lsh_neardup_pairs(e, threshold=0.5)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_lsh_pairs_degenerate_hub_excluded_and_twin_agrees(spark):
+    """Zero-norm / NaN-entry vectors hash to constant buckets in every
+    table: m of them meet m²/2 times in the bucket join, all verify-
+    filtered — a pure-waste quadratic hub at crawl scale. lsh_bucket_arrays
+    flags them _pairable=false and the pair operator drops them pre-join
+    (pair set unchanged). The SQL twin needs explicit nrm/isnan guards:
+    DuckDB evaluates NaN >= t as TRUE, so an unguarded NaN-entry cosine
+    would emit pairs Spark rejects (r04 review)."""
+    import math
+
+    import pandas as pd
+
+    from wikidataquality_spark.operators.simsearch import (
+        lsh_bucket_arrays,
+        lsh_pair_tables,
+    )
+
+    dim = 8
+    base = [1.0 if i == 0 else 0.1 for i in range(dim)]
+    near = [1.0 if i == 0 else 0.11 for i in range(dim)]
+    rows = [
+        (0, base),
+        (1, near),
+        (2, [0.0] * dim),                      # zero norm
+        (3, [0.0] * dim),                      # zero norm (hub partner)
+        (4, [math.nan] + [1.0] * (dim - 1)),   # NaN entry, positive norm
+        (5, [math.nan] + [1.0] * (dim - 1)),   # identical NaN twin
+        (6, None),                             # NULL
+        (7, base[: dim - 2]),                  # ragged
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    marks = {
+        r["vec_id"]: r["_pairable"]
+        for r in lsh_bucket_arrays(e, lsh_pair_tables(dim)).collect()
+    }
+    assert marks == {0: True, 1: True, 2: False, 3: False, 4: False, 5: False, 6: False, 7: False}
+
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in lsh_neardup_pairs(e, threshold=0.5, dim=dim).collect()
+    )
+    assert got == [(0, 1)]
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+        ),
+    )
+    want = sorted(
+        (r[0], r[1]) for r in con.execute(lsh_neardup_pairs_sql(0.5, dim=dim)).fetchall()
+    )
+    assert want == got

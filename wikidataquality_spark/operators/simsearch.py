@@ -510,7 +510,7 @@ def lsh_bucket_arrays(
     n_tables, n_bits, dim = bank.shape
     flat = bank.reshape(n_tables * n_bits, dim)  # plane-major, table order
 
-    out_schema = f"{id_col} long, _buckets array<long>"
+    out_schema = f"{id_col} long, _buckets array<long>, _pairable boolean"
 
     def compute(batches):
         for pdf in batches:
@@ -524,9 +524,22 @@ def lsh_bucket_arrays(
                 count=len(vecs),
             )
             packed = np.zeros((len(ids_all), n_tables), dtype=np.int64)
+            # _pairable = this row could ever pass a cosine verify: right
+            # length, all-finite entries, positive norm. Degenerate rows
+            # (zero vectors, NaN entries) hash to CONSTANT buckets in every
+            # table, so m of them meet m²/2 times in the bucket join and
+            # every one of those pairs is then verify-filtered (NULL
+            # cosine) — a pure-waste quadratic hub at crawl scale, where
+            # zeroed embedding rows are routine. Flagging them here lets the
+            # pair operator drop them before the join; the emitted pair SET
+            # is unchanged by construction.
+            pairable = valid.copy()
             idx = np.nonzero(valid)[0]
             if len(idx):
                 v = np.stack(vecs[idx]).astype(np.float64)  # (n, D)
+                finite = np.isfinite(v).all(axis=1)
+                norm_pos = (v * v).sum(axis=1) > 0
+                pairable[idx] = finite & norm_pos
                 acc = np.zeros((len(idx), flat.shape[0]))
                 for j in range(dim):
                     # same op order as the sequential fold: acc += x_j * p_j
@@ -537,7 +550,9 @@ def lsh_bucket_arrays(
                     for b in range(n_bits):
                         col = col * 2 + bits[:, t * n_bits + b]
                     packed[idx, t] = col
-            yield pd.DataFrame({id_col: ids_all, "_buckets": list(packed)})
+            yield pd.DataFrame(
+                {id_col: ids_all, "_buckets": list(packed), "_pairable": pairable}
+            )
 
     return embeddings.select(id_col, vec_col).mapInPandas(compute, out_schema)
 
@@ -553,7 +568,7 @@ def lsh_bucket_ids(
     tests and ad-hoc bucket inspection use."""
     return lsh_bucket_arrays(embeddings, tables, id_col=id_col, vec_col=vec_col).select(
         id_col, F.posexplode("_buckets").alias("_table", "_bucket")
-    )
+    )  # _pairable dropped: the exploded view reports raw buckets for ALL rows
 
 
 def lsh_neardup_pairs(
@@ -613,7 +628,12 @@ def lsh_neardup_pairs(
     # every bucket of size m contributes m(m−1)/2 rows) never gets hash-
     # repartitioned just to dedup, which at corpus scale was the single
     # largest exchange in the query.
-    pos = bucketed.select(
+    # Unpairable rows (NULL/ragged/zero-norm/NaN-entry vectors) never survive
+    # the cosine verify, but they DO hash to constant buckets in every table
+    # — m of them would meet m²/2 times in the join below before being
+    # filtered. Dropping them pre-join keeps the pair set identical and
+    # removes the quadratic degenerate hub (routine in crawled embeddings).
+    pos = bucketed.filter("_pairable").select(
         id_col, F.posexplode("_buckets").alias("_table", "_bucket"), "_buckets"
     )
     a = pos.select(
@@ -680,7 +700,17 @@ def lsh_neardup_pairs_sql(threshold: float = 0.5, dim: int = 64) -> str:
     would become DECIMAL and change the sign arithmetic), identical
     sequential-fold dot products, identical bucket packing. Dot products come
     from the shared NULL/ragged-guarded dot_sql builder (one SQL fold for
-    every oracle)."""
+    every oracle).
+
+    Degenerate-vector guards mirror cosine()'s NULL-never-NaN policy: DuckDB
+    returns NULL for x/0.0 (zero-norm pairs already drop), but a NaN-ENTRY
+    vector with positive norm yields a real NaN cosine and DuckDB evaluates
+    NaN >= t as TRUE (NaN sorts greatest) — without the isnan/nrm guards the
+    twin would emit pairs Spark's nanvl→NULL filter rejects. NULL-ENTRY
+    arrays (legal in parquet; also what pandas→DuckDB registration turns NaN
+    into) diverge the other way: Spark's zip_with fold propagates the NULL
+    (pair rejected) while list_aggregate('sum') IGNORES it (real cosine,
+    pair emitted) — the list_filter length guards exclude them explicitly."""
     dot = dot_sql
 
     def plane_lit(p: list[float]) -> str:
@@ -726,5 +756,9 @@ FROM cand c
 JOIN n a ON a.vec_id = c.id_a
 JOIN n b ON b.vec_id = c.id_b
 WHERE len(a.embedding) = len(b.embedding)
+  AND len(list_filter(a.embedding, x -> x IS NOT NULL)) = len(a.embedding)
+  AND len(list_filter(b.embedding, x -> x IS NOT NULL)) = len(b.embedding)
+  AND a.nrm > 0 AND b.nrm > 0
+  AND NOT isnan({dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))
   AND {dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
 """
