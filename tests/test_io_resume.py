@@ -27,8 +27,17 @@ def test_write_and_manifest(spark, tmp_path):
     df = _mkdf(spark)
     entry = write_partitioned(df, out, run_id="run1", input_snapshot="snapA")
     assert set(entry["partitions"]) == {"2025-01-01", "2025-01-02", "2025-01-03"}
+    # per-partition row counts ride the same single listing action — they're
+    # what lets run_pipeline report docs-out without a second input scan
+    assert entry["rows"] == 30
+    assert entry["row_counts"] == {
+        "2025-01-01": 10,
+        "2025-01-02": 10,
+        "2025-01-03": 10,
+    }
     m = read_manifest(out)
     assert m["runs"][0]["input_snapshot"] == "snapA"
+    assert m["runs"][0]["rows"] == 30
     assert read_table(spark, out).count() == 30
 
 

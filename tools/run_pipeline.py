@@ -100,8 +100,11 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = repartition_by_host_salted(pages, args.salt_hot)
 
-    n_in = pages.count()
-    if n_in == 0:
+    # limit-1 probe, not count(): a full count() here cost one EXTRA scan of
+    # the whole input before validation — at corpus scale that scan is a
+    # second 100 TB read. The docs total comes back from the write manifest
+    # (validate() annotates every input row, so written rows == input rows).
+    if pages.isEmpty():
         print(json.dumps({"status": "nothing_to_do", "input": args.input}))
         return 0
 
@@ -111,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         out, args.output, partition_col="partition", run_id=args.run_id,
         input_snapshot=args.input,
     )
+    n_in = entry["rows"]
     metrics = rule_metrics(validated, by=args.partition_by)
     write_partitioned(
         metrics, args.metrics, partition_col="partition", run_id=entry["run_id"],

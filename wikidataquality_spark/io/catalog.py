@@ -103,8 +103,15 @@ def write_partitioned(
         # date/host-grained (thousands at most), never row-grained. The cap
         # turns an accidental high-cardinality partition column (e.g. doc_id)
         # into a loud error instead of an OOM-ing collect at 100 TB.
-        parts_df = df.select(partition_col).distinct().limit(MAX_PARTITIONS_PER_RUN + 1)
-        parts = [r[0] for r in parts_df.collect()]
+        # groupBy().count() instead of distinct(): the exchange is identical
+        # (hash on partition_col, map-side partial agg) but the same single
+        # action also yields per-partition row counts for the manifest —
+        # which lets callers report row totals WITHOUT a second full pass
+        # over the input (run_pipeline.py previously paid a whole extra
+        # corpus scan just for docs-in; at 100 TB that scan IS the cost).
+        parts_df = df.groupBy(partition_col).count().limit(MAX_PARTITIONS_PER_RUN + 1)
+        counted = parts_df.collect()
+        parts = [r[0] for r in counted]
         if len(parts) > MAX_PARTITIONS_PER_RUN:
             raise ValueError(
                 f"write_partitioned: >{MAX_PARTITIONS_PER_RUN} distinct values in "
@@ -121,6 +128,11 @@ def write_partitioned(
     entry = {
         "run_id": run_id,
         "partitions": sorted(map(str, parts)),
+        # str-keyed like "partitions" (NULL → "None", matching the sort key);
+        # "rows" is the exact written row total — Iceberg-manifest-style
+        # metadata that doubles as the caller's docs-out count.
+        "row_counts": {str(r[0]): r[1] for r in counted},
+        "rows": int(sum(r[1] for r in counted)),
         "input_snapshot": input_snapshot,
     }
     with _manifest_lock(table_dir):

@@ -200,7 +200,15 @@ def jaccard_pairs_prefix_filtered(
         .agg(F.first("_sza").alias("_sza"), F.first("_szb").alias("_szb"))
     )
     # 5. exact verification — ONE hash intersection per surviving pair; the
-    # union size comes from the carried set sizes, not a second pass
+    # union size comes from the carried set sizes, not a second pass.
+    # Deliberately TWO joins against `ordered` rather than carrying _ordered
+    # through the prefix rows (the LSH emit-once trick): there the carried
+    # array is n_tables=8 longs, bounded; here it is the full gram set, so
+    # every prefix row would haul O(|g|) longs through the candidate join —
+    # O((1−t)·|g|²) shuffle bytes per doc, quadratic in document length. At
+    # bench SF the candidate set is tiny, so AQE turns both verify joins into
+    # broadcasts of `cand` (zero shuffle of the gram arrays); at corpus scale
+    # they degrade gracefully to SMJ instead of OOMing the exchange.
     ga = ordered.select(F.col("_id").alias("id_a"), F.col("_ordered").alias("_ga"))
     gb = ordered.select(F.col("_id").alias("id_b"), F.col("_ordered").alias("_gb"))
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
