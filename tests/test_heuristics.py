@@ -148,3 +148,46 @@ def test_langid_nan_and_null_conf():
     m = marker.predict(pd.Series([None, "the quick brown fox and the dog"]))
     assert np.isnan(m["lang_conf"].iloc[0])
     assert m["lang_conf"].iloc[1] > 0
+
+
+def test_dup_line_char_ratio(spark):
+    """(total line chars − distinct line chars) / total line chars: the
+    character-weighted Gopher duplicate-line signal, and its DuckDB twin."""
+    import duckdb
+
+    rows = [
+        (1, "unique one\nunique two"),            # no repetition -> 0.0
+        (2, "footer line\nbody\nfooter line"),    # 11 of 26 chars duplicated
+        (3, "aa\naa\naa"),                        # 4 of 6 chars duplicated
+        (4, "\n\n"),                              # 3 empty lines, 0 chars -> NULL
+        (5, None),                                # NULL text -> NULL
+        (6, "solo"),                              # single line -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_line_char_ratio_stat"] for r in with_doc_stats(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == pytest.approx(11 / 26)
+    assert got[3] == pytest.approx(4 / 6)
+    assert got[4] is None
+    assert got[5] is None
+    assert got[6] == 0.0
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            """
+            SELECT doc_id,
+              (list_aggregate(list_transform(string_split(text, chr(10)), x -> length(x)), 'sum')
+               - list_aggregate(list_transform(list_distinct(string_split(text, chr(10))), x -> length(x)), 'sum'))
+              / CAST(nullif(list_aggregate(list_transform(string_split(text, chr(10)), x -> length(x)), 'sum'), 0) AS DOUBLE)
+            FROM docs
+            """
+        ).fetchall()
+    }
+    for k in got:
+        if got[k] is None:
+            assert want[k] is None
+        else:
+            assert want[k] == pytest.approx(got[k])

@@ -105,3 +105,49 @@ def test_tokenizer_parity_spark_vs_duckdb_on_exotic_whitespace(spark):
         "SELECT len(string_split_regex(trim(?), '\\s+'))", ["a\x0bb c"]
     ).fetchone()[0]
     assert old != spark_counts[0]
+
+
+def test_top_ngram_char_fraction(spark, sf0001_dir):
+    """Gopher's modal-n-gram character fraction: hand-computed fixtures plus
+    bit-parity with the DuckDB twin on real corpus text."""
+    import duckdb
+    import pandas as pd
+
+    from wikidataquality_spark.operators.textstats import (
+        top_ngram_char_fraction,
+        top_ngram_char_fraction_sql,
+    )
+
+    rows = [
+        (1, "buy pills buy pills buy pills"),  # "buy pills" x3 (9 ch) = 27/29
+        (2, "all words are different here"),
+        (3, "one"),       # fewer than 2 words -> NULL
+        (4, None),        # NULL text -> NULL
+        (5, ""),          # empty -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["top_ngram_char_fraction"]
+        for r in top_ngram_char_fraction(df, n=2).collect()
+    }
+    assert got[1] == pytest.approx(27 / 29)
+    # 4 distinct bigrams, modal count 1; the longest is "different here" (14 ch)
+    assert got[2] == pytest.approx(14 / 28)
+    assert got[3] is None and got[4] is None and got[5] is None
+
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet").select("doc_id", "text")
+    both = docs.unionByName(df.withColumn("doc_id", F.col("doc_id") + F.lit(10**6)))
+    for n in (2, 3):
+        got_df = (
+            top_ngram_char_fraction(both, n=n)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", both.toPandas())
+        want_df = (
+            con.execute(top_ngram_char_fraction_sql(n=n))
+            .df()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False)

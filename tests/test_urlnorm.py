@@ -1,0 +1,93 @@
+"""URL canonicalization + recrawl dedup: hand-derived expectations and
+bit-parity between the Column expression and its DuckDB twin."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pandas as pd
+
+from wikidataquality_spark.operators.dedup import (
+    canonical_url,
+    canonical_url_sql,
+    url_dup_marks,
+)
+
+CASES = [
+    # (raw, canonical)
+    (
+        "https://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/Path?a=1&b=2",
+    ),
+    ("http://example.com:80/", "http://example.com"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),  # real port kept
+    ("https://a.com/x?utm_campaign=z&fbclid=abc", "https://a.com/x"),  # tracking-only
+    ("https://a.com/x#sec?notquery", "https://a.com/x"),  # '?' inside fragment
+    ("https://a.com/x/?a=1", "https://a.com/x?a=1"),
+    ("https://a.com", "https://a.com"),
+    ("example.com/no-scheme", "example.com/no-scheme"),  # pass-through
+    ("  https://b.com/pad  ", "https://b.com/pad"),  # trimmed
+    (None, None),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"] for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_duckdb_twin(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = sorted(
+        (r["i"], r["c"])
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(CASES)), "url": [r for r, _ in CASES]}))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT i, {canonical_url_sql('url')} AS c FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_url_dup_marks_keeps_earliest_crawl(spark):
+    t0 = datetime.datetime(2025, 1, 1)
+    t1 = datetime.datetime(2025, 2, 1)
+    rows = [
+        # one page, three crawl spellings -> earliest unflagged
+        ("https://www.site.com/a?utm_source=feed", t1),
+        ("https://site.com/a", t0),
+        ("https://site.com/a/", t1),
+        # a different page
+        ("https://site.com/b", t0),
+        # NULL url exempt, never flagged
+        (None, t0),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = url_dup_marks(df).collect()
+    by_url = {r["url"]: r for r in out}
+    assert len(out) == 5  # scrub-not-drop: every row survives
+    assert by_url["https://site.com/a"]["url_dup"] is False  # earliest ts wins
+    assert by_url["https://www.site.com/a?utm_source=feed"]["url_dup"] is True
+    assert by_url["https://site.com/a/"]["url_dup"] is True
+    assert by_url["https://site.com/b"]["url_dup"] is False
+    assert by_url[None]["url_dup"] is False and by_url[None]["url_canonical"] is None
+    # all three spellings share one canonical key
+    canon = {
+        r["url_canonical"]
+        for r in out
+        if r["url"] is not None and "/a" in r["url"]
+    }
+    assert canon == {"https://site.com/a"}

@@ -617,6 +617,118 @@ def simhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+# tracking params stripped by canonical_url: bare name or name=value, plus
+# the whole utm_* family by prefix. Frozen like STOPWORDS — extending it
+# changes which recrawls count as duplicates.
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
+
+
+def canonical_url(url_col: str | Column = "url") -> Column:
+    """Best-effort crawl-URL canonicalization for URL-level dedup (the CCNet/
+    RefinedWeb pre-dedup step: the same page is crawled as http/https,
+    with/without www, with tracking params, with a fragment — all one
+    document). Pure Column regexp work, fully codegen'd:
+
+      - scheme + authority lowercased; one leading 'www.' stripped; default
+        port dropped (':80' for http, ':443' for https);
+      - path kept case-sensitive, trailing '/'s stripped ('/a/' == '/a';
+        root collapses to no path);
+      - query params: tracking params (utm_*, gclid, fbclid, ...) dropped,
+        the rest SORTED so param order never distinguishes documents;
+      - fragment dropped.
+
+    URLs with no scheme:// prefix pass through trimmed-but-unchanged
+    (canonicalization is best-effort normalization, never a parser that can
+    reject); NULL stays NULL. Userinfo, being part of the authority, is
+    lowercased with it — vanishingly rare in crawl URLs and harmless for a
+    dedup key."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    # first '?' before any '#' opens the query; a '?' inside the fragment is
+    # not a query (the non-greedy [^#]*? anchor enforces it)
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(F.sort_array(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def canonical_url_sql(expr: str = "url") -> str:
+    """DuckDB twin of canonical_url as a SQL scalar expression over `expr` —
+    same RE2-compatible patterns (no backrefs, so Java regex and RE2 agree),
+    same sort/filter semantics (list_sort is ascending lexicographic like
+    sort_array). Used by the parity tests; reusable as an oracle fragment."""
+    u = f"trim({expr})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    auth0 = f"regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '') "
+        f"ELSE {auth0} END"
+    )
+    path = f"regexp_replace(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    query = f"regexp_extract({u}, '^[^#]*?\\?([^#]*)', 1)"
+    q2 = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN {u} ELSE "
+        f"{scheme} || '://' || {auth} || {path} || "
+        f"(CASE WHEN {q2} <> '' THEN '?' || {q2} ELSE '' END) END"
+    )
+
+
+def url_dup_marks(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Flag recrawls: rows sharing a canonical URL, keeping the EARLIEST
+    (ts, url) row unflagged (first-crawl-wins — deterministic under retry).
+    Adds `url_canonical` and boolean `url_dup`; scrub-not-drop like dup_marks.
+
+    Same shuffle discipline as exact_dedup: the window partitions on TWO
+    independently-seeded 64-bit hashes of the canonical string (16-byte key,
+    false-merge ~2⁻¹²⁸/pair), and NULL urls are exempted BEFORE the window
+    (xxhash64(NULL) is a constant — a corpus of NULL urls would otherwise
+    pile into one straggler partition)."""
+    canon = canonical_url(url_col)
+    nn = F.col(url_col).isNotNull()
+    w = W.partitionBy(
+        F.xxhash64(F.col("url_canonical")),
+        F.xxhash64(F.lit(1), F.col("url_canonical")),
+    ).orderBy(ts_col, url_col)
+    flagged = (
+        df.filter(nn)
+        .withColumn("url_canonical", canon)
+        .withColumn("url_dup", F.row_number().over(w) > 1)
+    )
+    exempt = (
+        df.filter(~nn)
+        .withColumn("url_canonical", F.lit(None).cast("string"))
+        .withColumn("url_dup", F.lit(False))
+    )
+    return flagged.unionByName(exempt)
+
+
 def host_of(url_col: str | Column = "url") -> Column:
     """Host of a crawl URL, NULL when unparseable. try_parse_url, not
     parse_url: under Spark 4's default ANSI mode a single malformed URL in

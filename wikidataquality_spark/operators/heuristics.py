@@ -68,6 +68,29 @@ def distinct_line_ratio(text: Column) -> Column:
     )
 
 
+def dup_line_char_ratio(text: Column) -> Column:
+    """Gopher's "fraction of characters in duplicate lines": for each group
+    of identical lines with count c and length L, the (c−1)·L repeated
+    characters count as duplicated — equivalently, (total line chars −
+    distinct-line chars) / total line chars. Catches the character-weighted
+    boilerplate the line-COUNT ratio underweights (one 500-char footer
+    repeated 3× moves this ratio far more than 2/40 lines). 0.0 for docs with
+    no repetition; NULL for docs whose lines hold zero characters."""
+    lines = F.split(text, r"\n")
+
+    def char_sum(arr: Column) -> Column:
+        return F.aggregate(
+            F.transform(arr, lambda ln: F.length(ln)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    total = char_sum(lines)
+    return (total - char_sum(F.array_distinct(lines))) / F.nullif(
+        total.cast("double"), F.lit(0.0)
+    )
+
+
 def alpha_ratio(text: Column) -> Column:
     """Fraction of characters that are ASCII letters."""
     letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
@@ -82,6 +105,7 @@ STAT_BUILDERS = {
     "symbol_ratio_stat": lambda text, words: symbol_ratio(text),
     "distinct_word_ratio_stat": lambda text, words: distinct_word_ratio(words),
     "distinct_line_ratio_stat": lambda text, words: distinct_line_ratio(text),
+    "dup_line_char_ratio_stat": lambda text, words: dup_line_char_ratio(text),
     "alpha_ratio_stat": lambda text, words: alpha_ratio(text),
 }
 

@@ -222,6 +222,75 @@ def jaccard_pairs_prefix_filtered(
     )
 
 
+def top_ngram_char_fraction(
+    docs,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher's "fraction of characters in the most frequent word n-gram"
+    (Rae et al. 2021 table A1 applies it for n = 2, 3, 4): per document,
+    (occurrences of the modal n-gram × its character length) / doc chars.
+    A spammy page repeating "buy cheap pills now" scores near 1.0 while the
+    distinct-word ratio barely moves.
+
+    Distributed shape, not a per-row HOF: the per-doc mode would be O(G²)
+    inside a Column expression, so grams explode to (doc, gram) rows and two
+    hash aggregations (the first map-side-combines on (doc, gram), the second
+    is one row per doc) find the max product. Returns (id, ratio) for EVERY
+    input doc — NULL when the doc has fewer than n words or NULL text, mirroring
+    the other stats' NULL-for-undefined policy.
+    """
+    eligible = (
+        docs.filter(F.size(words_col(F.col(text_col))) >= n)
+        .select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("_nc"),
+            word_ngrams(F.col(text_col), n).alias("_grams"),
+        )
+    )
+    counts = (
+        eligible.select(id_col, "_nc", F.explode("_grams").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"), F.first("_nc").alias("_nc"))
+    )
+    top = counts.groupBy(id_col).agg(
+        (
+            F.max(F.col("_c") * F.length("_g"))
+            / F.nullif(F.first("_nc").cast("double"), F.lit(0.0))
+        ).alias("top_ngram_char_fraction")
+    )
+    return docs.select(id_col).join(top, id_col, "left")
+
+
+def top_ngram_char_fraction_sql(n: int = 2) -> str:
+    """DuckDB twin over a `documents(doc_id, text)` view — same gram strings
+    (space-joined word windows over the identical regex split), same max
+    product, same NULL policy for short/NULL docs."""
+    ws = r"string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')"
+    return f"""
+WITH w AS (
+  SELECT doc_id, length(text) AS nc, {ws} AS ws FROM documents
+),
+e AS (
+  SELECT doc_id, nc,
+         unnest(list_transform(range(1, len(ws) - {n} + 2),
+                               i -> array_to_string(ws[i:i+{n}-1], ' '))) AS g
+  FROM w WHERE len(ws) >= {n}
+),
+c AS (SELECT doc_id, g, count(*) AS c, any_value(nc) AS nc FROM e GROUP BY doc_id, g),
+t AS (
+  SELECT doc_id,
+         max(c * length(g)) / CAST(nullif(any_value(nc), 0) AS DOUBLE)
+           AS top_ngram_char_fraction
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id, t.top_ngram_char_fraction
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN t ON t.doc_id = d.doc_id
+"""
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: weighted blend of the Gopher/C4
     heuristic signals (a cheap ranking signal for curriculum sampling)."""
