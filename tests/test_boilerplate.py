@@ -121,3 +121,40 @@ def test_plan_has_no_cartesian_or_python(spark, corpus):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_id_doc_passes_through_byte_identical(spark, corpus):
+    """NULL-id docs cannot be grouped per-doc (NULL join key matches
+    nothing; several would merge into one line group) — they must pass
+    through UNCHANGED, never have their text nulled out (r04 review), and
+    their lines carry no weight in the frequency count."""
+    import pandas as pd
+
+    null_rows = spark.createDataFrame(
+        [(None, f"keep me intact\n{FOOTER}"), (None, None)],
+        "doc_id long, text string",
+    )
+    both = corpus.unionByName(null_rows)
+    out = remove_boilerplate_lines(both, min_doc_freq=3, min_chars=10)
+    null_out = out.filter("doc_id IS NULL").collect()
+    texts = {r["text_cleaned"] for r in null_out}
+    # byte-identical even though one line IS corpus boilerplate
+    assert texts == {f"keep me intact\n{FOOTER}", None}
+    assert all(r["n_lines_removed"] == 0 for r in null_out)
+    assert sorted(r["n_lines_total"] for r in null_out) == [0, 2]
+
+    # the twin mirrors the pass-through policy
+    con = duckdb.connect()
+    con.register("documents", both.toPandas())
+    got = (
+        out.toPandas()
+        .sort_values(["doc_id", "text_cleaned"], ignore_index=True)
+        .astype({"n_lines_removed": "int64", "n_lines_total": "int64"})
+    )
+    want = (
+        con.execute(remove_boilerplate_lines_sql(min_doc_freq=3, min_chars=10))
+        .df()
+        .sort_values(["doc_id", "text_cleaned"], ignore_index=True)
+        .astype({"n_lines_removed": "int64", "n_lines_total": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

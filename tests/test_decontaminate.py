@@ -95,3 +95,25 @@ def test_plan_broadcasts_benchmark_and_stays_python_free(spark, bench_df):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_id_contaminated_is_null_not_false(spark, bench_df):
+    """A NULL-id doc whose text overlaps the benchmark must come back
+    contaminated=NULL (unverifiable), never a silent False that leaks a
+    contaminated doc into training data (r04 review)."""
+    rows = [
+        (None, "prefix the mitochondria is the powerhouse of the cell suffix"),
+        (1, "clean text about something else entirely with many words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_marks(docs, bench_df, n=6).collect()}
+    assert out[None]["contaminated"] is None
+    assert out[None]["n_hit_grams"] is None
+    assert out[1]["contaminated"] is False
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    con.register("benchmark", pd.DataFrame({"text": [r[0] for r in BENCH_ROWS]}))
+    want = con.execute(contamination_marks_sql(n=6)).df()
+    null_row = want[want["doc_id"].isna()].iloc[0]
+    assert pd.isna(null_row["contaminated"]) and pd.isna(null_row["n_hit_grams"])

@@ -99,3 +99,12 @@ def test_sample_unit_uniformity(spark):
     ).first()
     assert stats["mean"] == pytest.approx(0.5, abs=0.02)
     assert stats["decile_mean"] == pytest.approx(4.5, abs=0.2)
+
+
+def test_default_named_stratum_is_still_validated():
+    """A stratum literally named 'default' must not dodge the range check
+    by colliding with default_rate in a merged dict (r04 review)."""
+    with pytest.raises(ValueError, match="must be in"):
+        stratified_sample_marks(None, {"default": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample_marks(None, {}, default_rate=-0.1)

@@ -92,13 +92,21 @@ def remove_boilerplate_lines(
     corpus-frequent lines removed, all other lines byte-identical and in
     original order. Scrub-not-drop: every input document stays a row
     (NULL text → NULL text_cleaned; all lines removed → '').
+
+    NULL-id documents pass through BYTE-IDENTICAL with zero removals: they
+    cannot be grouped per-document for reassembly (a NULL join key matches
+    nothing, and several NULL-id docs would merge into one line group), and
+    a scrubber must never destroy text it cannot attribute. Their lines also
+    carry zero weight in the frequency count (count_distinct skips NULL ids)
+    — consistent on both sides of the ledger (r04 review).
     """
+    nn = F.col(id_col).isNotNull()
     frequent = boilerplate_line_keys(
         docs, min_doc_freq=min_doc_freq, min_chars=min_chars,
         id_col=id_col, text_col=text_col,
     ).select("_lk")
 
-    lines = _line_rows(docs, id_col, text_col).withColumn(
+    lines = _line_rows(docs.filter(nn), id_col, text_col).withColumn(
         "_lk",
         # key only eligible lines — ineligible ones never match the join and
         # carry a NULL key, which keeps the join's left side narrow
@@ -130,16 +138,30 @@ def remove_boilerplate_lines(
 
     # left join re-attaches NULL-text docs (they produced no line rows):
     # NULL text stays NULL, with zero counts — never coerced to ''.
-    return (
-        docs.select(id_col)
+    processed = (
+        docs.filter(nn)
+        .select(id_col)
         .join(recon, id_col, "left")
         .select(
             id_col,
             "text_cleaned",
-            F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
-            F.coalesce("n_lines_total", F.lit(0)).alias("n_lines_total"),
+            F.coalesce("n_lines_removed", F.lit(0).cast("long")).alias(
+                "n_lines_removed"
+            ),
+            F.coalesce("n_lines_total", F.lit(0).cast("long")).alias(
+                "n_lines_total"
+            ),
         )
     )
+    passthrough = docs.filter(~nn).select(
+        F.col(id_col),
+        F.col(text_col).alias("text_cleaned"),
+        F.lit(0).cast("long").alias("n_lines_removed"),
+        F.coalesce(
+            F.size(F.split(F.col(text_col), "\n", -1)).cast("long"), F.lit(0)
+        ).alias("n_lines_total"),
+    )
+    return processed.unionByName(passthrough)
 
 
 def remove_boilerplate_lines_sql(
@@ -184,9 +206,13 @@ recon AS (
   FROM marked GROUP BY doc_id
 )
 SELECT d.doc_id,
-       r.text_cleaned,
-       COALESCE(r.n_lines_removed, 0) AS n_lines_removed,
-       COALESCE(r.n_lines_total, 0) AS n_lines_total
-FROM (SELECT doc_id FROM documents) d
+       CASE WHEN d.doc_id IS NULL THEN d.text ELSE r.text_cleaned END
+         AS text_cleaned,
+       CASE WHEN d.doc_id IS NULL THEN 0
+            ELSE COALESCE(r.n_lines_removed, 0) END AS n_lines_removed,
+       CASE WHEN d.doc_id IS NULL
+            THEN COALESCE(len(string_split(d.text, chr(10))), 0)
+            ELSE COALESCE(r.n_lines_total, 0) END AS n_lines_total
+FROM (SELECT doc_id, text FROM documents) d
 LEFT JOIN recon r ON r.doc_id = d.doc_id
 """

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from wikidataquality_spark.operators.barrier import barrier
 from wikidataquality_spark.operators.heuristics import words_col
+from wikidataquality_spark.operators.textstats import hashed_gram_ids
 
 DEFAULT_NGRAM = 13  # GPT-3's decontamination n
 
@@ -49,12 +50,8 @@ def _gram_id_rows(
         ).alias("_wh")
     ]
     wh = df.select(*cols).filter(F.size("_wh") >= n)
-    gram_ids = F.transform(
-        F.sequence(F.lit(0), F.size("_wh") - n),
-        lambda i: F.xxhash64(*[F.element_at(F.col("_wh"), i + j + 1) for j in range(n)]),
-    )
     keep = ([id_col] if id_col else []) + [
-        F.array_distinct(gram_ids).alias("_grams")
+        F.array_distinct(hashed_gram_ids(F.col("_wh"), n)).alias("_grams")
     ]
     g = barrier(wh.select(*keep))
     out = ([F.col(id_col)] if id_col else []) + [F.explode("_grams").alias("_gram")]
@@ -80,6 +77,13 @@ def contamination_marks(
     drop: consumers filter on the flag; short/NULL-text docs are clean by
     definition (no n-gram to overlap).
 
+    NULL-id documents get contaminated = NULL ("unverifiable"), never a
+    silent False: their hits cannot be re-attached through the NULL join
+    key, and decontamination must fail AUDIBLE — a contaminated doc leaking
+    into training data as "clean" is the one unacceptable outcome. Callers
+    decide whether unverifiable rows are dropped or keyed upstream
+    (r04 review).
+
     Plan: benchmark grams broadcast (eval sets are tiny next to the corpus);
     the document gram stream inner-joins them — only HITS survive into the
     per-doc count, so the aggregation state is bounded by contamination, not
@@ -91,13 +95,16 @@ def contamination_marks(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_grams"))
     )
+    known = F.col(id_col).isNotNull()
     return (
         docs.select(id_col)
         .join(hits, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
-            F.coalesce(F.col("n_hit_grams") > 0, F.lit(False)).alias("contaminated"),
+            F.when(known, F.coalesce("n_hit_grams", F.lit(0))).alias("n_hit_grams"),
+            F.when(
+                known, F.coalesce(F.col("n_hit_grams") > 0, F.lit(False))
+            ).alias("contaminated"),
         )
     )
 
@@ -131,8 +138,10 @@ h AS (
   FROM dg JOIN bg USING (g) GROUP BY doc_id
 )
 SELECT d.doc_id,
-       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
-       COALESCE(h.n_hit_grams > 0, FALSE) AS contaminated
+       CASE WHEN d.doc_id IS NULL THEN NULL
+            ELSE COALESCE(h.n_hit_grams, 0) END AS n_hit_grams,
+       CASE WHEN d.doc_id IS NULL THEN NULL
+            ELSE COALESCE(h.n_hit_grams > 0, FALSE) END AS contaminated
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN h ON h.doc_id = d.doc_id
 """

@@ -702,7 +702,12 @@ def url_dup_marks(
     df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
 ) -> DataFrame:
     """Flag recrawls: rows sharing a canonical URL, keeping the EARLIEST
-    (ts, url) row unflagged (first-crawl-wins — deterministic under retry).
+    (ts, url) row unflagged (first-crawl-wins — deterministic under retry
+    whenever (ts, url) is unique per canonical group). Rows FULLY TIED on
+    (canonical, ts, url) — the same URL captured twice in one crawl batch
+    with coarse timestamps — get an ARBITRARY survivor, the same caveat
+    Spark's dropDuplicates carries (streaming/windows.py spells it out):
+    if tied rows can differ in payload, order on a finer capture id instead.
     Adds `url_canonical` and boolean `url_dup`; scrub-not-drop like dup_marks.
 
     Same shuffle discipline as exact_dedup: the window partitions on TWO

@@ -65,6 +65,7 @@ ENRICH_TYPE = T.StructType(
         T.StructField("symbol_ratio_stat", T.DoubleType(), True),
         T.StructField("distinct_word_ratio_stat", T.DoubleType(), True),
         T.StructField("distinct_line_ratio_stat", T.DoubleType(), True),
+        T.StructField("dup_line_char_ratio_stat", T.DoubleType(), True),
         T.StructField("alpha_ratio_stat", T.DoubleType(), True),
         T.StructField("has_blockword", T.BooleanType(), True),
         T.StructField("has_pii_email", T.BooleanType(), True),
@@ -192,10 +193,28 @@ class _FusedScorer:
         line_vals = line_vals[line_vals.notna()]
         lcodes_tok, _ = pd.factorize(line_vals, sort=False)
         lpair = line_codes.astype(np.int64) * (lcodes_tok.max() + 2 if len(lcodes_tok) else 1) + lcodes_tok
-        uniq_lines = np.bincount(
-            line_codes[np.unique(lpair, return_index=True)[1]], minlength=n_rows
-        )
+        first_line_idx = np.unique(lpair, return_index=True)[1]
+        uniq_lines = np.bincount(line_codes[first_line_idx], minlength=n_rows)
         dlr = np.where(line_lens == 0, np.nan, uniq_lines / np.maximum(line_lens, 1))
+        # duplicate-line CHAR fraction (heuristics.dup_line_char_ratio):
+        # (total line chars − first-occurrence line chars) / total. bincount
+        # float64 weight sums are exact for integer lens < 2^53, so the value
+        # is bit-identical to the Column version's long-sum-then-divide.
+        line_char_lens = (
+            line_vals.str.len().to_numpy().astype(np.int64)
+            if len(line_vals)
+            else np.empty(0, dtype=np.int64)
+        )
+        total_lchars = np.bincount(line_codes, weights=line_char_lens, minlength=n_rows)
+        uniq_lchars = np.bincount(
+            line_codes[first_line_idx], weights=line_char_lens[first_line_idx],
+            minlength=n_rows,
+        )
+        dlcr = np.where(
+            total_lchars == 0,
+            np.nan,
+            (total_lchars - uniq_lchars) / np.maximum(total_lchars, 1),
+        )
 
         has_block = filled.str.contains(_BLOCKWORD_RE).to_numpy()
         has_pii = filled.str.contains(_PII_EMAIL_RE).to_numpy()
@@ -215,6 +234,7 @@ class _FusedScorer:
                 "symbol_ratio_stat": _nullable(symbol_ratio),
                 "distinct_word_ratio_stat": _nullable(dwr),
                 "distinct_line_ratio_stat": _nullable(dlr),
+                "dup_line_char_ratio_stat": _nullable(dlcr),
                 "alpha_ratio_stat": _nullable(alpha_ratio),
                 "has_blockword": pd.Series(has_block, index=texts.index).where(notna, pd.NA).astype("boolean"),
                 "has_pii_email": pd.Series(has_pii, index=texts.index).where(notna, pd.NA).astype("boolean"),

@@ -57,9 +57,14 @@ def stratified_sample_marks(
     The rate lookup compiles to a literal CASE chain — strata are
     source/language-grained (dozens), never row-grained, so no join and no
     broadcast is needed."""
-    for k, v in {**rates, "default": default_rate}.items():
+    # validated SEPARATELY — merging into one dict would let a real stratum
+    # literally named "default" shadow (or be shadowed by) default_rate and
+    # dodge the range check (r04 review)
+    for k, v in rates.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"rate for {k!r} must be in [0,1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
     rate: Column = F.lit(float(default_rate))
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)

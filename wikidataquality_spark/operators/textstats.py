@@ -58,6 +58,23 @@ FP_PRIME = 1_099_511_627_689  # prime ≈ 2^40: (acc*131 + cp) stays < 2^48, no
 # BIGINT overflow in either engine (DuckDB errors on overflow; Java wraps)
 
 
+def hashed_gram_ids(wh_col: Column, n: int) -> Column:
+    """int64 word-n-gram ids from a per-word-hash array: gram_i =
+    xxhash64(wh[i], …, wh[i+n−1]). The ONE shared spelling of the engine's
+    hashed-gram representation (PPJoin prefix filtering here, benchmark
+    decontamination in operators/decontaminate.py) — collision bounds and
+    any future fix live in one place.
+
+    wh_col MUST be a projected column reference, never an inline
+    transform(...) expression: element_at over an inline array re-evaluates
+    the whole word-hash build per element — O(|words|²) per doc (the
+    inlining hazard the call sites barrier() against)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(wh_col) - n),
+        lambda i: F.xxhash64(*[F.element_at(wh_col, i + j + 1) for j in range(n)]),
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling hash over words (document fingerprint): a stable
     content id that is whitespace-normalization-invariant. Nested modular
@@ -123,10 +140,7 @@ def jaccard_pairs_prefix_filtered(
     whd = docs.select(F.col(id_col).alias("_id"), wh.alias("_wh")).filter(
         F.size("_wh") >= n
     )
-    gram_ids = F.transform(
-        F.sequence(F.lit(0), F.size("_wh") - n),
-        lambda i: F.xxhash64(*[F.element_at(F.col("_wh"), i + j + 1) for j in range(n)]),
-    )
+    gram_ids = hashed_gram_ids(F.col("_wh"), n)
     # barrier() (checkpoint-dir-aware eager materialization — see
     # operators/barrier.py for the fault-tolerance tradeoff) is load-bearing
     # here, not just a persist swap:
@@ -254,9 +268,14 @@ def top_ngram_char_fraction(
         .groupBy(id_col, "_g")
         .agg(F.count("*").alias("_c"), F.first("_nc").alias("_nc"))
     )
+    # the MODAL gram, per Gopher's definition — max by count, ties broken by
+    # the longest gram (then the struct comparison is total, so the pick is
+    # deterministic). A bare max(count × length) would instead let a one-off
+    # long gram outscore the modal one (r04 review).
+    modal = F.max(F.struct(F.col("_c"), F.length("_g").alias("_len")))
     top = counts.groupBy(id_col).agg(
         (
-            F.max(F.col("_c") * F.length("_g"))
+            (modal["_c"] * modal["_len"]).cast("double")
             / F.nullif(F.first("_nc").cast("double"), F.lit(0.0))
         ).alias("top_ngram_char_fraction")
     )
@@ -280,8 +299,12 @@ e AS (
 ),
 c AS (SELECT doc_id, g, count(*) AS c, any_value(nc) AS nc FROM e GROUP BY doc_id, g),
 t AS (
+  -- modal gram = max by (count, length): DuckDB compares structs by field
+  -- order, mirroring Spark's struct max tie-break exactly
   SELECT doc_id,
-         max(c * length(g)) / CAST(nullif(any_value(nc), 0) AS DOUBLE)
+         CAST(struct_extract(max({{'c': c, 'l': length(g)}}), 'c')
+              * struct_extract(max({{'c': c, 'l': length(g)}}), 'l') AS DOUBLE)
+           / CAST(nullif(any_value(nc), 0) AS DOUBLE)
            AS top_ngram_char_fraction
   FROM c GROUP BY doc_id
 )

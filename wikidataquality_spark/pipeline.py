@@ -110,8 +110,8 @@ def validate(
         "text_extracted", "lang_pred", "lang_conf", "perplexity",
         "n_chars_stat", "n_words_stat", "mean_word_len_stat",
         "stopword_ratio_stat", "symbol_ratio_stat", "distinct_word_ratio_stat",
-        "distinct_line_ratio_stat", "alpha_ratio_stat",
-        "has_blockword", "has_pii_email", "minhash_sig",
+        "distinct_line_ratio_stat", "dup_line_char_ratio_stat",
+        "alpha_ratio_stat", "has_blockword", "has_pii_email", "minhash_sig",
     ]
     df = pages.withColumn("_enriched", enriched("html")).selectExpr(
         "*", *[f"_enriched.{c} AS {c}" for c in enrich_cols]
