@@ -647,9 +647,13 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
     auth = F.regexp_replace(auth, r"^www\.", "")
+    # single-colon anchor so the strip is IDEMPOTENT: a malformed authority
+    # like 'host:80:80' must not lose one ':80' per canonicalization pass
+    # (canonical_url(canonical_url(u)) == canonical_url(u) is load-bearing —
+    # pipelines re-canonicalize already-canonical URLs routinely)
     auth = (
-        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(auth, r"^([^:]+):80$", "$1"))
+        .when(scheme == "https", F.regexp_replace(auth, r"^([^:]+):443$", "$1"))
         .otherwise(auth)
     )
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
@@ -680,9 +684,10 @@ def canonical_url_sql(expr: str = "url") -> str:
     u = f"trim({expr})"
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
     auth0 = f"regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    # \\1 is DuckDB's replacement backreference where Spark writes $1
     auth = (
-        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '') "
-        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '') "
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, '^([^:]+):80$', '\\1') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, '^([^:]+):443$', '\\1') "
         f"ELSE {auth0} END"
     )
     path = f"regexp_replace(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
