@@ -135,3 +135,110 @@ def _shared_spark():
 
         _SPARK_CACHE.append(get_spark(cpus=2))
     return _SPARK_CACHE[0]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_boilerplate_identity_on_arbitrary_text(spark, texts):
+    """With no line over the frequency bar, remove_boilerplate_lines must be
+    a BYTE-IDENTITY on arbitrary unicode (control chars, \\r, pipes, CJK) —
+    split('\\n')+array_join('\\n') round-trips everything."""
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.operators.boilerplate import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(df, min_doc_freq=10**9)
+    diff = (
+        df.join(out, "doc_id")
+        .filter(~F.col("text").eqNullSafe(F.col("text_cleaned")))
+        .count()
+    )
+    assert diff == 0
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                max_size=80,
+            ),
+            st.from_regex(
+                r"https?://[A-Za-z0-9.:@-]{1,25}(/[A-Za-z0-9._~%/-]{0,20})?"
+                r"(\?[A-Za-z0-9=&_,-]{0,25})?(#[A-Za-z0-9?=-]{0,10})?",
+                fullmatch=True,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_canonical_url_idempotent_on_arbitrary_strings(spark, urls):
+    """canonical(canonical(u)) == canonical(u) for EVERY input — url-shaped
+    or garbage (garbage passes through trimmed, which is a fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.operators.dedup import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url("url").alias("c"))
+    diff = (
+        once.select(
+            "c", canonical_url(F.col("c")).alias("c2")
+        )
+        .filter(~F.col("c").eqNullSafe(F.col("c2")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_decontaminate_self_overlap_flags_every_eligible_doc(spark):
+    """Against a benchmark equal to the corpus itself, every doc with ≥ n
+    normalized words MUST flag contaminated — any normalization asymmetry
+    between the doc path and the benchmark path would break this."""
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.datagen import fixture_pages_path
+    from wikidataquality_spark.operators.decontaminate import (
+        contamination_marks,
+        normalized_text,
+    )
+    from wikidataquality_spark.operators.heuristics import words_col
+
+    n = 8
+    docs = (
+        spark.read.parquet(fixture_pages_path(200, 42))
+        .select(F.col("url").alias("doc_id"), "text")
+        .limit(120)
+    )
+    out = contamination_marks(docs, docs, n=n, id_col="doc_id", bench_text_col="text")
+    eligible = docs.select(
+        "doc_id",
+        (F.size(words_col(normalized_text(F.col("text")))) >= n).alias("e"),
+    )
+    missed = (
+        out.join(eligible, "doc_id")
+        .filter(F.col("e") & ~F.col("contaminated"))
+        .count()
+    )
+    assert missed == 0
+    # and ineligible (short/NULL) docs are clean, not flagged
+    false_pos = (
+        out.join(eligible, "doc_id")
+        .filter(~F.coalesce(F.col("e"), F.lit(False)) & F.col("contaminated"))
+        .count()
+    )
+    assert false_pos == 0
