@@ -278,3 +278,42 @@ def test_text_lines_and_binary_files_sources(spark, tmp_path):
     assert set(got) == {"x.ppm", "y.wav"}
     assert got["x.ppm"] == b"P6 1 1 255 \x01\x02\x03"
     assert all(r["length"] > 0 for r in media.collect())
+
+
+def test_read_run_returns_null_partition_rows(spark, tmp_path):
+    """A run that wrote NULL-partition rows (malformed urls / NULL warc_ts)
+    must get them BACK from read_run: the manifest stringifies NULL as
+    'None' and a bare isin() never matches NULL (r04 review)."""
+    from wikidataquality_spark.io.catalog import read_run
+
+    d = str(tmp_path / "t_nullpart")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id long, partition string"
+    )
+    write_partitioned(df, d, run_id="r1")
+    got = sorted(r["id"] for r in read_run(spark, d, "r1").collect())
+    assert got == [1, 2, 3]
+
+
+def test_export_once_replaces_partial_and_publishes_atomically(spark, tmp_path):
+    """export_once goes through the locking seam: a stale partial directory
+    (no _SUCCESS — a crashed writer) is replaced, no staging orphan remains,
+    and a complete export is trusted untouched (r04 review)."""
+    import os
+
+    from wikidataquality_spark.io.formats import export_once
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    target = str(tmp_path / "exp_csv")
+    # stale partial: directory exists but no _SUCCESS
+    os.makedirs(target)
+    with open(os.path.join(target, "part-zzz.csv"), "w") as f:
+        f.write("torn")
+    out = export_once(df, target, "csv")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "part-zzz.csv"))
+    assert not any(".staging." in n for n in os.listdir(str(tmp_path)))
+    # second call trusts the published dir (same mtime on _SUCCESS)
+    m1 = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    export_once(df, target, "csv")
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == m1

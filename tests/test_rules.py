@@ -267,3 +267,15 @@ def test_sql_identifier_dotted_param_resolves_nested_field(spark):
     )
     out = df.select(rule_check_column(rule)["status"].alias("s")).collect()
     assert [r["s"] for r in out] == [COMPLIANCE, VIOLATION]
+
+
+def test_qualifiers_rule_rejects_empty_allowed():
+    """An empty or mistyped 'allowed' must fail loudly, not compile to
+    array_except(col, array()) flagging every non-empty array (r04 review)."""
+    import pytest
+
+    from wikidataquality_spark.rules.builder import rule_check_expr
+    from wikidataquality_spark.rules.model import Rule
+
+    with pytest.raises(ValueError, match="non-empty 'allowed'"):
+        rule_check_expr(Rule("q.bad", "qualifiers", {"column": "tags"}))

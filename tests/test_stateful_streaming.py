@@ -153,3 +153,21 @@ def test_idle_timeout_eviction_logic():
     [row] = list(update((7,), iter([pdf]), st2))
     assert row.iloc[0]["n_events"] == 2
     assert st2.timeout_ms == 600_000
+
+
+def test_duration_parser_units_and_errors():
+    """'1 day' works; unknown shapes fail naming the supported vocabulary
+    instead of a bare KeyError (r04 review)."""
+    import pytest
+
+    from wikidataquality_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms("500 milliseconds") == 500
+    assert _duration_ms("2 weeks") == 2 * 604_800_000
+    with pytest.raises(ValueError, match="unit one of"):
+        _duration_ms("90 fortnights")
+    with pytest.raises(ValueError, match="unit one of"):
+        _duration_ms("1 hour 30 minutes")
+    with pytest.raises(ValueError, match="positive"):
+        _duration_ms("0 seconds")

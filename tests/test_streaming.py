@@ -314,3 +314,62 @@ def test_incremental_validate_kill_and_resume(spark, tmp_path):
     for cached in persisted:
         cached.unpersist()
     assert mism == 0
+
+
+def test_incremental_validate_rejects_state_ahead_of_checkpoint(spark, tmp_path):
+    """A fresh/relocated checkpoint against a REUSED state_dir restarts
+    epochs at 0 — the _epoch filter would then hide all accumulated state
+    (silently breaking incremental == batch) and overwrite old epoch-0
+    fingerprints. With a multi-epoch state history the divergence is
+    detectable (state epoch AHEAD of the checkpoint's) and the batch must
+    fail loudly (r04 review). A single-epoch reuse is indistinguishable
+    from a legitimate epoch-0 retry, by design."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+    from wikidataquality_spark.streaming.windows import incremental_validate
+
+    corpus = write_pages_parquet(str(tmp_path / "pages_div.parquet"), 60, seed=29)
+    split = str(tmp_path / "split")
+    spark.read.parquet(corpus).repartitionByRange(2, "url").write.parquet(split)
+    parts = sorted(glob.glob(os.path.join(split, "part-*")))
+    assert len(parts) == 2
+    for i, p in enumerate(parts):
+        os.utime(p, (1_700_000_000 + 600 * i,) * 2)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for p in parts:
+        shutil.copy2(p, os.path.join(src, os.path.basename(p)))
+    schema = spark.read.parquet(split).schema
+    state = str(tmp_path / "state")
+
+    # two epochs into the state table under checkpoint 1
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = incremental_validate(
+        spark, stream, str(tmp_path / "sink1"), str(tmp_path / "ckpt1"),
+        state_dir=state,
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(state).select("_epoch").distinct().count() == 2
+
+    # same state_dir, FRESH checkpoint -> this batch is epoch 0 while the
+    # state already holds epoch 1 -> must refuse, not silently hide state
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = incremental_validate(
+        spark, stream2, str(tmp_path / "sink2"), str(tmp_path / "ckpt2"),
+        state_dir=state,
+    )
+    with pytest.raises(Exception, match="different streams"):
+        try:
+            q2.awaitTermination(300)
+            q2.processAllAvailable()
+        finally:
+            q2.stop()

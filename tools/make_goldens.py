@@ -27,7 +27,10 @@ GOLDEN_N = 800
 GOLDEN_SEED = 42
 
 
-def pages_path(tmp: str = "/tmp/wdq_pages_fixture") -> str:
+def pages_path(tmp: str | None = None) -> str:
+    # None → datagen's per-uid default root, so goldens and every gate read
+    # the SAME cache file (a divergent hardcoded base here would regenerate
+    # a second corpus and let the two silently drift)
     return fixture_pages_path(GOLDEN_N, GOLDEN_SEED, base=tmp)
 
 

@@ -43,12 +43,21 @@ DATAGEN_VERSION = 2
 
 
 def fixture_pages_path(
-    n_rows: int, seed: int = SEED, base: str = "/tmp/wdq_pages_fixture"
+    n_rows: int, seed: int = SEED, base: str | None = None
 ) -> str:
     """Shared cross-run corpus cache, content-keyed by (n, seed, generator
-    version). Every consumer of the fixed /tmp corpus cache (golden gates,
+    version). Every consumer of the fixed corpus cache (golden gates,
     property tests, the qf_golden_confusion driver query, make_goldens) must
-    come through here so they stay in lockstep when DATAGEN_VERSION bumps."""
+    come through here so they stay in lockstep when DATAGEN_VERSION bumps.
+
+    Default root is the per-uid 0o700 cache dir, NOT bare /tmp: this cache
+    feeds every correctness gate, and a world-shared path lets another local
+    uid pre-plant a poisoned fixture parquet that the gates then trust
+    (r04 review — same discipline as the media/centroid/pyfiles caches)."""
+    if base is None:
+        from wikidataquality_spark.io.locking import user_cache_root
+
+        base = user_cache_root("wdq_pages_fixture")
     return write_pages_parquet(
         os.path.join(base, f"pages_{n_rows}_{seed}_v{DATAGEN_VERSION}.parquet"),
         n_rows,

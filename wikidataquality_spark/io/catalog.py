@@ -186,4 +186,14 @@ def read_run(
     if run_id not in runs:
         raise KeyError(f"run {run_id!r} not in manifest ({sorted(runs)})")
     parts = runs[run_id]["partitions"]
-    return spark.read.parquet(table_dir).filter(F.col(partition_col).isin(parts))
+    cond = F.col(partition_col).isin(parts)
+    # The manifest stringifies partition values, so a run that wrote
+    # NULL-partition rows (malformed urls / NULL warc_ts — the rows
+    # resume_filter explicitly keeps) records "None"; isin can never match a
+    # NULL value, so without this arm those rows silently vanish from the
+    # returned run (r04 review). Caveat, documented: a real string partition
+    # literally named "None" is indistinguishable in the manifest — the
+    # Iceberg binding, with typed partition values, removes the ambiguity.
+    if "None" in parts:
+        cond = cond | F.col(partition_col).isNull()
+    return spark.read.parquet(table_dir).filter(cond)

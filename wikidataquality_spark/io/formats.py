@@ -101,12 +101,16 @@ def read_binary_files(
 def export_once(df: DataFrame, path: str, fmt: str) -> str:
     """Idempotent materialization of a DataFrame to csv/json (driver-harness
     fixture helper: lets a query exercise the csv/json read path against data
-    derived from the canonical parquet)."""
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        if fmt == "csv":
-            write_csv(df, path)
-        elif fmt == "json":
-            write_json(df, path)
-        else:
-            raise ValueError(f"unknown fmt {fmt!r}")
-    return path
+    derived from the canonical parquet).
+
+    Routed through the locking seam's publish_dir (stage under flock, one
+    atomic rename): the previous bare check-then-overwrite let two concurrent
+    drivers (the driver gate + a local check_oracle run) write the SAME final
+    directory, and the survivor's _SUCCESS made a torn mix trusted forever
+    (r04 review)."""
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"unknown fmt {fmt!r}")
+    from wikidataquality_spark.io.locking import publish_dir
+
+    write = write_csv if fmt == "csv" else write_json
+    return publish_dir(path, lambda staging: write(df, staging))

@@ -1439,16 +1439,21 @@ def array_ops_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import tempfile
+
+    from wikidataquality_spark.io.locking import user_cache_root
 
     src_file = os.path.join(sf_dir, "events.parquet")
-    # streaming file sources want a directory: shim via a symlink dir
+    # streaming file sources want a directory: shim via a symlink dir —
+    # under the per-uid 0o700 cache root (a shared-/tmp path is squattable
+    # and the bare exists→symlink pair races EEXIST between two drivers)
     key = hashlib.md5(src_file.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"wdq_stream_events_{key}")
+    d = os.path.join(user_cache_root("wdq_stream_shim"), f"events_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(src_file, link)
+    except FileExistsError:
+        pass  # concurrent creator won the race; the target is identical
 
     schema = _t(spark, sf_dir, "events").schema
     src = spark.readStream.schema(schema).parquet(d)
@@ -1595,31 +1600,38 @@ def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks a count."""
     import glob
     import shutil
-    import tempfile
 
     from wikidataquality_spark.datagen import DATAGEN_VERSION, write_pages_parquet
+    from wikidataquality_spark.io.locking import publish_dir, user_cache_root
     from wikidataquality_spark.pipeline import results, validate
     from wikidataquality_spark.streaming.windows import incremental_validate
 
     # version-keyed like fixture_pages_path: the split dir derives from the
-    # corpus, so both caches must miss together when datagen changes
-    base = os.path.join(tempfile.gettempdir(), f"wdq_incr_v{DATAGEN_VERSION}")
+    # corpus, so both caches must miss together when datagen changes. Per-uid
+    # root + lock-published split (the bare check-then-overwrite let two
+    # concurrent drivers write the SAME final dir — r04 review, same class
+    # as export_once).
+    base = os.path.join(user_cache_root("wdq_incr"), f"v{DATAGEN_VERSION}")
     corpus = write_pages_parquet(f"{base}/pages_300.parquet", 300, seed=99)
-    split_dir = f"{base}/split_byrange"
-    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+    split_dir = publish_dir(
+        f"{base}/split_byrange",
         # 3 contiguous url ranges ascending: part-00000 holds the smallest
         # urls — the survivor-order precondition for incremental == batch
-        spark.read.parquet(corpus).repartitionByRange(3, "url").write.mode(
-            "overwrite"
-        ).parquet(split_dir)
+        lambda staging: spark.read.parquet(corpus)
+        .repartitionByRange(3, "url")
+        .write.parquet(staging),
+    )
     # FileStreamSource picks files oldest-first: stagger mtimes so range k
     # streams as micro-batch k
     for i, p in enumerate(sorted(glob.glob(os.path.join(split_dir, "part-*")))):
         os.utime(p, (1_700_000_000 + 600 * i,) * 2)
 
-    sink = f"{base}/wdq_incr/sink"
-    ckpt = f"{base}/wdq_incr/ckpt"
-    state = f"{base}/wdq_incr/state"
+    # stream workdirs are PER-PROCESS (pid-scoped): a second driver running
+    # this query concurrently must not rmtree a live stream's checkpoint
+    run_base = f"{base}/run_{os.getpid()}"
+    sink = f"{run_base}/sink"
+    ckpt = f"{run_base}/ckpt"
+    state = f"{run_base}/state"
     for d in (sink, ckpt, state):
         shutil.rmtree(d, ignore_errors=True)
 
@@ -2115,17 +2127,21 @@ def fileformat_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs on the canonical parquet — equality proves a lossless
     round-trip through both text formats."""
     import hashlib
-    import tempfile
 
     from pyspark.sql.types import StructType
 
     from wikidataquality_spark.io.formats import export_once, read_csv, read_json
+    from wikidataquality_spark.io.locking import user_cache_root
 
+    # per-uid 0o700 root (not bare /tmp): the export dirs feed the driver's
+    # correctness gate, so they get the same anti-squat discipline as the
+    # media/centroid caches (r04 review)
+    root = user_cache_root("wdq_fixture_exports")
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    csv_path = export_once(o, f"{tempfile.gettempdir()}/wdq_csv_orders_{key}", "csv")
+    csv_path = export_once(o, os.path.join(root, f"csv_orders_{key}"), "csv")
     o_back = read_csv(
         spark,
         csv_path,
@@ -2143,7 +2159,7 @@ def fileformat_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    json_path = export_once(e, f"{tempfile.gettempdir()}/wdq_json_events_{key}", "json")
+    json_path = export_once(e, os.path.join(root, f"json_events_{key}"), "json")
     e_back = read_json(
         spark, json_path, StructType.fromDDL("event_id bigint, event_type string, value double")
     )

@@ -170,6 +170,11 @@ def qualifiers_rule(rule: Rule) -> CheckExpr:
     array_except(values, allowed) is non-empty."""
     col = sql_ident(rule.param("column"))
     allowed = _split_list(rule.param("allowed"))
+    if not allowed:
+        # loud, like one_of/format: an empty or mistyped 'allowed' would
+        # otherwise compile to array_except(col, array()) and silently flag
+        # every doc with a non-empty array as a violation (r04 review)
+        raise ValueError(f"qualifiers rule {rule.rule_id} needs a non-empty 'allowed'")
     arr = f"array({', '.join(sql_str(v) for v in allowed)})"
     extras = f"array_except({col}, {arr})"
     return check_result_sql(

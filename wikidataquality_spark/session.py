@@ -32,8 +32,9 @@ _DEFAULTS = {
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # saveAsTable target for bucketed tables (io/bucketed.py) — keep the
-    # metastore/warehouse out of the repo tree.
-    "spark.sql.warehouse.dir": "/tmp/wdq_warehouse",
+    # metastore/warehouse out of the repo tree, per-uid so two local users'
+    # warehouses (and derby metastores) never collide on one shared path.
+    "spark.sql.warehouse.dir": f"/tmp/wdq_warehouse_{os.getuid()}",
 }
 
 

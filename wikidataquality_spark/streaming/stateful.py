@@ -127,14 +127,30 @@ def running_user_stats(events: DataFrame, idle_timeout: str | None = None) -> Da
     )
 
 
-_DURATION_MS = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
-                "hour": 3_600_000, "hours": 3_600_000}
+_DURATION_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
+}
 
 
 def _duration_ms(spec: str) -> int:
-    """'10 minutes' → 600000 (setTimeoutDuration takes int milliseconds)."""
-    qty, unit = spec.split()
-    return int(qty) * _DURATION_MS[unit]
+    """'10 minutes' → 600000 (setTimeoutDuration takes int milliseconds).
+    Single '<qty> <unit>' specs only; unknown shapes fail with the supported
+    vocabulary spelled out instead of a bare KeyError (r04 review)."""
+    parts = spec.split()
+    if len(parts) != 2 or parts[1] not in _DURATION_MS or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"duration {spec!r} not understood: expected '<int> <unit>' with "
+            f"unit one of {sorted(set(_DURATION_MS))}"
+        )
+    qty = int(parts[0])
+    if qty <= 0:
+        raise ValueError(f"duration {spec!r} must be positive")
+    return qty * _DURATION_MS[parts[1]]
 
 
 def _make_timeout_update(idle_timeout: str):

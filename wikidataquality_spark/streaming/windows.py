@@ -139,8 +139,27 @@ def incremental_validate(
         state = None
         if state_dir is not None:
             try:
+                raw_state = spark.read.schema(state_read_schema).parquet(state_dir)
+                # checkpoint/state divergence check: epoch ids come from the
+                # CHECKPOINT, so a fresh/relocated checkpoint against a
+                # reused state_dir restarts at epoch 0 — the _epoch < 0
+                # filter would then hide ALL accumulated state (silently
+                # breaking incremental == batch) and the epoch-0 write would
+                # dynamic-overwrite the old epoch-0 fingerprints. Any state
+                # epoch AHEAD of the current one can only mean the two dirs
+                # belong to different streams; fail loudly (r04 review).
+                # (== epoch_id is legitimate: a retried epoch's own partial.)
+                max_seen = raw_state.agg(SF.max("_epoch")).first()[0]
+                if max_seen is not None and max_seen > epoch_id:
+                    raise ValueError(
+                        f"incremental_validate: state table at {state_dir} has "
+                        f"epoch {max_seen} but the checkpoint says this batch is "
+                        f"epoch {epoch_id} — checkpoint_dir and state_dir belong "
+                        "to different streams (fresh checkpoint against reused "
+                        "state?); refusing to silently drop accumulated state"
+                    )
                 state = (
-                    spark.read.schema(state_read_schema).parquet(state_dir)
+                    raw_state
                     # a RETRIED epoch must not see its own partial fingerprint
                     # write as "prior" state (every doc would flag dup);
                     # dynamic overwrite below replaces that partition anyway
@@ -220,11 +239,18 @@ def incremental_validate(
                 .parquet(sink_dir)
             )
             if state_dir is not None:
-                # fingerprints come off the validated frame (text_extracted +
-                # cached minhash_sig) — the EXACT inputs dup_marks keyed on,
-                # and zero additional python passes over bodies
+                # fingerprints come off the CACHED pre-dedup intermediate
+                # (persisted[0]: enrich output with url / text_extracted /
+                # minhash_sig — the EXACT inputs dup_marks keyed on): rows
+                # and values are identical to the validated frame (the
+                # pipeline is scrub-not-drop), but reading the cache skips
+                # replaying the dup_marks window/join shuffles that column
+                # pruning cannot eliminate — previously paid once per epoch
+                # on the fingerprint write (r04 review). Falls back to
+                # `validated` if the pipeline config disabled the persist.
+                fp_src = persisted[0] if persisted else validated
                 fp = dup_fingerprints(
-                    validated,
+                    fp_src,
                     text_col="text_extracted",
                     id_col="url",
                     sig_col="minhash_sig",
