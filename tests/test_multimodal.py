@@ -438,3 +438,71 @@ def test_sample_frames_null_n_frames_metadata(spark):
     for mid in (1, 2):
         assert len(fake_by_id[mid]) == 1
         assert fake_by_id[mid][0]["err"] == "ValueError: missing n_frames metadata"
+
+
+def test_zero_dimension_ppm_is_repo_constant_error():
+    """A 'P6 0 0 255' header must raise our own ValueError: a (0,0,3) decode
+    would sail through image_features as an err-NULL row whose empty-slice
+    mean is NaN→NULL — a degenerate blob disguised as success (r04 review)."""
+    from wikidataquality_spark.operators.multimodal import decode_ppm
+
+    for header in (b"P6\n0 0\n255\n", b"P6\n0 5\n255\n", b"P6\n5 0\n255\n"):
+        with pytest.raises(ValueError, match="zero-dimension PPM image"):
+            decode_ppm(header)
+
+
+def test_odd_byte_wav_truncation_is_repo_constant_error():
+    """Chopping one byte off a 16-bit data chunk must yield OUR error string,
+    not numpy's 'buffer size must be a multiple of element size' wording
+    (err strings are repo constants stable across library versions)."""
+    from wikidataquality_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.array([100, -200, 300, -400, 500], dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated WAV sample data"):
+        decode_wav(good[:-1])
+
+
+def test_zero_frame_container_gets_accounting_row(spark):
+    """A PPMV with frame count 0 must emit ONE error row, not vanish with
+    neither frames nor errors — the silent loss the err column exists to
+    prevent (r04 review). Same for the deterministic_fake path."""
+    from wikidataquality_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PPMV_MAGIC,
+        sample_frames,
+    )
+
+    empty_container = PPMV_MAGIC + (0).to_bytes(4, "big")
+    rows = [
+        (1, "u1", bytearray(empty_container), ("video", "ppmv", 4, 4, 0, None, 100)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for fake in (False, True):
+        out = sample_frames(df, deterministic_fake=fake).collect()
+        assert len(out) == 1, f"fake={fake}"
+        r = out[0]
+        assert r["frame_index"] == -1 and r["frame_blob"] is None
+        assert r["err"] == "ValueError: zero-frame container"
+
+
+def test_video_meta_matches_encoded_frame_dims(spark):
+    """The fixture's metadata must describe its decodable content: every
+    video's meta.width/height equals the demuxed first frame's dims, so a
+    metadata_filter → decode composition is consistent (r04 review)."""
+    from wikidataquality_spark.operators.multimodal import (
+        decode_ppm,
+        demux_ppmv,
+        synthetic_media,
+    )
+
+    vids = (
+        synthetic_media(spark, n=16)
+        .filter(F.col("meta.kind") == "video")
+        .select("meta.width", "meta.height", "blob")
+        .collect()
+    )
+    assert vids
+    for r in vids:
+        _, first = next(demux_ppmv(bytes(r["blob"])))
+        h, w = decode_ppm(first).shape[:2]
+        assert (r["width"], r["height"]) == (w, h)

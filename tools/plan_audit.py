@@ -194,7 +194,12 @@ def signals(plan: str) -> dict[str, bool]:
         "pruned": "ReadSchema" in plan and pruned_ok(plan),
         "broadcast": "BroadcastHashJoin" in plan,
         "topk": "TakeOrderedAndProject" in plan,
-        "partial_agg": "partial_" in plan,
+        # anchored to the aggregate node's function list — a bare 'partial_'
+        # substring matched any identifier containing it (e.g. a column
+        # named partial_total), letting a regression that removed the
+        # map-side combine pass silently (r04 review)
+        "partial_agg": re.search(r"Functions \[\d+\]: \[partial_|functions=\[partial_", plan)
+        is not None,
         "no_cartesian": "CartesianProduct" not in plan,
         "no_nested_loop": "BroadcastNestedLoopJoin" not in plan,
         "equi_join": any(

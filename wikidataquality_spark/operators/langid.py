@@ -26,6 +26,12 @@ from pyspark.sql import types as T
 
 from wikidataquality_spark.datagen import WORDLISTS
 
+# derived from tokenize's single CJK range so the zh override and the
+# space-injection tokenizer can never drift apart (r04 review)
+from wikidataquality_spark.operators.tokenize import CJK_RE as _CJK_RANGE
+
+_CJK_RE = re.compile(_CJK_RANGE)
+
 MODEL_VERSION = "1"
 
 LANGID_RESULT_TYPE = T.StructType(
@@ -34,9 +40,6 @@ LANGID_RESULT_TYPE = T.StructType(
         T.StructField("lang_conf", T.DoubleType(), True),
     ]
 )
-
-_CJK_RE = re.compile(r"[一-鿿]")
-
 
 class _MarkerModel:
     """Deterministic stand-in for a fastText langid model.

@@ -154,6 +154,11 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w == 0 or h == 0:
+        # a (0, 0, 3) array would sail through image_features and emit an
+        # err-NULL row whose mean over an empty slice is NaN → NULL — a
+        # degenerate blob disguised as a healthy decode (r04 review)
+        raise ValueError("zero-dimension PPM image")
     if len(blob) < pos + w * h * 3:
         raise ValueError("truncated PPM pixel data")
     data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
@@ -257,6 +262,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             # (r04 review)
             raise ValueError(f"invalid WAV sample rate {sr}")
         data = w.readframes(w.getnframes())
+    if len(data) % width:
+        # an odd-byte 16-bit data chunk (routine crawl truncation) would let
+        # np.frombuffer raise with NUMPY's wording — err strings are this
+        # repo's own constants, stable across library versions (r04 review)
+        raise ValueError("truncated WAV sample data")
     if width == 2:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
     else:
@@ -442,6 +452,17 @@ def sample_frames(
                             }
                         )
                         continue
+                    if int(n_frames) <= 0:
+                        # zero-frame accounting row — see the real path below
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": -1,
+                                "frame_blob": None,
+                                "err": "ValueError: zero-frame container",
+                            }
+                        )
+                        continue
                     for idx in range(0, int(n_frames), every_nth):
                         frame = hashlib.sha256(
                             bytes(blob) + idx.to_bytes(4, "big")
@@ -459,6 +480,7 @@ def sample_frames(
                 # parsed cleanly plus ONE error row (frame_index −1) flagging
                 # the blob; never a task-killing raise (see audio_features)
                 try:
+                    emitted = 0
                     for idx, frame in demux_ppmv(bytes(blob)):
                         if idx % every_nth == 0:
                             out.append(
@@ -469,6 +491,21 @@ def sample_frames(
                                     "err": None,
                                 }
                             )
+                            emitted += 1
+                    if emitted == 0:
+                        # frame 0 always samples (0 % k == 0), so zero
+                        # emissions ⟺ a zero-frame container — which must
+                        # not vanish with neither frames nor an error row,
+                        # the silent loss the err column exists to prevent
+                        # (r04 review)
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": -1,
+                                "frame_blob": None,
+                                "err": "ValueError: zero-frame container",
+                            }
+                        )
                 except Exception as e:  # noqa: BLE001 — totality on purpose
                     out.append(
                         {
@@ -520,7 +557,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 # bump when _generate_media / ref_media blob generation changes — stale
 # cross-session caches must miss, not serve old blobs
-_MEDIA_CACHE_VERSION = "v1"
+_MEDIA_CACHE_VERSION = "v2"  # v2: video meta.width/height = encoded frame dims
 
 
 def _cached_parquet(spark, key: str, write_to) -> DataFrame:
@@ -574,7 +611,12 @@ def _generate_media(spark, n: int, seed: int) -> DataFrame:
             ]
             blob = encode_ppmv(frames)
             duration = int(rng.integers(1000, 60000))
-            w_meta, h_meta = w, h
+            # meta must describe the ENCODED frames (fw×fh), not the
+            # pre-downsample draw: metadata_filter prunes on meta.width, and
+            # a fixture whose metadata contradicts its decodable content
+            # makes any meta-prune → decode composition inconsistent
+            # (r04 review)
+            w_meta, h_meta = fw, fh
         rows.append(
             (
                 i,

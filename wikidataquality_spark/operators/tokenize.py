@@ -17,10 +17,17 @@ from typing import NamedTuple
 import numpy as np
 import pandas as pd
 
-CJK_RE = r"[一-鿿]"
+# The ONE definition of "CJK" for the whole engine: the langid zh override
+# (langid._CJK_RE) and the space-injection table below both derive from this
+# range — extending coverage (e.g. Extension A) in one place but not the
+# other would classify a doc as zh while still tokenizing it as one giant
+# word (n_words=1, mean_word_len huge), silently breaking the stats the
+# space-injection exists to provide (r04 review).
+CJK_LO, CJK_HI = 0x4E00, 0x9FFF  # CJK Unified Ideographs
+CJK_RE = rf"[{chr(CJK_LO)}-{chr(CJK_HI)}]"
 # str.translate table: every CJK codepoint → " <char> " (C-speed per-char
 # splitting; a capture-group regexp_replace measured ~10× slower)
-_CJK_TABLE = {c: f" {chr(c)} " for c in range(0x4E00, 0x9FFF + 1)}
+_CJK_TABLE = {c: f" {chr(c)} " for c in range(CJK_LO, CJK_HI + 1)}
 
 
 class Tokenized(NamedTuple):
