@@ -226,6 +226,13 @@ def test_lsh_pairs_degenerate_hub_excluded_and_twin_agrees(spark):
         (5, [math.nan] + [1.0] * (dim - 1)),   # identical NaN twin
         (6, None),                             # NULL
         (7, base[: dim - 2]),                  # ragged
+        # TWO equal-length wrong-dim vectors with high raw cosine: excluded
+        # by contract on BOTH engines — they cannot be LSH-hashed for dim-D
+        # planes, so a pair between them would be an accident of the
+        # constant fallback bucket, not an ANN result (r04 review: the SQL
+        # twin previously accepted such pairs via its bare equal-length
+        # check while Spark rejected them)
+        (8, near[: dim - 2]),
     ]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
@@ -233,7 +240,7 @@ def test_lsh_pairs_degenerate_hub_excluded_and_twin_agrees(spark):
         r["vec_id"]: r["_pairable"]
         for r in lsh_bucket_arrays(e, lsh_pair_tables(dim)).collect()
     }
-    assert marks == {0: True, 1: True, 2: False, 3: False, 4: False, 5: False, 6: False, 7: False}
+    assert marks == {0: True, 1: True, 2: False, 3: False, 4: False, 5: False, 6: False, 7: False, 8: False}
 
     got = sorted(
         (r["id_a"], r["id_b"]) for r in lsh_neardup_pairs(e, threshold=0.5, dim=dim).collect()

@@ -128,3 +128,33 @@ def test_canonical_url_is_idempotent(spark):
         f"SELECT {canonical_url_sql('url')} FROM t"
     ).fetchall()]
     assert [a for a, _ in pairs] == want
+
+
+def test_repeated_www_strips_in_one_pass(spark):
+    """'www.www.host' must canonicalize to 'host' in ONE pass (idempotence:
+    the old '^www\\.' stripped one prefix per canonicalization — r04 review)."""
+    df = spark.createDataFrame(
+        [("http://www.www.example.com/a",), ("https://WWW.www.b.com",)],
+        "url string",
+    )
+    got = sorted(r["c"] for r in df.select(canonical_url("url").alias("c")).collect())
+    assert got == ["http://example.com/a", "https://b.com"]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": ["http://www.www.example.com/a", "https://WWW.www.b.com"]}))
+    want = sorted(r[0] for r in con.execute(f"SELECT {canonical_url_sql('url')} FROM t").fetchall())
+    assert want == got
+
+
+def test_url_dup_marks_null_ts_never_beats_dated_crawl(spark):
+    """An undated capture (NULL warc_ts) must not survive over the earliest
+    DATED crawl: ascending sort puts NULL first unless NULLS LAST (r04
+    review)."""
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("https://site.com/x", None),
+        ("https://www.site.com/x", t0),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = {r["url"]: r["url_dup"] for r in url_dup_marks(df).collect()}
+    assert out["https://www.site.com/x"] is False  # dated crawl survives
+    assert out["https://site.com/x"] is True

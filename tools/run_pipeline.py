@@ -7,7 +7,7 @@
         --partition-by date --resume
 
 Local sandbox run (same code path, local master):
-    python tools/run_pipeline.py --input /tmp/wdq_scaling/pages_100000_42_d32 \
+    python tools/run_pipeline.py --input <pages_parquet_dir> \
         --output /tmp/wdq_out --metrics /tmp/wdq_metrics --cpus 8
 
 Flow (BASELINE.json:6/14): read pages → validate (enrich → dedup marks →

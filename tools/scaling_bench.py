@@ -278,22 +278,28 @@ def gen_corpus(n_pages: int) -> str:
     driver-serial cost the efficiency ratio is most sensitive to)."""
     sys.path.insert(0, REPO)
     from wikidataquality_spark.datagen import DATAGEN_VERSION
+    from wikidataquality_spark.io.locking import publish_dir, user_cache_root
 
     # DATAGEN_VERSION in the cache key: a datagen change must invalidate the
-    # bench corpus too, or BASELINE.md numbers describe a stale input
-    path = f"/tmp/wdq_scaling/pages_{n_pages}_42_d32_v{DATAGEN_VERSION}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # bench corpus too, or BASELINE.md numbers describe a stale input.
+    # Per-uid root + lock publish (r04 review): the old world-shared
+    # /tmp/wdq_scaling path was squattable (BASELINE.md numbers would
+    # describe attacker-chosen input) and the bare check-then-overwrite
+    # raced two concurrent invocations onto one final dir.
+    root = user_cache_root("wdq_scaling")
+    path = os.path.join(root, f"pages_{n_pages}_42_d32_v{DATAGEN_VERSION}")
+
+    def write(staging: str) -> None:
         from wikidataquality_spark.datagen import write_pages_parquet
         from wikidataquality_spark.session import get_spark
 
-        single = f"/tmp/wdq_scaling/pages_{n_pages}_42_v{DATAGEN_VERSION}.parquet"
+        single = os.path.join(root, f"pages_{n_pages}_42_v{DATAGEN_VERSION}.parquet")
         write_pages_parquet(single, n_pages, seed=42)
         spark = get_spark(cpus=8, app_name="gen_corpus")
-        spark.read.parquet(single).repartition(32, "url").write.mode(
-            "overwrite"
-        ).parquet(path)
+        spark.read.parquet(single).repartition(32, "url").write.parquet(staging)
         spark.stop()
-    return path
+
+    return publish_dir(path, write)
 
 
 def run_pair_rounds(make_low, make_high, rounds: int) -> dict:

@@ -49,9 +49,16 @@ def main() -> None:
     ensure_shipped(spark)
 
     from wikidataquality_spark.datagen import DATAGEN_VERSION
+    from wikidataquality_spark.io.locking import user_cache_root
 
+    # per-uid root like every other cache (write_pages_parquet itself
+    # publishes through the locking seam)
     base = write_pages_parquet(
-        f"/tmp/wdq_skew/pages_{n_pages}_v{DATAGEN_VERSION}.parquet", n_pages, seed=42
+        os.path.join(
+            user_cache_root("wdq_skew"), f"pages_{n_pages}_v{DATAGEN_VERSION}.parquet"
+        ),
+        n_pages,
+        seed=42,
     )
     # deterministic skew injection: ~60% of urls rewritten onto ONE host
     pages = spark.read.parquet(base).withColumn(

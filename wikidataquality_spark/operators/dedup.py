@@ -646,7 +646,10 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     u = F.trim(col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
-    auth = F.regexp_replace(auth, r"^www\.", "")
+    # (www\.)+ not www\.: a repeated prefix ('www.www.example.com') must
+    # strip in ONE pass or canonical(canonical(u)) != canonical(u)
+    # (r04 review — the idempotence invariant is load-bearing)
+    auth = F.regexp_replace(auth, r"^(www\.)+", "")
     # single-colon anchor so the strip is IDEMPOTENT: a malformed authority
     # like 'host:80:80' must not lose one ':80' per canonicalization pass
     # (canonical_url(canonical_url(u)) == canonical_url(u) is load-bearing —
@@ -683,7 +686,7 @@ def canonical_url_sql(expr: str = "url") -> str:
     sort_array). Used by the parity tests; reusable as an oracle fragment."""
     u = f"trim({expr})"
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
-    auth0 = f"regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    auth0 = f"regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), '^(www\\.)+', '')"
     # \\1 is DuckDB's replacement backreference where Spark writes $1
     auth = (
         f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, '^([^:]+):80$', '\\1') "
@@ -722,10 +725,13 @@ def url_dup_marks(
     pile into one straggler partition)."""
     canon = canonical_url(url_col)
     nn = F.col(url_col).isNotNull()
+    # NULLS LAST: Spark sorts NULL first ascending, so an undated capture
+    # would otherwise silently beat the genuinely earliest DATED crawl as
+    # the survivor — "earliest" must mean earliest known time (r04 review)
     w = W.partitionBy(
         F.xxhash64(F.col("url_canonical")),
         F.xxhash64(F.lit(1), F.col("url_canonical")),
-    ).orderBy(ts_col, url_col)
+    ).orderBy(F.col(ts_col).asc_nulls_last(), url_col)
     flagged = (
         df.filter(nn)
         .withColumn("url_canonical", canon)

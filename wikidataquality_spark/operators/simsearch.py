@@ -628,11 +628,17 @@ def lsh_neardup_pairs(
     # every bucket of size m contributes m(m−1)/2 rows) never gets hash-
     # repartitioned just to dedup, which at corpus scale was the single
     # largest exchange in the query.
-    # Unpairable rows (NULL/ragged/zero-norm/NaN-entry vectors) never survive
-    # the cosine verify, but they DO hash to constant buckets in every table
-    # — m of them would meet m²/2 times in the join below before being
-    # filtered. Dropping them pre-join keeps the pair set identical and
-    # removes the quadratic degenerate hub (routine in crawled embeddings).
+    # Unpairable rows (NULL/wrong-length/zero-norm/NaN-entry vectors) are
+    # EXCLUDED FROM PAIRING BY CONTRACT: none of them can be LSH-hashed for
+    # dim-D planes, so they all land in bucket 0 of every table — m of them
+    # would meet m²/2 times in the join below (a pure-waste quadratic hub,
+    # routine in crawled embeddings), and any pair they did survive into
+    # (two equal-but-wrong-length vectors whose raw cosine clears the
+    # threshold) would be an accident of the constant bucket, not an ANN
+    # result with a recall story. Dropping them pre-join makes the contract
+    # explicit; the SQL twin enforces the same len == dim bound (r04 review
+    # — the twin previously accepted equal-but-wrong-length pairs Spark now
+    # rejects).
     pos = bucketed.filter("_pairable").select(
         id_col, F.posexplode("_buckets").alias("_table", "_bucket"), "_buckets"
     )
@@ -755,7 +761,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN n a ON a.vec_id = c.id_a
 JOIN n b ON b.vec_id = c.id_b
-WHERE len(a.embedding) = len(b.embedding)
+WHERE len(a.embedding) = {dim} AND len(b.embedding) = {dim}
   AND len(list_filter(a.embedding, x -> x IS NOT NULL)) = len(a.embedding)
   AND len(list_filter(b.embedding, x -> x IS NOT NULL)) = len(b.embedding)
   AND a.nrm > 0 AND b.nrm > 0

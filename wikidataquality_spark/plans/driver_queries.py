@@ -1627,7 +1627,18 @@ def stream_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(p, (1_700_000_000 + 600 * i,) * 2)
 
     # stream workdirs are PER-PROCESS (pid-scoped): a second driver running
-    # this query concurrently must not rmtree a live stream's checkpoint
+    # this query concurrently must not rmtree a live stream's checkpoint.
+    # Reap orphans first — run_<pid> dirs whose owning process is gone —
+    # or every driver invocation would permanently leak a checkpoint tree
+    # into the shared per-uid root (r04 review)
+    for stale in glob.glob(f"{base}/run_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+            os.kill(pid, 0)  # raises if the owner is dead
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # live process owned by someone else (not under this uid root, but be safe)
     run_base = f"{base}/run_{os.getpid()}"
     sink = f"{run_base}/sink"
     ckpt = f"{run_base}/ckpt"
