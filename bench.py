@@ -72,12 +72,22 @@ def main() -> None:
 
     host_membw = round(copy_bandwidth() / 1e9, 2)
 
+    # noop-format write, NOT .count(): counting lets Catalyst prune every
+    # column the count doesn't need, so map-only queries (qf_keep_decision,
+    # scrub_pii_all) timed as bare parquet scans — measured 0.40s pruned vs
+    # 2.54s with the computed columns forced, a ~6× flattery (r04 review).
+    # The noop sink consumes EVERY output column of the exact result the
+    # driver would collect, so timings cover the advertised work. Protocol
+    # field below marks the change — pre-v2 BENCH_r*.json headline/docs_per_sec
+    # numbers are NOT comparable for the map-only queries.
+    def run_full(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        run_full(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
         # drop any intra-query persisted stages so queries are timed
         # independently (no cross-query cache pollution or memory pressure)
         spark.catalog.clearCache()
@@ -85,13 +95,11 @@ def main() -> None:
     # flagship docs/sec: full validation DAG over documents. Warm once
     # (python workers + model load are session overhead), time the second
     # run — steady-state throughput is what scales to a cluster.
-    import pyspark.sql.functions as F
-
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
-    QUERIES["qf_keep_decision"](spark, sf_dir).agg(F.count("*")).collect()
+    run_full(QUERIES["qf_keep_decision"](spark, sf_dir))
     t0 = time.perf_counter()
-    QUERIES["qf_keep_decision"](spark, sf_dir).agg(F.count("*")).collect()
+    run_full(QUERIES["qf_keep_decision"](spark, sf_dir))
     qf_sec = time.perf_counter() - t0
     docs_per_sec = round(n_docs / qf_sec, 2) if qf_sec > 0 else None
 
@@ -111,6 +119,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
                 "host_membw_gbps": host_membw,
+                "bench_protocol": "noop-write-v2",
             }
         )
     )

@@ -127,3 +127,31 @@ def test_dump_meta_broadcast_join(spark):
     assert out.filter(F.col("source_name") == "ext-dump").count() == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_empty_string_vs_value_is_mismatch(spark):
+    """contains('') is always true, so an empty checked value against any
+    external value previously read PARTIAL — systematically understating
+    mismatches for blank/scrubbed fields (r04 review)."""
+    from wikidataquality_spark.operators.crosscheck import compare_string
+
+    rows = [("", "wikipedia-mirror"), ("wikipedia-mirror", ""), ("", ""), ("ab", "")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [
+        r["s"]
+        for r in df.select(
+            compare_string(F.col("a"), F.col("b")).alias("s")
+        ).collect()
+    ]
+    # '' vs long value: mismatch both directions; '' vs '': exact match;
+    # 'ab' vs '': levenshtein 2 <= 2 still partial (edit-distance rule owns it)
+    assert got == ["mismatch", "mismatch", "match", "partial"]
+
+
+def test_crosscheck_rejects_shared_column_names(spark):
+    from wikidataquality_spark.operators.crosscheck import crosscheck
+
+    checked = spark.createDataFrame([(1, "a", 5)], "id long, source string, n_chars long")
+    external = spark.createDataFrame([(1, "a", 5)], "id long, source string, n_chars long")
+    with pytest.raises(ValueError, match="shared between checked and external"):
+        crosscheck(checked, external, "id", [("source", "source", "string", {})])

@@ -279,3 +279,21 @@ def test_qualifiers_rule_rejects_empty_allowed():
 
     with pytest.raises(ValueError, match="non-empty 'allowed'"):
         rule_check_expr(Rule("q.bad", "qualifiers", {"column": "tags"}))
+
+
+def test_graphcheck_null_endpoint_is_exception_not_violation(spark):
+    """A link with a NULL endpoint can never match the swapped-pair probe,
+    so it previously read 'violation'; the rule layer's convention for
+    unverifiable inputs is 'exception' (r04 review)."""
+    from wikidataquality_spark.operators.graphcheck import symmetric_check
+
+    rows = [(1, 2), (2, 1), (3, None), (None, 4), (5, 6)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): r["check"]["status"]
+        for r in symmetric_check(df).collect()
+    }
+    assert got[(1, 2)] == "compliance" and got[(2, 1)] == "compliance"
+    assert got[(3, None)] == "exception"
+    assert got[(None, 4)] == "exception"
+    assert got[(5, 6)] == "violation"

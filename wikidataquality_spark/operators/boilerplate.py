@@ -93,6 +93,12 @@ def remove_boilerplate_lines(
     original order. Scrub-not-drop: every input document stays a row
     (NULL text → NULL text_cleaned; all lines removed → '').
 
+    PRECONDITION: id_col is unique per document (the corpus contract every
+    id-keyed operator here shares — dedup survivors, decontamination flags).
+    Rows sharing a non-NULL id would have their LINES MERGED by the per-doc
+    reassembly (interleaved by position) and the merged text re-attached to
+    every duplicate row — run exact/URL dedup first if ids can repeat.
+
     NULL-id documents pass through BYTE-IDENTICAL with zero removals: they
     cannot be grouped per-document for reassembly (a NULL join key matches
     nothing, and several NULL-id docs would merge into one line group), and

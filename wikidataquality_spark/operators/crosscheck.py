@@ -58,12 +58,16 @@ def _null_totalize(a: Column, b: Column, core: Column) -> Column:
 def compare_string(a: Column, b: Column, partial_distance: int = 2) -> Column:
     """StringValueComparer: exact → match; small edit distance OR one value
     containing the other (the reference's partial-text rule) → partial."""
+    # containment needs a NONEMPTY contained value: contains('') is always
+    # true, so an empty string vs any value would read PARTIAL instead of
+    # MISMATCH — every blank/scrubbed field would systematically understate
+    # mismatch counts (r04 review). a == b already owns the both-empty case.
     core = (
         F.when(a == b, F.lit(MATCH))
         .when(
             (F.levenshtein(a, b) <= partial_distance)
-            | a.contains(b)
-            | b.contains(a),
+            | (a.contains(b) & (F.length(b) > 0))
+            | (b.contains(a) & (F.length(a) > 0)),
             F.lit(PARTIAL),
         )
         .otherwise(F.lit(MISMATCH))
@@ -157,6 +161,20 @@ def crosscheck(
     dimension-sized, sort-merge otherwise) and pure codegen expressions;
     adding a comparer adds zero shuffles.
     """
+    # loud collision guard (same discipline as graphcheck._RESERVED): a
+    # non-key column shared by both sides makes F.col(name) ambiguous after
+    # the join (AnalysisException deep in the comparer expressions) or, if
+    # unused, silently duplicates the output column; 'comparisons'/'n_*'
+    # are this operator's own outputs (r04 review)
+    reserved = {"comparisons", "n_match", "n_partial", "n_mismatch"}
+    shared = (set(checked.columns) & set(external.columns)) - {on}
+    clash = sorted(shared | (set(checked.columns) & reserved) | (set(external.columns) & reserved))
+    if clash:
+        raise ValueError(
+            f"crosscheck: column names {clash} are shared between checked and "
+            f"external (or collide with the operator's outputs {sorted(reserved)}); "
+            "rename them before cross-checking"
+        )
     ext = F.broadcast(external) if broadcast_external else external
     j = checked.join(ext, on, "inner")
     results = []

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wikidataquality_spark.rules.model import COMPLIANCE, VIOLATION
+from wikidataquality_spark.rules.model import COMPLIANCE, EXCEPTION, VIOLATION
 
 
 # internal probe columns + the output struct column; inputs may not use them
@@ -72,13 +72,27 @@ def _reciprocity_check(
         "left",
     ).withColumn("_gc_ok", F.coalesce("_gc_ok", F.lit(False)))
     ok = F.col("_gc_ok")
+    # NULL-endpoint links can never match the swapped-pair probe (NULL
+    # equi-join key), so without this arm they'd all read 'violation' —
+    # but the rule layer's convention for unverifiable inputs is EXCEPTION
+    # (rules/library.py: applicable = col IS NOT NULL; model.py folds the
+    # reference's not-applicable the same way). Unkeyable links are excused,
+    # not counted as broken reciprocity (r04 review).
+    applicable = F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
     return out.select(
         *links.columns,
         F.struct(
             F.lit(rule_id).alias("rule"),
-            F.when(ok, COMPLIANCE).otherwise(VIOLATION).alias("status"),
-            F.when(ok, 1.0).otherwise(0.0).alias("score"),
-            F.when(ok, F.lit(None).cast("string"))
+            F.when(~applicable, EXCEPTION)
+            .when(ok, COMPLIANCE)
+            .otherwise(VIOLATION)
+            .alias("status"),
+            F.when(~applicable, F.lit(None).cast("double"))
+            .when(ok, 1.0)
+            .otherwise(0.0)
+            .alias("score"),
+            F.when(~applicable, F.lit("NULL link endpoint — reciprocity unverifiable"))
+            .when(ok, F.lit(None).cast("string"))
             .otherwise(F.lit(detail))
             .alias("detail"),
         ).alias("check"),

@@ -240,8 +240,8 @@ cmp AS (
               WHEN d.source IS NULL OR e.ext_source IS NULL THEN 'mismatch'
               WHEN d.source = e.ext_source THEN 'match'
               WHEN levenshtein(d.source, e.ext_source) <= 2
-                   OR contains(d.source, e.ext_source)
-                   OR contains(e.ext_source, d.source) THEN 'partial'
+                   OR (contains(d.source, e.ext_source) AND length(e.ext_source) > 0)
+                   OR (contains(e.ext_source, d.source) AND length(d.source) > 0) THEN 'partial'
               ELSE 'mismatch' END AS source_status,
          CASE WHEN d.n_chars IS NULL AND e.ext_n_chars IS NULL THEN 'match'
               WHEN d.n_chars IS NULL OR e.ext_n_chars IS NULL THEN 'mismatch'
