@@ -59,3 +59,22 @@ def test_spark_udf_path(spark, sf0001_dir):
     assert en_und >= 0.7
     mean_conf = sum(r["conf"] for r in out) / len(out)
     assert mean_conf < 0.5
+
+
+def test_trainer_uses_serving_featurizer():
+    """train/serve featurizer parity by construction: the trainer's
+    trigram_hashes IS the serving one at the trainer's bucket count
+    (r04 review: a verbatim copy could drift on hash constants/padding)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tools")
+    import train_langid
+
+    from wikidataquality_spark.operators.langid_ngram import trigram_hashes
+
+    for t in ("hello world", "ü ünïcode", "ab"):
+        got = train_langid.trigram_hashes(t)
+        want = trigram_hashes(t, np.uint64(train_langid.N_BUCKETS - 1))
+        assert np.array_equal(got, want)

@@ -171,3 +171,23 @@ def test_duration_parser_units_and_errors():
         _duration_ms("1 hour 30 minutes")
     with pytest.raises(ValueError, match="positive"):
         _duration_ms("0 seconds")
+
+
+def test_running_user_stats_rejects_non_utc_session(spark):
+    """The stateful UDF reads session-tz-naive Arrow timestamps as epoch
+    micros — valid ONLY under UTC. A foreign session tz must fail loudly,
+    not silently shift last_seen_us away from the batch twin (r04 review)."""
+    import pytest
+
+    from wikidataquality_spark.streaming.stateful import running_user_stats
+
+    df = spark.createDataFrame([(1, "2025-01-01 00:00:00", 1.0)],
+                               "user_id long, ts string, value double")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with pytest.raises(ValueError, match="timeZone='UTC'"):
+            running_user_stats(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert running_user_stats(df).count() == 1  # UTC restored -> fine

@@ -27,9 +27,11 @@ from wikidataquality_spark.session import get_spark  # noqa: E402
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--write"]
     write = "--write" in sys.argv
-    sf_dir = args[0] if args else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    # single source for the default corpus location (r04 review: three
+    # hardcoded copies of this env default could drift)
+    from wikidataquality_spark.tables import DEFAULT_SF_DIR
+
+    sf_dir = args[0] if args else DEFAULT_SF_DIR
 
     from wikidataquality_spark.operators.simsearch import (
         brute_force_topk,

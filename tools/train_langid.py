@@ -28,19 +28,22 @@ TRAIN_PAGES = 20000
 TRAIN_SEED = 1234
 N_BUCKETS = 1 << 16
 ADD_K = 0.5
-MODEL_VERSION = "1"
 
-_P1, _P2, _P3 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
+# featurizer + version come from the SERVING operator — train and serve can
+# never skew on hash constants, padding, or artifact filename (r04 review:
+# this file previously carried a verbatim copy of both)
+from wikidataquality_spark.operators.langid_ngram import (  # noqa: E402
+    MODEL_VERSION,
+    trigram_hashes as _serving_trigram_hashes,
+)
+
+_MASK = np.uint64(N_BUCKETS - 1)
 
 
 def trigram_hashes(text: str) -> np.ndarray:
-    """Hashed char trigrams of ' '+lower(text)+' ' (vectorized over chars)."""
-    s = " " + text.lower() + " "
-    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    if len(cp) < 3:
-        return np.zeros(0, dtype=np.int64)
-    h = cp[:-2] * _P1 ^ cp[1:-1] * _P2 ^ cp[2:] * _P3
-    return (h & np.uint64(N_BUCKETS - 1)).astype(np.int64)
+    """Hashed char trigrams — the serving featurizer at this trainer's bucket
+    count."""
+    return _serving_trigram_hashes(text, _MASK)
 
 
 def main() -> None:

@@ -11,7 +11,6 @@ scale and is nondeterministic under schema drift (SURVEY.md §1.2's
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T

@@ -17,7 +17,6 @@ via the pipeline config. Parity: TypeChecker classifier-membership recast
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,13 +27,23 @@ from pyspark.sql import types as T
 
 MODEL_VERSION = "1"
 _MODEL_NAME = f"langid_ngram_v{MODEL_VERSION}.npz"
-_MODEL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "models", _MODEL_NAME
-)
 
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _P3 = np.uint64(0x165667B19E3779F9)
+
+
+def trigram_hashes(text: str, mask: np.uint64) -> np.ndarray:
+    """Hashed char trigrams of ' '+lower(text)+' ' — THE featurizer, shared
+    with tools/train_langid.py so train and serve can never skew (r04
+    review: the trainer previously carried a verbatim copy of this code;
+    an edit to either side would silently degrade accuracy)."""
+    s = " " + text.lower() + " "
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < 3:
+        return np.zeros(0, dtype=np.int64)
+    h = cp[:-2] * _P1 ^ cp[1:-1] * _P2 ^ cp[2:] * _P3
+    return (h & mask).astype(np.int64)
 
 NGRAM_RESULT_TYPE = T.StructType(
     [
@@ -44,21 +53,11 @@ NGRAM_RESULT_TYPE = T.StructType(
 )
 
 
-def _open_model():
-    if os.path.exists(_MODEL_PATH):
-        return np.load(_MODEL_PATH, allow_pickle=True)
-    import io
-    import pkgutil
-
-    blob = pkgutil.get_data("wikidataquality_spark", f"models/{_MODEL_NAME}")
-    if blob is None:
-        raise FileNotFoundError(f"model artifact {_MODEL_NAME} not packaged")
-    return np.load(io.BytesIO(blob), allow_pickle=True)
-
-
 class _NgramLangId:
     def __init__(self) -> None:
-        z = _open_model()
+        from wikidataquality_spark.modelio import open_model
+
+        z = open_model(_MODEL_NAME)
         self.langs = list(z["langs"])
         self.logp = z["logp"].astype(np.float64)  # (n_buckets, n_langs)
         self.prior = z["prior"].astype(np.float64)
@@ -66,14 +65,17 @@ class _NgramLangId:
         self.mask = np.uint64(self.n_buckets - 1)
 
     def _hashes(self, text: str) -> np.ndarray:
-        s = " " + text.lower() + " "
-        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-        if len(cp) < 3:
-            return np.zeros(0, dtype=np.int64)
-        h = cp[:-2] * _P1 ^ cp[1:-1] * _P2 ^ cp[2:] * _P3
-        return (h & self.mask).astype(np.int64)
+        return trigram_hashes(text, self.mask)
 
     def predict(self, texts: pd.Series) -> pd.DataFrame:
+        # Per-doc loop over VECTORIZED numpy ops, deliberately not a fully
+        # concatenated batch gather: per-doc `logp[h].sum(axis=0)` uses
+        # numpy's pairwise summation, while the batched equivalents
+        # (add.at / reduceat) sum sequentially — last-ulp differences that
+        # can flip argmax on near-ties and churn the frozen planted-truth
+        # fixture for a non-headline query. The loop is per-DOCUMENT (not
+        # per-row-per-token); the batched design is a fixture-regen away if
+        # this ever becomes a hot path.
         preds: list[str | None] = []
         confs: list[float] = []
         for t in texts:
@@ -89,8 +91,9 @@ class _NgramLangId:
                 preds.append("und")
                 confs.append(0.0)
                 continue
-            # mean log-likelihood per trigram + prior; softmax → confidence
-            ll = self.logp[h].sum(axis=0) / len(h) + self.prior / max(len(h), 1)
+            # mean log-likelihood per trigram + prior; softmax → confidence.
+            # len(h) >= 1 here (the empty case exited above) — no guard.
+            ll = self.logp[h].sum(axis=0) / len(h) + self.prior / len(h)
             ll = ll - ll.max()
             p = np.exp(ll)
             p /= p.sum()

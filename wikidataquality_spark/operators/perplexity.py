@@ -30,24 +30,14 @@ from pyspark.sql import types as T
 
 MODEL_VERSION = "2"
 _MODEL_NAME = f"bigram_lm_v{MODEL_VERSION}.npz"
-_MODEL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "models", _MODEL_NAME
-)
 
 
 def _open_model():
-    """Load the frozen artifact whether the package is a directory or a
-    --py-files zip (workers import from sc.addPyFile's zip — pkgutil reads
-    through zipimport)."""
-    if os.path.exists(_MODEL_PATH):
-        return np.load(_MODEL_PATH, allow_pickle=True)
-    import io
-    import pkgutil
+    """Dir-or-zip artifact load via the one shared resolver (modelio.py —
+    r04 review: langid_ngram carried a verbatim copy of this logic)."""
+    from wikidataquality_spark.modelio import open_model
 
-    blob = pkgutil.get_data("wikidataquality_spark", f"models/{_MODEL_NAME}")
-    if blob is None:
-        raise FileNotFoundError(f"model artifact {_MODEL_NAME} not packaged")
-    return np.load(io.BytesIO(blob), allow_pickle=True)
+    return open_model(_MODEL_NAME)
 
 
 class _BigramLM:

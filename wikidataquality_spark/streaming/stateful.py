@@ -102,6 +102,21 @@ def running_user_stats(events: DataFrame, idle_timeout: str | None = None) -> Da
     ProcessingTimeTimeout the engine schedules timeout-check micro-batches
     indefinitely, so driving a BOUNDED source with processAllAvailable()
     livelocks (tests exercise the eviction branch python-side instead)."""
+    # UTC session precondition, checked loudly: Arrow hands the pandas-side
+    # UDF timestamps CONVERTED to spark.sql.session.timeZone as tz-naive
+    # values, and _update_user_stats reads them as epoch micros — true only
+    # when the session tz is UTC (session.py pins it; a foreign session with
+    # e.g. America/Los_Angeles would silently emit last_seen_us shifted by
+    # the UTC offset while the batch twin's unix_micros stays correct —
+    # r04 review).
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"running_user_stats requires spark.sql.session.timeZone='UTC' "
+            f"(got {tz!r}): the stateful UDF reads session-tz-naive Arrow "
+            "timestamps as epoch micros, which diverges from the batch twin "
+            "under any other zone"
+        )
     src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if not src.isStreaming:
         return src.groupBy("user_id").agg(

@@ -34,12 +34,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view (mirrors the DuckDB oracle setup)."""
+    """Register every test table as a temp view (mirrors the DuckDB oracle
+    setup). Individual tables may legitimately be absent (subset fixtures),
+    but a dir where NOTHING resolves is a mistyped path — failing here beats
+    a 'table not found' error far from the cause (r04 review)."""
     dfs = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             dfs[name] = df
+    if not dfs:
+        raise FileNotFoundError(
+            f"register_views: no test tables found under {sf_dir!r} "
+            f"(expected some of {TABLE_NAMES}) — mistyped sf_dir?"
+        )
     return dfs
