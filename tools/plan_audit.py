@@ -57,7 +57,6 @@ EXPECTATIONS: dict[str, list[str]] = {
     "dedup_exact": ["pruned", "no_cartesian"],
     "qf_keep_decision": ["pruned", "no_cartesian"],
     "token_count_by_source": ["pruned", "partial_agg", "no_cartesian"],
-    "events_windows": ["pruned", "partial_agg", "no_cartesian"],
     "asof_purchase_last_click": ["pruned", "no_cartesian"],
     "knn_cosine_topk": ["no_cartesian"],  # broadcast NL join IS the plan (tiny query side)
     "range_join_price_bands": ["no_cartesian"],  # broadcast NL join on 3-row dim
@@ -71,16 +70,25 @@ EXPECTATIONS: dict[str, list[str]] = {
     "ivf_ann_topk": ["pushed", "pruned", "broadcast", "no_nested_loop", "equi_join"],
     "setop_segments": ["pushed", "no_cartesian"],
     "grouping_sets_summary": ["pruned", "partial_agg", "no_cartesian"],
-    "stats_by_returnflag": ["pruned", "partial_agg", "no_cartesian"],
     # the two r01 scale-killers, now equi-join shaped (VERDICT #5/#6):
     # candidate generation must be an equi-join — no nested-loop, no cartesian
     "embedding_neardup_pairs": ["no_cartesian", "no_nested_loop", "equi_join"],
     "ngram_jaccard_pairs": ["no_cartesian", "no_nested_loop", "equi_join"],
     "crosscheck_docs_vs_golden": ["pruned", "broadcast", "no_cartesian", "no_nested_loop"],
-    "dump_meta_enrich": ["pruned", "broadcast", "no_cartesian"],
     "minhash_neardup_docs": ["pruned", "no_cartesian", "no_nested_loop"],
     "simhash_neardup_docs": ["pruned", "no_cartesian", "no_nested_loop"],
     "orders_by_month": ["pruned", "partial_agg", "no_cartesian"],
+    # --- r04: corpus-cleaning family (boilerplate / decontaminate / URL
+    # recrawl / stratified mixture) — all equi-join/agg shaped by design ---
+    "boilerplate_repetition_docs": ["pruned", "partial_agg", "no_nested_loop", "equi_join"],
+    # (no "pushed" gate: both gram sides sit behind the deliberate
+    # barrier() materialization — operators/barrier.py, the textstats
+    # expression-inlining hazard — so their scans grade as ExistingRDD; the
+    # one surviving parquet scan is the unfiltered doc_id join-back, which
+    # has nothing to push. The filters ARE applied pre-barrier.)
+    "decontaminate_benchmark_overlap": ["pruned", "broadcast", "partial_agg", "no_nested_loop", "equi_join"],
+    "url_recrawl_dedup": ["pruned", "no_nested_loop"],
+    "stratified_sample_mix": ["pruned", "partial_agg", "no_nested_loop"],
     # --- r04: the previously-unaudited 21 (r03 VERDICT #1) ---
     # batch / UDF queries: full pushdown+pruning gates
     "qf_doc_stats": ["pruned", "no_nested_loop"],
@@ -89,7 +97,6 @@ EXPECTATIONS: dict[str, list[str]] = {
                             "no_nested_loop", "equi_join"],
     "scrub_pii_all": ["pruned", "no_nested_loop"],
     "string_funcs_part": ["pruned", "no_nested_loop"],
-    "window_running_customer_spend": ["pruned", "no_nested_loop"],
     "sessionize_users": ["pruned", "partial_agg", "no_nested_loop"],
     "pivot_orders_status": ["pruned", "partial_agg", "no_nested_loop"],
     "array_ops_embedding": ["pushed", "pruned", "broadcast", "partial_agg",

@@ -41,6 +41,38 @@ def sample_unit(id_col: str | Column, seed: int = 0) -> Column:
     return h / F.lit(float(_BUCKETS))
 
 
+_MD5_BUCKETS = 1 << 32
+
+
+def sample_unit_md5(id_col: str | Column, seed: int = 0) -> Column:
+    """Cross-engine twin of sample_unit: u = first 8 hex digits of
+    md5('{seed}:{id}') / 2³². Same determinism / nesting / per-seed
+    independence properties, but recomputable OUTSIDE Spark (md5 is md5
+    everywhere; xxhash64 exists only JVM-side) — the draw an audit or the
+    DuckDB oracle can replay exactly: `('0x' || substr(md5(seed || ':' ||
+    id), 1, 8))::UBIGINT / 4294967296.0`. Integer < 2³² is exact in a
+    double and /2³² is a power-of-two scale, so the two engines' doubles
+    are bit-identical. ~2× the cost of the xxhash64 draw (md5 is not
+    codegen-free) — the default stays xxhash64; use this when the mixture
+    decision must be verifiable off-cluster. NULL id → NULL, same policy."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+    h = F.when(
+        col.isNotNull(),
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"),
+    )
+    return h / F.lit(float(_MD5_BUCKETS))
+
+
+def sample_unit_md5_sql(id_expr: str, seed: int = 0) -> str:
+    """DuckDB expression computing the identical u as sample_unit_md5."""
+    return (
+        f"(CASE WHEN {id_expr} IS NOT NULL THEN "
+        f"('0x' || substr(md5('{seed}' || ':' || CAST({id_expr} AS VARCHAR)), 1, 8))::UBIGINT "
+        f"/ 4294967296.0 END)"
+    )
+
+
 def stratified_sample_marks(
     df: DataFrame,
     rates: dict[str, float],
@@ -48,11 +80,15 @@ def stratified_sample_marks(
     stratum_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 0,
+    draw: str = "xxhash64",
 ) -> DataFrame:
     """Adds `sample_u` (the deterministic draw) and boolean `sampled`:
     u < rates[stratum] (default_rate for unlisted or NULL strata). Rows with
     NULL id draw NULL u and are NEVER sampled (flag them upstream instead).
     Scrub-not-drop: every row survives; mixtures filter on `sampled`.
+
+    draw='xxhash64' (default, fastest) or 'md5' (sample_unit_md5 — the
+    off-cluster-replayable draw the DuckDB oracle recomputes exactly).
 
     The rate lookup compiles to a literal CASE chain — strata are
     source/language-grained (dozens), never row-grained, so no join and no
@@ -65,10 +101,13 @@ def stratified_sample_marks(
             raise ValueError(f"rate for {k!r} must be in [0,1], got {v}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    if draw not in ("xxhash64", "md5"):
+        raise ValueError(f"draw must be 'xxhash64' or 'md5', got {draw!r}")
     rate: Column = F.lit(float(default_rate))
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
-    u = sample_unit(id_col, seed=seed)
+    unit = sample_unit if draw == "xxhash64" else sample_unit_md5
+    u = unit(id_col, seed=seed)
     return df.withColumn("sample_u", u).withColumn(
         "sampled", F.coalesce(u < rate, F.lit(False))
     )
