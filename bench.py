@@ -93,14 +93,22 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # flagship docs/sec: full validation DAG over documents. Warm once
-    # (python workers + model load are session overhead), time the second
-    # run — steady-state throughput is what scales to a cluster.
+    # (python workers + model load are session overhead), then take the
+    # MEDIAN of three timed runs — steady-state throughput is what scales to
+    # a cluster, and single-run numbers on this host land anywhere between
+    # first-warm (~5k docs/s) and converged (~8k): worker JIT takes >1 prior
+    # run and host windows hiccup, the same variance the scaling protocol's
+    # order-flipped rounds cancel. Median, not min: min would grade the
+    # luckiest host window, median grades the typical one.
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
     run_full(QUERIES["qf_keep_decision"](spark, sf_dir))
-    t0 = time.perf_counter()
-    run_full(QUERIES["qf_keep_decision"](spark, sf_dir))
-    qf_sec = time.perf_counter() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_full(QUERIES["qf_keep_decision"](spark, sf_dir))
+        runs.append(time.perf_counter() - t0)
+    qf_sec = sorted(runs)[1]
     docs_per_sec = round(n_docs / qf_sec, 2) if qf_sec > 0 else None
 
     total = round(sum(timings.values()), 4)
