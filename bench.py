@@ -39,6 +39,7 @@ HEADLINE = [
     "asof_purchase_last_click",
     "ann_cosine_threshold",
     "ivf_ann_topk",
+    "semdedup_marks",
     "grouped_map_source_zscore",
     # round-2 scale paths: equi-join pair similarity + crosscheck + multimodal
     "ngram_jaccard_pairs",

@@ -58,7 +58,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "qf_keep_decision": ["pruned", "no_cartesian"],
     "token_count_by_source": ["pruned", "partial_agg", "no_cartesian"],
     "asof_purchase_last_click": ["pruned", "no_cartesian"],
-    "knn_cosine_topk": ["no_cartesian"],  # broadcast NL join IS the plan (tiny query side)
+    # SemDeDup: zero-shuffle centroid argmax + within-cell self-EQUI-join
+    # (the quadratic work is bounded per cell, never N²) + narrow mark join
+    "semdedup_marks": ["pruned", "no_cartesian", "no_nested_loop", "equi_join"],
     "range_join_price_bands": ["no_cartesian"],  # broadcast NL join on 3-row dim
     "json_map_events": ["pruned", "partial_agg", "no_cartesian"],
     "grouped_map_source_zscore": ["pruned", "no_cartesian"],
@@ -283,8 +285,8 @@ def main() -> int:
         lines.append(f"| {name} | {', '.join(must)} | {'✅ ' if ok else '❌ '}{holds} |")
     lines.append("")
     lines.append(
-        "Notes: `knn_cosine_topk` / `range_join_price_bands` intentionally use\n"
-        "BroadcastNestedLoopJoin — the non-scan side is tiny (3 query vectors /\n"
+        "Notes: `ann_cosine_threshold` / `range_join_price_bands` intentionally use\n"
+        "BroadcastNestedLoopJoin — the non-scan side is tiny (1 query vector /\n"
         "3 literal bands), which is the correct physical strategy; the guard is\n"
         "only that no unbounded CartesianProduct appears. The pipeline's dedup\n"
         "joins run on narrow (id, hash/flag) projections — document bodies never\n"

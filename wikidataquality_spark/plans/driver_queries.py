@@ -970,35 +970,38 @@ def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "knn_cosine_topk",
-    f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
-scored AS (
-  SELECT q.q_id, e.vec_id,
-         {dot_sql(a="e.embedding", b="q.q_vec")} /
-         (sqrt({dot_sql(a="e.embedding", b="e.embedding")}) *
-          sqrt({dot_sql(a="q.q_vec", b="q.q_vec")})) AS cs
-  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
-SELECT q_id, vec_id, ROUND(cs, 4) AS cos_sim, rank FROM (
-  SELECT q_id, vec_id, cs,
-         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
-  FROM scored) WHERE rank <= 5
-""",
-)
-def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact k-NN per query vector (brute-force baseline of the similarity-
-    search family; operators/simsearch.py holds the LSH scale path)."""
-    from wikidataquality_spark.operators.simsearch import brute_force_topk
+def _semdedup_oracle() -> str:
+    from wikidataquality_spark.operators.semdedup import (
+        load_semdedup_centroids,
+        semdedup_marks_sql,
+    )
+
+    return semdedup_marks_sql(load_semdedup_centroids(), threshold=0.4, dim=64)
+
+
+@_register("semdedup_marks", None)  # oracle attached below (built SQL)
+def semdedup_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup corpus pruning (Abbas et al. 2023): k-means cluster
+    assignment (zero-shuffle literal-centroid argmax) + within-cluster
+    cosine near-dup marks, keeping the lowest-centroid-sim representative
+    per neighborhood. Centroids are the train-once v1 artifact
+    (tools/train_semdedup.py), so the oracle replays the identical
+    assignment + survivor algebra with inlined constants — the driver
+    hash-compares the real cluster geometry, not a sample. The retired
+    `knn_cosine_topk` brute-force surface stays covered by
+    `ann_cosine_threshold` (same dot/rank math, threshold form) and
+    tests/test_simsearch.py; its exact-kNN SQL lives on as the
+    `ivf_ann_topk` oracle."""
+    from wikidataquality_spark.operators.semdedup import (
+        load_semdedup_centroids,
+        semdedup_marks as _marks,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    out = brute_force_topk(e, q, k=5, exclude_self=True)
-    return out.select(
-        "q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), F.col("rank").cast("long").alias("rank")
-    )
+    return _marks(e, load_semdedup_centroids(), threshold=0.4, dim=64)
+
+
+ORACLE["semdedup_marks"] = _semdedup_oracle()
 
 
 def _neardup_pairs_oracle() -> str:
