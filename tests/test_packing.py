@@ -1,0 +1,81 @@
+"""Sequence packing: hand-computed assignment, shard bounds, oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from wikidataquality_spark.operators.packing import pack_sequences, pack_sequences_sql
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # token counts by the BPE-ish counter: "aa bb" → 2 pieces, "a1!" → 3
+    rows = [
+        Row(doc_id=0, source="web", text="aa bb cc"),        # 3 tokens
+        Row(doc_id=1, source="web", text="dd ee"),            # 2
+        Row(doc_id=2, source="web", text="x y z w v"),        # 5
+        Row(doc_id=3, source="web", text=None),               # 0 (NULL packs empty)
+        Row(doc_id=4, source="web", text="k"),                # 1
+        Row(doc_id=10, source="web", text="p q"),             # new shard (shard_docs=10)
+        Row(doc_id=0, source="books", text="m n o"),          # other source stream
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hand_computed_assignment(docs):
+    out = {
+        (r["source"], r["doc_id"]): r.asDict()
+        for r in pack_sequences(docs, seq_len=4, shard_docs=10).collect()
+    }
+    # web shard 0 stream: cum_before = 0, 3, 5, 10, 10 → packs of 4
+    assert (out[("web", 0)]["pack_id"], out[("web", 0)]["pack_offset"]) == (0, 0)
+    assert (out[("web", 1)]["pack_id"], out[("web", 1)]["pack_offset"]) == (0, 3)
+    assert (out[("web", 2)]["pack_id"], out[("web", 2)]["pack_offset"]) == (1, 1)
+    assert out[("web", 3)]["n_tokens"] == 0  # NULL text: zero-width slot
+    assert (out[("web", 3)]["pack_id"], out[("web", 3)]["pack_offset"]) == (2, 2)
+    assert (out[("web", 4)]["pack_id"], out[("web", 4)]["pack_offset"]) == (2, 2)
+    # doc 10 opens shard 1: its own stream restarts at pack 0
+    assert out[("web", 10)]["shard"] == 1
+    assert (out[("web", 10)]["pack_id"], out[("web", 10)]["pack_offset"]) == (0, 0)
+    # other source is an independent stream
+    assert (out[("books", 0)]["pack_id"], out[("books", 0)]["pack_offset"]) == (0, 0)
+
+
+def test_oracle_parity_on_planted(spark, docs):
+    duckdb = pytest.importorskip("duckdb")
+    got = sorted(
+        tuple(r) for r in pack_sequences(docs, seq_len=4, shard_docs=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(pack_sequences_sql(seq_len=4, shard_docs=10)).fetchall()
+    )
+    assert got == ora
+
+
+def test_window_partitions_are_bounded(docs):
+    """The plan's only Exchange is hashpartitioning by (source, shard) —
+    a global-sort cumsum (Exchange rangepartitioning / SinglePartition)
+    would serialize the corpus through one reducer at scale."""
+    plan = (
+        pack_sequences(docs, seq_len=4, shard_docs=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sf001_total_tokens_conserved(spark, sf001_dir):
+    """Packing is an assignment, not a filter: every doc appears once and
+    the per-stream pack/offset sequence is consistent with the token sums."""
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = pack_sequences(d, seq_len=2048, shard_docs=200)
+    assert out.count() == d.count()
+    last = out.orderBy("source", "shard", "doc_id").collect()[-1]
+    assert last["pack_id"] * 2048 + last["pack_offset"] >= 0

@@ -151,3 +151,33 @@ def test_top_ngram_char_fraction(spark, sf0001_dir):
             .sort_values("doc_id", ignore_index=True)
         )
         pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False)
+
+
+def test_mapinarrow_matches_codegen(spark, sf0001_dir):
+    """mapInArrow surface (zero-copy RecordBatch hook, no pandas conversion)
+    — kept as the API's living example after the `mapinarrow_char_count`
+    driver slot retired in favor of pack_sequences: utf8 char counts from
+    pyarrow.compute must equal the codegen F.length on every doc."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet").select("doc_id", "text")
+
+    def char_count(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.cast(pc.utf8_length(batch.column(1)), pa.int64())],
+                names=["doc_id", "n_chars"],
+            )
+
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.mapInArrow(char_count, "doc_id long, n_chars long").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", F.length("text").alias("n_chars")).collect()
+    }
+    assert got == want

@@ -106,7 +106,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "doc_fingerprints": ["pruned", "no_nested_loop"],
     "approx_sketches": ["pruned", "partial_agg", "no_nested_loop"],
     "grouped_agg_geomean": ["pruned", "no_nested_loop"],
-    "mapinarrow_char_count": ["pruned", "no_nested_loop"],
+    # packing: bounded per-(source,shard) window cumsum — pure codegen, the
+    # one Exchange is the hash partition by (source, shard), never global
+    "pack_sequences": ["pruned", "no_nested_loop"],
     "langid_ngram_docs": ["pruned", "partial_agg", "no_nested_loop"],
     "multimodal_features": ["pushed", "pruned", "no_nested_loop"],
     # brute-force ANN: BroadcastNestedLoopJoin on a 3-vector side IS the plan

@@ -1712,28 +1712,28 @@ def grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "mapinarrow_char_count",
-    "SELECT doc_id, length(text) AS n_chars FROM documents",
-)
-def mapinarrow_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInArrow: zero-copy RecordBatch pass computing utf8 lengths with
-    pyarrow.compute — the lowest-overhead Python hook (no pandas conversion)."""
-    from collections.abc import Iterator
+def _pack_oracle() -> str:
+    from wikidataquality_spark.operators.packing import pack_sequences_sql
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    return pack_sequences_sql(seq_len=2048, shard_docs=200)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def char_count(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pc.cast(pc.utf8_length(batch.column(1)), pa.int64())],
-                names=["doc_id", "n_chars"],
-            )
+@_register("pack_sequences", None)  # oracle attached below (built SQL)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining data prep): deterministic doc → fixed
+    2048-token training-block assignment via a bounded per-(source, shard)
+    prefix-sum — never a global-ORDER-BY window, which would serialize the
+    corpus through one reducer (operators/packing.py). All-integer output,
+    exact-hash oracle. shard_docs=200 keeps multiple shards live at sf0.01
+    so the gate exercises the shard boundary, not just one stream. The
+    retired `mapinarrow_char_count` demo's mapInArrow surface stays covered
+    by tests/test_textstats.py::test_mapinarrow_matches_codegen."""
+    from wikidataquality_spark.operators.packing import pack_sequences as _pack
 
-    return docs.mapInArrow(char_count, "doc_id long, n_chars long")
+    return _pack(_t(spark, sf_dir, "documents"), seq_len=2048, shard_docs=200)
+
+
+ORACLE["pack_sequences"] = _pack_oracle()
 
 
 # ---------------------------------------------------------------------------
