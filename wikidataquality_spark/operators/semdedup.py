@@ -122,19 +122,32 @@ def semdedup_marks(
     is_semdup=false rows are the survivors a corpus-pruning pass keeps;
     filtering `NOT is_semdup` yields the SemDeDup'd corpus."""
     best = _best_cell(F.col(vec_col), centroids)
+    nrm = l2_norm(F.col(vec_col))
+    # the pairwise verify is the quadratic stage, so per-PAIR work must be
+    # ONE dot fold: precompute each row's norm scalar once (a projected
+    # column that crosses the self-join Exchange materialized, so the pair
+    # filter reads it instead of re-folding ‖v‖ twice per pair — the naive
+    # cosine() spelling cost three 64-term folds per pair). NOT a per-row
+    # unit-vector array: transform(v, x -> x/‖v‖) inlines the norm fold
+    # INSIDE the lambda (verified on the optimized plan), re-evaluating it
+    # per ELEMENT — 64 folds/row in the linear stage. The scalar carry has
+    # no such hazard and keeps the oracle's dot/(n.nrm·r.nrm) spelling
+    # bit-for-bit.
     base = (
         _valid_vectors(embeddings, vec_col, dim)
         .select(
             F.col(id_col),
             F.col(vec_col),
+            nrm.alias("_nrm"),
             best["cell"].cast("long").alias("cell"),
-            (best["score"] / l2_norm(F.col(vec_col))).alias("_csim"),
+            (best["score"] / nrm).alias("_csim"),
         )
         .filter(F.col("cell") != 0)  # 0 = unassignable fold default
     )
     neighbors = base.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).alias("_nvec"),
+        F.col("_nrm").alias("_nnrm"),
         "cell",
         F.col("_csim").alias("_ncsim"),
     )
@@ -142,15 +155,14 @@ def semdedup_marks(
     # the threshold; priority = (centroid_sim ASC, id ASC). The priority
     # filter runs before the cosine fold so most candidate pairs die on two
     # double compares, not a 64-term fold.
-    num = dot(F.col("_nvec"), F.col(vec_col))
-    den = l2_norm(F.col("_nvec")) * l2_norm(F.col(vec_col))
+    cos = dot(F.col("_nvec"), F.col(vec_col)) / (F.col("_nnrm") * F.col("_nrm"))
     losers = (
         base.join(neighbors, "cell")
         .filter(
             (F.col("_ncsim") < F.col("_csim"))
             | ((F.col("_ncsim") == F.col("_csim")) & (F.col("_nid") < F.col(id_col)))
         )
-        .filter(num / den >= threshold)  # valid vectors: den > 0, no NaN
+        .filter(cos >= threshold)  # valid vectors: norms > 0, no NaN
         .select(F.col(id_col).alias("_dup_id"))
         .distinct()
     )
