@@ -71,11 +71,21 @@ def test_window_partitions_are_bounded(docs):
     assert "SinglePartition" not in plan
 
 
-def test_sf001_total_tokens_conserved(spark, sf001_dir):
-    """Packing is an assignment, not a filter: every doc appears once and
-    the per-stream pack/offset sequence is consistent with the token sums."""
+def test_sf001_streams_are_running_sums(spark, sf001_dir):
+    """Packing is an assignment, not a filter: every doc appears once, and
+    within each (source, shard) stream every doc's absolute start position
+    (pack_id·seq_len + pack_offset) equals the running sum of the preceding
+    docs' token counts — the defining invariant of concat-then-chunk."""
     d = spark.read.parquet(f"{sf001_dir}/documents.parquet")
     out = pack_sequences(d, seq_len=2048, shard_docs=200)
-    assert out.count() == d.count()
-    last = out.orderBy("source", "shard", "doc_id").collect()[-1]
-    assert last["pack_id"] * 2048 + last["pack_offset"] >= 0
+    rows = out.collect()
+    assert len(rows) == d.count()
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        streams.setdefault((r["source"], r["shard"]), []).append(r)
+    assert len(streams) > 3  # shard_docs=200 keeps several streams live
+    for stream in streams.values():
+        cum = 0
+        for r in sorted(stream, key=lambda r: r["doc_id"]):
+            assert r["pack_id"] * 2048 + r["pack_offset"] == cum
+            cum += r["n_tokens"]

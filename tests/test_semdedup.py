@@ -96,6 +96,17 @@ def test_oracle_parity_on_planted(spark, planted):
 
 
 def test_artifact_loads_and_matches_trainer_params():
+    import json
+
+    from wikidataquality_spark.operators.semdedup import SEMDEDUP_CENTROIDS_V1
+
+    with open(SEMDEDUP_CENTROIDS_V1) as f:
+        art = json.load(f)
+    # every geometry-changing train_centroids parameter is pinned in the
+    # artifact, so a silent trainer-default drift is detectable
+    assert {
+        k: art[k] for k in ("version", "n_lists", "dim", "sample_n", "iters", "seed")
+    } == {"version": "v1", "n_lists": 8, "dim": 64, "sample_n": 2048, "iters": 8, "seed": 13}
     cents = load_semdedup_centroids()
     assert len(cents) == 8 and all(len(c) == 64 for c in cents)
     # spherical k-means centroids are unit-norm (or a reseeded unit sample)

@@ -30,6 +30,8 @@ TRAIN_SF_DIR = "/root/testdata/sf0.01"
 N_LISTS = 8
 DIM = 64
 SEED = 13
+SAMPLE_N = 2048  # recorded explicitly: every train_centroids parameter that
+ITERS = 8  # changes the output geometry must be pinned in the artifact
 
 
 def main() -> None:
@@ -39,13 +41,17 @@ def main() -> None:
 
     spark = get_spark(app_name="train_semdedup")
     emb = spark.read.parquet(os.path.join(TRAIN_SF_DIR, "embeddings.parquet"))
-    cents = train_centroids(emb, n_lists=N_LISTS, dim=DIM, seed=SEED)
+    cents = train_centroids(
+        emb, n_lists=N_LISTS, dim=DIM, sample_n=SAMPLE_N, iters=ITERS, seed=SEED
+    )
     art = {
         "version": "v1",
         "trainer": "train_centroids",
         "train_sf_dir": TRAIN_SF_DIR,
         "n_lists": N_LISTS,
         "dim": DIM,
+        "sample_n": SAMPLE_N,
+        "iters": ITERS,
         "seed": SEED,
         "centroids": cents,
     }

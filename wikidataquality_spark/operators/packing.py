@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from wikidataquality_spark.operators.textstats import bpe_ish_token_count
+from wikidataquality_spark.operators.textstats import (
+    BPE_PIECES_RE_SQL as _BPE_RE,
+    bpe_ish_token_count,
+)
 
 
 def pack_sequences(
@@ -90,10 +93,6 @@ def pack_sequences(
     )
 
 
-# the BPE-ish pre-tokenizer families, DuckDB spelling (same RE2 classes the
-# Spark regexp_extract_all uses; \s spelled out for byte-identical behavior
-# with token_count_by_source's oracle)
-_BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\t\n\x0B\f\r ]"
 
 
 def pack_sequences_sql(

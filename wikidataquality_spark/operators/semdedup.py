@@ -133,16 +133,31 @@ def semdedup_marks(
     # per ELEMENT — 64 folds/row in the linear stage. The scalar carry has
     # no such hazard and keeps the oracle's dot/(n.nrm·r.nrm) spelling
     # bit-for-bit.
-    base = (
-        _valid_vectors(embeddings, vec_col, dim)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            nrm.alias("_nrm"),
-            best["cell"].cast("long").alias("cell"),
-            (best["score"] / nrm).alias("_csim"),
-        )
-        .filter(F.col("cell") != 0)  # 0 = unassignable fold default
+    # two-step projection: the argmax struct and the norm fold are aliased
+    # ONCE, then fields are extracted from the attributes — referencing the
+    # fold expressions directly in one select evaluated each of them twice
+    # per row (HOF lambdas carry LambdaVariable, so codegen subexpression
+    # elimination skips them; CollapseProject declines to re-inline a
+    # non-cheap alias referenced twice, verified on the optimized plan)
+    pre = _valid_vectors(embeddings, vec_col, dim).select(
+        F.col(id_col), F.col(vec_col), best.alias("_best"), nrm.alias("_nrm")
+    )
+    # No `cell != 0` filter: after _valid_vectors every score is a finite
+    # double, so the strict-> fold always leaves the -inf/0 seed — cell is
+    # provably 1..n_lists (a filter here would be dead code, and filter
+    # pushdown inlines the whole argmax fold into it, re-evaluating 10 folds
+    # per row on both join branches — observed on the optimized plan). The
+    # SQL twin relies on the same invariant: its row_number always assigns,
+    # and NaN scores (which DuckDB sorts greatest) are impossible for the
+    # same reason. Anyone relaxing _valid_vectors must restore BOTH sides'
+    # unassignable handling together (assign_cells documents the cell-0
+    # contract for callers that do accept degenerate rows).
+    base = pre.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "_nrm",
+        F.col("_best")["cell"].cast("long").alias("cell"),
+        (F.col("_best")["score"] / F.col("_nrm")).alias("_csim"),
     )
     neighbors = base.select(
         F.col(id_col).alias("_nid"),

@@ -27,6 +27,15 @@ def token_count(text: Column) -> Column:
     return F.size(words_col(text))
 
 
+# DuckDB spelling of the BPE pre-tokenizer families below (\s spelled out —
+# RE2 and Java agree on these five ASCII whitespace chars + space, which is
+# all the synthetic corpus contains). The ONE shared constant for every
+# oracle that must count the same pieces (token_count_by_source,
+# pack_sequences) — a second copy could drift and silently desynchronize
+# two gates' tokenizations.
+BPE_PIECES_RE_SQL = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\t\n\x0B\f\r ]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: count word-piece units — alternating
     letter-runs, digit-runs, and single punctuation (the regex families real

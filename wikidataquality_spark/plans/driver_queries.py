@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from wikidataquality_spark.operators.heuristics import STOPWORDS, with_doc_stats
+from wikidataquality_spark.operators.textstats import BPE_PIECES_RE_SQL
 from wikidataquality_spark.rules.builder import apply_rules
 from wikidataquality_spark.rules.model import COMPLIANCE, VIOLATION, Rule
 
@@ -351,12 +352,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "token_count_by_source",
-    r"""
+    rf"""
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))) AS BIGINT) AS total_tokens,
        ROUND(AVG(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))), 4) AS avg_tokens,
-       CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\t\n\x0B\f\r ]'))) AS BIGINT) AS total_pieces
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PIECES_RE_SQL}'))) AS BIGINT) AS total_pieces
 FROM documents GROUP BY source
 """,
 )
