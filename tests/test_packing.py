@@ -89,3 +89,49 @@ def test_sf001_streams_are_running_sums(spark, sf001_dir):
         for r in sorted(stream, key=lambda r: r["doc_id"]):
             assert r["pack_id"] * 2048 + r["pack_offset"] == cum
             cum += r["n_tokens"]
+
+
+def test_spark_matches_python_mirror_seeded(spark):
+    """Seeded random corpus (varied sources, NULL/empty texts, id gaps)
+    through Spark and a driver-side mirror of the packing algebra — exact
+    integer equality on every column."""
+    import random
+    import re
+
+    rng = random.Random(99)
+    words = ["alpha", "beta9", "x,y", "...", "Σμ", "tok"]
+    rows = []
+    for i in range(300):
+        doc_id = i * rng.randint(1, 3) + rng.randint(0, 1)
+        text = (
+            None
+            if rng.random() < 0.1
+            else " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        )
+        rows.append(
+            Row(doc_id=doc_id, source=rng.choice(["web", "books"]), text=text)
+        )
+    # de-dupe ids per source (packing assumes unique ids within a stream)
+    seen = set()
+    rows = [r for r in rows if (k := (r.source, r.doc_id)) not in seen and not seen.add(k)]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        tuple(r) for r in pack_sequences(df, seq_len=16, shard_docs=50).collect()
+    )
+
+    piece_re = re.compile(r"[^\W\d_]+|\d+|[^\w\s]", re.UNICODE)
+
+    def n_tok(text):
+        return 0 if text is None else len(piece_re.findall(text))
+
+    streams = {}
+    for r in rows:
+        streams.setdefault((r.source, r.doc_id // 50), []).append(r)
+    want = []
+    for (source, shard), docs in streams.items():
+        cum = 0
+        for d in sorted(docs, key=lambda d: d.doc_id):
+            nt = n_tok(d.text)
+            want.append((d.doc_id, source, shard, nt, cum // 16, cum % 16))
+            cum += nt
+    assert got == sorted(want)
