@@ -294,3 +294,48 @@ def test_train_centroids_empty_cluster_reseeds_distinct(spark):
     assert len(cents) == 4
     uniq = {tuple(np.round(c, 9)) for c in cents}
     assert len(uniq) == 4, "reseeded empty clusters must get distinct points"
+
+
+def test_train_centroids_distributed_improves_fit(spark, emb):
+    """Full-corpus Lloyd refinement must tighten the spherical k-means
+    objective (mean cosine of each vector to its assigned centroid) over
+    the k-means++ seeds it starts from, and end unit-norm."""
+    from wikidataquality_spark.operators.simsearch import (
+        assign_cells,
+        train_centroids,
+        train_centroids_distributed,
+    )
+
+    seeds = train_centroids(emb, n_lists=4, dim=64, iters=0, seed=13)
+    trained = train_centroids_distributed(emb, n_lists=4, dim=64, iters=4, seed=13)
+    assert len(trained) == 4 and all(len(c) == 64 for c in trained)
+    for c in trained:
+        assert np.linalg.norm(c) == pytest.approx(1.0, abs=1e-9)
+
+    def mean_cos(cents):
+        a = assign_cells(emb, cents, "embedding", "vec_id", 1).filter("_cell != 0")
+        # _cell_scores' score = dot/‖c‖; with unit centroids and the row norm
+        # divided out this is the cosine to the assigned centroid
+        from wikidataquality_spark.operators.simsearch import cosine
+
+        lit = [
+            F.array(*[F.lit(float(x)) for x in c]) for c in cents
+        ]
+        cos = cosine(
+            F.col("embedding"),
+            F.element_at(F.array(*lit), F.col("_cell").cast("int")),
+        )
+        row = a.select(F.avg(cos).alias("m")).collect()[0]
+        return row["m"]
+
+    base, refined = mean_cos(seeds), mean_cos(trained)
+    assert refined > base  # Lloyd on the full corpus beats raw seeds
+
+
+def test_train_centroids_distributed_deterministic_fixed_partitioning(spark, emb):
+    from wikidataquality_spark.operators.simsearch import train_centroids_distributed
+
+    one = emb.coalesce(1)
+    a = train_centroids_distributed(one, n_lists=4, dim=64, iters=2, seed=13)
+    b = train_centroids_distributed(one, n_lists=4, dim=64, iters=2, seed=13)
+    assert a == b  # bit-identical for a fixed partitioning

@@ -37,6 +37,7 @@ def main() -> int:
         brute_force_topk,
         ivf_topk,
         train_centroids,
+        train_centroids_distributed,
     )
 
     spark = get_spark(cpus=8)
@@ -61,8 +62,19 @@ def main() -> int:
     # deterministic for fixed corpus+seed, so per-probe retraining paid the
     # corpus sample + k-means 5x for 2 distinct banks (r04 review)
     banks = {nl: train_centroids(emb, n_lists=nl) for nl in (8, 16)}
-    for n_lists, n_probe in [(8, 1), (8, 2), (8, 4), (16, 2), (16, 4)]:
-        cents = banks[n_lists]
+    # the full-corpus trainer (one suffix-D config): quantifies what Lloyd
+    # over ALL vectors buys vs the 2048-row driver sample
+    banks["8D"] = train_centroids_distributed(emb, n_lists=8, iters=8)
+    for n_lists, n_probe, bank in [
+        (8, 1, 8),
+        (8, 2, 8),
+        (8, 4, 8),
+        (16, 2, 16),
+        (16, 4, 16),
+        (8, 2, "8D"),
+        (8, 4, "8D"),
+    ]:
+        cents = banks[bank]
         approx = set(
             map(
                 tuple,
@@ -74,9 +86,10 @@ def main() -> int:
                 .values.tolist(),
             )
         )
-        results[f"lists{n_lists}_probe{n_probe}"] = round(
-            len(approx & exact) / len(exact), 4
+        label = f"lists{n_lists}_probe{n_probe}" + (
+            "_distributed" if bank == "8D" else ""
         )
+        results[label] = round(len(approx & exact) / len(exact), 4)
 
     out = {"metric": "ivf_recall_at_10", "n_vectors": n, "sf_dir": sf_dir, **results}
     print(json.dumps(out))

@@ -328,7 +328,13 @@ def main() -> int:
             "these numbers are a recall FLOOR; clustered real-world "
             "embeddings partition far better. n_probe = n_lists is exact "
             "by construction (driver query `ivf_ann_topk` uses it and is "
-            "hash-equal to the brute-force oracle).\n"
+            "hash-equal to the brute-force oracle). The `_distributed` "
+            "rows use train_centroids_distributed (full-corpus Lloyd, one "
+            "zero-shuffle assign + one k·d-row partial-agg shuffle per "
+            "iteration — the 100 TB trainer for corpora a driver sample "
+            "can't represent); on THIS corpus the 2048-row sample already "
+            "sees every direction, so recall matches the sampled trainer "
+            "exactly — the honest expected result for near-uniform data.\n"
         )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(out)

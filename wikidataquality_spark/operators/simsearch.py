@@ -320,6 +320,95 @@ def train_centroids_cached(
         return json.load(f)
 
 
+def train_centroids_distributed(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    dim: int = 64,
+    iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Full-corpus spherical k-means — the 100 TB trainer, for when a
+    driver-side sample (train_centroids) is not representative enough.
+
+    Each Lloyd iteration is one Spark job shaped for scale:
+      - assignment is the zero-shuffle literal-centroid argmax
+        (assign_cells) — no join, no exchange on the corpus;
+      - the mean update is posexplode(vec) → groupBy(cell, pos).sum —
+        partial aggregation combines map-side to ≤ n_lists×dim rows PER
+        PARTITION, so the only exchange moves O(partitions·k·d) tiny rows
+        no matter how big the corpus is; the driver collects k·d sums
+        (a few KB) and renormalizes.
+    Total cost: iters × (one corpus scan + one k·d-row shuffle). Nothing
+    quadratic, nothing driver-resident beyond the centroid bank itself.
+
+    Init defaults to the deterministic sampled k-means++ seeds
+    (train_centroids with iters=0), so the distributed refinement starts
+    from the same reproducible geometry. Empty cells keep their previous
+    centroid (the zero-shuffle analogue of the sampled trainer's
+    farthest-point reseed, which would need a global argmax pass here).
+
+    Determinism: exact for a fixed partitioning; across DIFFERENT
+    partitionings the per-cell double sums may differ in final ulps
+    (floating addition is non-associative and partial aggregation order
+    follows the data layout). That is inherent to any distributed mean and
+    is why the ORACLE-grade artifact path stays the sampled trainer — this
+    trainer targets recall quality at scale, and its tests assert geometry
+    (inertia, assignment agreement), not bit equality."""
+    if init is None:
+        init = train_centroids(
+            embeddings,
+            n_lists=n_lists,
+            dim=dim,
+            iters=0,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    cents = [list(map(float, c)) for c in init]
+    valid = embeddings.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+    for _ in range(iters):
+        assigned = assign_cells(valid, cents, vec_col, id_col, 1)
+        # spherical objective: average UNIT rows (the sampled trainer
+        # normalizes its sample the same way). The norm is a scalar column
+        # computed once per row and carried through the Generate, so the
+        # per-exploded-element work is one divide — not the per-element
+        # norm-fold inlining hazard transform(v, x -> x/‖v‖) has.
+        sums = (
+            assigned.select(
+                "_cell",
+                l2_norm(F.col(vec_col)).alias("_nrm"),
+                F.col(vec_col),
+            )
+            .filter((F.col("_cell") != 0) & (F.col("_nrm") > 0))
+            .select("_cell", "_nrm", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("_cell", "pos")
+            .agg(
+                F.sum(F.col("v").cast("double") / F.col("_nrm")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc = np.zeros((n_lists, dim))
+        cnt = np.zeros(n_lists, dtype=np.int64)
+        for r in sums:
+            if r["_cell"] == 0:  # unassignable rows (degenerate vectors)
+                continue
+            acc[r["_cell"] - 1, r["pos"]] = r["s"]
+            cnt[r["_cell"] - 1] = r["n"]
+        for j in range(n_lists):
+            if cnt[j] == 0:
+                continue  # empty cell: keep previous centroid
+            c = acc[j] / cnt[j]
+            nrm = float(np.linalg.norm(c))
+            cents[j] = (c / nrm).tolist() if nrm > 0 else c.tolist()
+    return cents
+
+
 def _cell_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
     """array<struct<score,cell>> — each centroid's dot(vec, c)/‖c‖, a pure
     Column HOF over a LITERAL centroid bank. argmax of dot/‖c‖ equals argmax
