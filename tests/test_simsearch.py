@@ -339,3 +339,53 @@ def test_train_centroids_distributed_deterministic_fixed_partitioning(spark, emb
     a = train_centroids_distributed(one, n_lists=4, dim=64, iters=2, seed=13)
     b = train_centroids_distributed(one, n_lists=4, dim=64, iters=2, seed=13)
     assert a == b  # bit-identical for a fixed partitioning
+
+
+def test_train_centroids_distributed_total_on_poisoned_corpus(spark, emb):
+    """One NaN-entry / zero / Inf-entry / NULL row must not poison the bank
+    (r04 review: Spark compares NaN greater than any number, so an unguarded
+    NaN norm passed `_nrm > 0`, went NaN through the mean, and the NaN
+    centroid then won every argmax — the whole corpus collapsed to one
+    cell). The trained bank stays finite and cells stay populated."""
+    from pyspark.sql import Row
+
+    from wikidataquality_spark.operators.simsearch import (
+        assign_cells,
+        train_centroids_distributed,
+    )
+
+    bad = spark.createDataFrame(
+        [
+            Row(vec_id=90001, embedding=[float("nan")] + [1.0] * 63),
+            Row(vec_id=90002, embedding=[0.0] * 64),
+            Row(vec_id=90003, embedding=[float("inf")] + [1.0] * 63),
+            Row(vec_id=90004, embedding=None),
+            Row(vec_id=90005, embedding=[1.0] * 10),  # ragged
+        ]
+    )
+    poisoned = emb.select("vec_id", "embedding").unionByName(bad)
+    cents = train_centroids_distributed(poisoned, n_lists=4, dim=64, iters=3, seed=13)
+    flat = np.asarray(cents)
+    assert np.isfinite(flat).all()
+    cells = (
+        assign_cells(emb, cents, "embedding", "vec_id", 1)
+        .groupBy("_cell")
+        .count()
+        .collect()
+    )
+    assert len(cells) > 1  # corpus did not collapse into one cell
+
+
+def test_train_centroids_distributed_init_longer_than_n_lists(spark, emb):
+    """A caller-supplied init sizes the bank (len(init) wins over n_lists) —
+    formerly an accumulator IndexError."""
+    from wikidataquality_spark.operators.simsearch import (
+        train_centroids,
+        train_centroids_distributed,
+    )
+
+    init = train_centroids(emb, n_lists=6, dim=64, iters=0, seed=13)
+    out = train_centroids_distributed(
+        emb, n_lists=4, dim=64, iters=1, seed=13, init=init
+    )
+    assert len(out) == 6

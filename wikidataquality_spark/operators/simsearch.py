@@ -53,6 +53,26 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def finite_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Rows whose vector supports cosine/k-means math: non-NULL, exactly
+    `dim` long, finite entries, positive norm. dot(v,v) folds every
+    pathology into one scalar — NULL entries → NULL, NaN entries → NaN,
+    ±Inf entries or overflow → +Inf, the zero vector → 0 — so one four-way
+    predicate rejects them all (crawled-corpus embeddings contain each;
+    an unguarded NaN poisons any mean/argmax downstream because Spark
+    compares NaN greater than every number)."""
+    v = F.col(vec_col)
+    d2 = dot(v, v)
+    return df.filter(
+        v.isNotNull()
+        & (F.size(v) == dim)
+        & d2.isNotNull()
+        & ~F.isnan(d2)
+        & (d2 > 0)
+        & (d2 < F.lit(float("inf")))
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, NULL (never NaN) for degenerate inputs. A
     zero-norm vector gives 0/0 = NaN under IEEE doubles, and Spark both
@@ -193,8 +213,13 @@ def train_centroids(
     same corpus, same centroids, every run.
     """
     rows = (
-        embeddings.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        # finite_vectors, not just NULL/size: a NaN/Inf-entry or zero row in
+        # the sample turns the k-means++ distance vector NaN (silently
+        # degrading seeding to uniform) and Lloyd means to NaN (r04 review).
+        # On a clean corpus the guard excludes nothing, so existing frozen
+        # artifacts are unchanged; CENTROID_CACHE_VERSION bumped anyway so
+        # any cache trained on a dirty corpus re-trains.
+        finite_vectors(embeddings.select(id_col, vec_col), vec_col, dim)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_n)
         .collect()
@@ -238,7 +263,8 @@ def train_centroids(
     return cents.tolist()
 
 
-CENTROID_CACHE_VERSION = "v1"
+CENTROID_CACHE_VERSION = "v2"  # v2: finite_vectors sample guard (identical
+# output on clean corpora; invalidates any cache trained on a dirty one)
 
 
 def train_centroids_cached(
@@ -357,9 +383,19 @@ def train_centroids_distributed(
     is why the ORACLE-grade artifact path stays the sampled trainer — this
     trainer targets recall quality at scale, and its tests assert geometry
     (inertia, assignment agreement), not bit equality."""
+    # Totality guard (r04 review — verified failure mode): one NaN-entry
+    # embedding poisons the whole bank. Spark compares NaN GREATER than any
+    # number, so a NaN norm passes `_nrm > 0`, sum(v/_nrm) goes NaN, and in
+    # the next iteration the NaN centroid's NaN score wins every strict->
+    # argmax — the entire corpus collapses into one cell. The shared
+    # finite_vectors guard rejects every pathology BEFORE both the seed
+    # sample and the Lloyd assignment.
+    valid = finite_vectors(
+        embeddings.select(F.col(id_col), F.col(vec_col)), vec_col, dim
+    )
     if init is None:
         init = train_centroids(
-            embeddings,
+            valid,
             n_lists=n_lists,
             dim=dim,
             iters=0,
@@ -368,9 +404,9 @@ def train_centroids_distributed(
             vec_col=vec_col,
         )
     cents = [list(map(float, c)) for c in init]
-    valid = embeddings.select(F.col(id_col), F.col(vec_col)).filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
-    )
+    k = len(cents)  # acc/cnt sized by the ACTUAL bank (a caller-supplied
+    # init longer than n_lists would otherwise emit cells past n_lists and
+    # IndexError the accumulator — r04 review)
     for _ in range(iters):
         assigned = assign_cells(valid, cents, vec_col, id_col, 1)
         # spherical objective: average UNIT rows (the sampled trainer
@@ -378,13 +414,16 @@ def train_centroids_distributed(
         # computed once per row and carried through the Generate, so the
         # per-exploded-element work is one divide — not the per-element
         # norm-fold inlining hazard transform(v, x -> x/‖v‖) has.
+        # `_cell != 0` is belt-and-braces: valid rows always assign 1..k
+        # (finite positive-norm vectors have finite scores), so the filter
+        # is a no-op that only matters if the validity guard is relaxed.
         sums = (
             assigned.select(
                 "_cell",
                 l2_norm(F.col(vec_col)).alias("_nrm"),
                 F.col(vec_col),
             )
-            .filter((F.col("_cell") != 0) & (F.col("_nrm") > 0))
+            .filter(F.col("_cell") != 0)
             .select("_cell", "_nrm", F.posexplode(F.col(vec_col)).alias("pos", "v"))
             .groupBy("_cell", "pos")
             .agg(
@@ -393,14 +432,12 @@ def train_centroids_distributed(
             )
             .collect()
         )
-        acc = np.zeros((n_lists, dim))
-        cnt = np.zeros(n_lists, dtype=np.int64)
+        acc = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype=np.int64)
         for r in sums:
-            if r["_cell"] == 0:  # unassignable rows (degenerate vectors)
-                continue
             acc[r["_cell"] - 1, r["pos"]] = r["s"]
             cnt[r["_cell"] - 1] = r["n"]
-        for j in range(n_lists):
+        for j in range(k):
             if cnt[j] == 0:
                 continue  # empty cell: keep previous centroid
             c = acc[j] / cnt[j]
