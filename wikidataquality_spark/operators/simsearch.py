@@ -894,3 +894,158 @@ WHERE len(a.embedding) = {dim} AND len(b.embedding) = {dim}
   AND NOT isnan({dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))
   AND {dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
 """
+
+
+def embedding_state_fingerprints(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-fingerprint rows for the incremental embedding-dedup state
+    table: (id, _buckets array<long>) per PAIRABLE vector — the embedding
+    analogue of dedup.dup_fingerprints. Successive crawl snapshots append
+    these (~8×8 B per vector); the vectors themselves are NOT duplicated
+    into the state — the corpus table already stores them, and the verify
+    step point-joins only the candidate ids back to it."""
+    tables = lsh_pair_tables(dim)
+    return (
+        lsh_bucket_arrays(embeddings, tables, id_col=id_col, vec_col=vec_col)
+        .filter("_pairable")
+        .select(id_col, "_buckets")
+    )
+
+
+def lsh_neardup_marks_incremental(
+    batch: DataFrame,
+    state_buckets: DataFrame | None,
+    state_vectors: DataFrame | None,
+    threshold: float = 0.5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup flags: (id, is_near_dup) for every
+    batch row, deduplicated against the WHOLE corpus seen so far without
+    recomputing history — the embedding-modality twin of dup_marks'
+    state-aware mode (operators/dedup.py), completing the incremental
+    family across both modalities.
+
+    state_buckets = appended embedding_state_fingerprints rows (id,
+    _buckets); state_vectors = the historical corpus table (id, vec) the
+    verify step point-joins candidates back to. Pass None/None for a
+    first batch (pure within-batch marks).
+
+    Semantics (same survivor order as dup_marks): a batch row is flagged
+    iff a verified cosine ≥ threshold partner exists that is EITHER a
+    state row (the already-written copy always survives) OR a batch row
+    with smaller id. Candidates come from the same emit-once LSH bucket
+    equi-joins as lsh_neardup_pairs — recall is the same collision
+    probability, precision is exact (every flag is cosine-verified). A
+    state id colliding with a batch id is dropped first, so a retried
+    batch (exactly-once resume) never flags itself against its own
+    previous write.
+
+    Scale shape: only bucket rows (id + 8 longs) and candidate (id, id)
+    pairs shuffle; state VECTORS are touched only for verified-candidate
+    ids (an equi-join the state table's bucketing-by-id layout serves as
+    point lookups — io/bucketed.py). At 10¹² docs the per-batch cost is
+    the state-bucket equi-join; an Iceberg state table partitioned by
+    bucket prefix turns that into a pruned read of matching buckets only
+    (io/catalog.py documents the partition seam)."""
+    tables = lsh_pair_tables(dim)
+    from wikidataquality_spark.operators.barrier import barrier
+
+    sc = batch.sparkSession.sparkContext
+    bucketed = barrier(
+        lsh_bucket_arrays(batch, tables, id_col=id_col, vec_col=vec_col).repartition(
+            sc.defaultParallelism
+        )
+    )
+    pos = bucketed.filter("_pairable").select(
+        id_col, F.posexplode("_buckets").alias("_table", "_bucket"), "_buckets"
+    )
+    loser = pos.select(
+        F.col(id_col).alias("_id"), "_table", "_bucket", F.col("_buckets").alias("_bka")
+    )
+    # emit-once across tables, identical to lsh_neardup_pairs (the unrolled
+    # element_at OR stays inside WholeStageCodegen)
+    earlier_collision = F.lit(False)
+    for s in range(len(tables)):
+        earlier_collision = earlier_collision | (
+            (F.col("_table") > s)
+            & (F.element_at("_bka", s + 1) == F.element_at("_bkb", s + 1))
+        )
+
+    # within-batch candidates: the smaller id survives, the larger is the
+    # (potential) dup — emit (loser=_id, neighbor=_nid, from_state=false)
+    bb = pos.select(
+        F.col(id_col).alias("_nid"), "_table", "_bucket", F.col("_buckets").alias("_bkb")
+    )
+    cand_bb = (
+        loser.join(bb, ["_table", "_bucket"])
+        .filter((F.col("_nid") < F.col("_id")) & ~earlier_collision)
+        .select("_id", "_nid", F.lit(False).alias("_n_from_state"))
+    )
+    cands = [cand_bb]
+    if state_buckets is not None:
+        sb = (
+            # exactly-once resume: a replayed batch must not flag itself
+            # against its own previous write
+            state_buckets.join(batch.select(F.col(id_col)), id_col, "left_anti")
+            .select(
+                F.col(id_col).alias("_nid"),
+                F.posexplode("_buckets").alias("_table", "_bucket"),
+                F.col("_buckets").alias("_bkb"),
+            )
+        )
+        cand_bs = (
+            loser.join(sb, ["_table", "_bucket"])
+            .filter(~earlier_collision)  # state partner ALWAYS outranks
+            .select("_id", "_nid", F.lit(True).alias("_n_from_state"))
+        )
+        cands.append(cand_bs)
+    cand = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1])
+
+    # verify: one dot fold per candidate against precomputed norms; neighbor
+    # vectors come from the batch or the historical corpus table
+    def normed(df: DataFrame, a: str, v: str, n: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(a),
+            F.col(vec_col).alias(v),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias(n),
+        )
+
+    vbatch = normed(batch, "_id", "_v", "_n")
+    nbatch = normed(batch, "_nid", "_nv", "_nn")
+    if state_vectors is not None:
+        nside = nbatch.withColumn("_s", F.lit(False)).unionByName(
+            normed(state_vectors, "_nid", "_nv", "_nn").withColumn("_s", F.lit(True))
+        )
+        # a state id that equals a batch id was anti-joined out of the
+        # BUCKET stream, so its vector row is never matched — no anti-join
+        # needed here; the _s tag keeps same-id batch/state rows distinct
+        joined = cand.join(
+            nside, (cand["_nid"] == nside["_nid"]) & (cand["_n_from_state"] == nside["_s"])
+        )
+    else:
+        joined = cand.join(nbatch, "_nid")
+    cos = F.when(
+        (F.col("_n") > 0) & (F.col("_nn") > 0),
+        F.nanvl(
+            dot(F.col("_nv"), F.col("_v")) / (F.col("_nn") * F.col("_n")),
+            F.lit(None).cast("double"),
+        ),
+    )
+    flagged = (
+        joined.join(vbatch, "_id")
+        .filter(cos >= threshold)
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(id_col, F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"))
+    )
