@@ -127,3 +127,21 @@ def test_degenerate_batch_rows_unflagged(spark):
         ).collect()
     }
     assert got == {1: False, 2: False, 3: False, 4: False}
+
+def test_one_sided_state_raises(spark):
+    """Exactly one of (state_buckets, state_vectors) is a wiring bug, not a
+    degraded mode: the inner verify join would silently drop every state
+    candidate and return within-batch-only marks (r04 review,
+    runtime-verified). The operator must refuse."""
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(5)
+    v = (lambda a: (a / np.linalg.norm(a)).tolist())(rng.normal(size=64))
+    hist = spark.createDataFrame([Row(vec_id=900, embedding=v)])
+    batch = spark.createDataFrame([Row(vec_id=1, embedding=v)])
+    with pytest.raises(ValueError, match="together"):
+        lsh_neardup_marks_incremental(
+            batch, embedding_state_fingerprints(hist), None, threshold=0.95
+        )
+    with pytest.raises(ValueError, match="together"):
+        lsh_neardup_marks_incremental(batch, None, hist, threshold=0.95)

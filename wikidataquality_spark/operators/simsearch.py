@@ -88,6 +88,37 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def guarded_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """cosine() for the precomputed-norm verify path: one dot fold per pair,
+    norms are scalar columns computed once per vector. Same NULL-never-NaN
+    degenerate policy as cosine() — the SINGLE definition both
+    lsh_neardup_pairs and lsh_neardup_marks_incremental verify with, so the
+    incremental marks can never diverge from the full-recompute semantics
+    by a one-sided policy edit (r04 review)."""
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.nanvl(dot(va, vb) / (na * nb), F.lit(None).cast("double")),
+    )
+
+
+def earlier_collision_expr(n_tables: int, a_buckets: str, b_buckets: str) -> Column:
+    """Emit-once predicate over per-row LSH bucket arrays: TRUE when the
+    joined pair already collided in a table EARLIER than the current
+    posexploded `_table` (positions 0-based). UNROLLED as a flat OR of
+    element_at comparisons — the natural slice/zip_with/exists HOF spelling
+    is interpreted (not codegen'd) and measured 2.6× slower on the full
+    pair query at sf0.1; the unrolled form is n_tables simple predicates
+    inside WholeStageCodegen. Shared by the batch and incremental pair
+    generators (r04 review: keep one copy of the collision policy)."""
+    expr = F.lit(False)
+    for s in range(n_tables):
+        expr = expr | (
+            (F.col("_table") > s)
+            & (F.element_at(a_buckets, s + 1) == F.element_at(b_buckets, s + 1))
+        )
+    return expr
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -394,8 +425,11 @@ def train_centroids_distributed(
         embeddings.select(F.col(id_col), F.col(vec_col)), vec_col, dim
     )
     if init is None:
+        # raw embeddings, not `valid`: train_centroids applies the same
+        # finite_vectors guard internally, so passing the pre-filtered frame
+        # would stack a second identical dot-fold filter in the seed plan
         init = train_centroids(
-            valid,
+            embeddings,
             n_lists=n_lists,
             dim=dim,
             iters=0,
@@ -774,17 +808,7 @@ def lsh_neardup_pairs(
     b = pos.select(
         F.col(id_col).alias("id_b"), "_table", "_bucket", F.col("_buckets").alias("_bkb")
     )
-    # positions are 0-based: an earlier collision is any table s < _table
-    # with equal buckets. UNROLLED as a flat OR of element_at comparisons —
-    # the natural slice/zip_with/exists HOF spelling is interpreted (not
-    # codegen'd) and measured 2.6× slower on the full query at sf0.1; the
-    # unrolled form is n_tables simple predicates inside WholeStageCodegen.
-    earlier_collision = F.lit(False)
-    for s in range(len(tables)):
-        earlier_collision = earlier_collision | (
-            (F.col("_table") > s)
-            & (F.element_at("_bka", s + 1) == F.element_at("_bkb", s + 1))
-        )
+    earlier_collision = earlier_collision_expr(len(tables), "_bka", "_bkb")
     cand = (
         a.join(b, ["_table", "_bucket"])
         .filter((F.col("id_a") < F.col("id_b")) & ~earlier_collision)
@@ -807,19 +831,13 @@ def lsh_neardup_pairs(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            # same degenerate-input policy as cosine(): NULL, never NaN —
-            # Spark evaluates NaN >= t as TRUE, so an unguarded 0/0 from a
+            # guarded_cosine: NULL, never NaN, for degenerate inputs — Spark
+            # evaluates NaN >= t as TRUE, so an unguarded 0/0 from a
             # zero-norm vector would emit garbage pairs past the threshold
             # (r04 review). On valid vectors the guarded expression is
             # value-identical to the bare quotient, so SQL-twin parity holds.
             "cos_sim",
-            F.when(
-                (F.col("_na") > 0) & (F.col("_nb") > 0),
-                F.nanvl(
-                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                    F.lit(None).cast("double"),
-                ),
-            ),
+            guarded_cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -947,12 +965,24 @@ def lsh_neardup_marks_incremental(
     previous write.
 
     Scale shape: only bucket rows (id + 8 longs) and candidate (id, id)
-    pairs shuffle; state VECTORS are touched only for verified-candidate
-    ids (an equi-join the state table's bucketing-by-id layout serves as
+    pairs shuffle; state VECTORS are touched only for candidate ids — the
+    norm/cosine fold sits ABOVE the candidate equi-join, so Spark reads
+    (id, vec) for matching rows and never folds the historical corpus
+    (an equi-join the state table's bucketing-by-id layout serves as
     point lookups — io/bucketed.py). At 10¹² docs the per-batch cost is
     the state-bucket equi-join; an Iceberg state table partitioned by
     bucket prefix turns that into a pruned read of matching buckets only
     (io/catalog.py documents the partition seam)."""
+    if (state_buckets is None) != (state_vectors is None):
+        # One-sided state is silently-wrong, not degraded: candidates from
+        # buckets with no vectors to verify against (or vice versa) drop in
+        # the inner verify join, yielding within-batch-only marks with no
+        # error — near-dups of the whole written corpus would pass (r04
+        # review, runtime-verified failure).
+        raise ValueError(
+            "state_buckets and state_vectors must be provided together "
+            "(both None for a first batch)"
+        )
     tables = lsh_pair_tables(dim)
     from wikidataquality_spark.operators.barrier import barrier
 
@@ -968,14 +998,9 @@ def lsh_neardup_marks_incremental(
     loser = pos.select(
         F.col(id_col).alias("_id"), "_table", "_bucket", F.col("_buckets").alias("_bka")
     )
-    # emit-once across tables, identical to lsh_neardup_pairs (the unrolled
-    # element_at OR stays inside WholeStageCodegen)
-    earlier_collision = F.lit(False)
-    for s in range(len(tables)):
-        earlier_collision = earlier_collision | (
-            (F.col("_table") > s)
-            & (F.element_at("_bka", s + 1) == F.element_at("_bkb", s + 1))
-        )
+    # emit-once across tables: the SAME predicate builder as
+    # lsh_neardup_pairs, so the collision policy cannot diverge
+    earlier_collision = earlier_collision_expr(len(tables), "_bka", "_bkb")
 
     # within-batch candidates: the smaller id survives, the larger is the
     # (potential) dup — emit (loser=_id, neighbor=_nid, from_state=false)
@@ -1009,18 +1034,17 @@ def lsh_neardup_marks_incremental(
 
     # verify: one dot fold per candidate against precomputed norms; neighbor
     # vectors come from the batch or the historical corpus table
-    def normed(df: DataFrame, a: str, v: str, n: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(a),
-            F.col(vec_col).alias(v),
-            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias(n),
-        )
-
-    vbatch = normed(batch, "_id", "_v", "_n")
-    nbatch = normed(batch, "_nid", "_nv", "_nn")
+    vbatch = batch.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    )
+    nbatch = batch.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv"))
     if state_vectors is not None:
         nside = nbatch.withColumn("_s", F.lit(False)).unionByName(
-            normed(state_vectors, "_nid", "_nv", "_nn").withColumn("_s", F.lit(True))
+            state_vectors.select(
+                F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")
+            ).withColumn("_s", F.lit(True))
         )
         # a state id that equals a batch id was anti-joined out of the
         # BUCKET stream, so its vector row is never matched — no anti-join
@@ -1030,13 +1054,15 @@ def lsh_neardup_marks_incremental(
         )
     else:
         joined = cand.join(nbatch, "_nid")
-    cos = F.when(
-        (F.col("_n") > 0) & (F.col("_nn") > 0),
-        F.nanvl(
-            dot(F.col("_nv"), F.col("_v")) / (F.col("_nn") * F.col("_n")),
-            F.lit(None).cast("double"),
-        ),
-    )
+    # Neighbor norm ABOVE the candidate join: Catalyst evaluates a Project
+    # where it is placed, so the sqrt(dot(v,v)) fold runs once per
+    # CANDIDATE row, never once per historical-corpus row — this is what
+    # makes the "state vectors touched only for candidate ids" contract
+    # real (r04 review: a pre-join Project folded norms over the ENTIRE
+    # state table on every batch). Candidates ≪ corpus, so recomputing the
+    # norm per candidate row beats materializing it per state row.
+    joined = joined.withColumn("_nn", F.sqrt(dot(F.col("_nv"), F.col("_nv"))))
+    cos = guarded_cosine(F.col("_nv"), F.col("_v"), F.col("_nn"), F.col("_n"))
     flagged = (
         joined.join(vbatch, "_id")
         .filter(cos >= threshold)
