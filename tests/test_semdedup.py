@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import Row
@@ -124,6 +126,31 @@ def test_plan_shape(planted):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Window" not in plan
+
+
+def test_verify_join_salted_when_cells_below_cores(planted, spark):
+    """With n_lists << cores the cell join has too few keys AND a tiny
+    shuffle input, so AQE coalesced the exploding |cell|² verify onto ONE
+    core (measured 6.6s vs 1.5s at sf0.1). The salted path must be active:
+    two REPARTITION_BY_NUM exchanges (user repartitions AQE cannot
+    coalesce) on the (cell, _sd_blk) keys, and the oracle-parity tests in
+    this file all run through this same salted plan (2 centroids < 4·cores),
+    so pair-set equivalence with the unsalted SQL twin is already pinned."""
+    out = semdedup_marks(planted, CENTROIDS, threshold=0.9, dim=DIM)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Both sides must shuffle with a user origin (AQE never coalesces
+    # REPARTITION_BY_NUM) on the salted key pair. The partition COUNT is
+    # deliberately not pinned to the operator's `par`: under a sort-merge
+    # join EnsureRequirements rewrites a user repartition's count to
+    # spark.sql.shuffle.partitions while preserving the origin — either
+    # count spreads the verify; the origin is what blocks the 1-partition
+    # coalesce this test guards against.
+    salted = re.findall(
+        r"hashpartitioning\(cell#\d+L?, _sd_blk#\d+, (\d+)\), REPARTITION_BY_NUM", plan
+    )
+    assert len(salted) == 2
+    par = spark.sparkContext.defaultParallelism
+    assert all(int(n) >= par for n in salted)
 
 
 def test_sf001_has_both_mark_values(spark, sf001_dir):

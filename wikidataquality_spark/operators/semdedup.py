@@ -171,8 +171,35 @@ def semdedup_marks(
     # filter runs before the cosine fold so most candidate pairs die on two
     # double compares, not a 64-term fold.
     cos = dot(F.col("_nvec"), F.col(vec_col)) / (F.col("_nnrm") * F.col("_nrm"))
+    # Parallelize the quadratic stage when cells << cores. A plain equi-join
+    # on `cell` has at most n_lists distinct keys, and its shuffle INPUT is
+    # tiny (id+vec+2 doubles per row) while the join OUTPUT explodes |cell|²
+    # — so AQE coalesces the exchange to ONE partition (observed: the whole
+    # sf0.1 verify serialized onto one core, 6.6s vs ~1s spread). Salt: base
+    # rows get a deterministic block in [0,S); neighbors replicate to every
+    # block; join on (cell, block) → each in-cell pair matches exactly once
+    # (at the base row's block), pair set provably unchanged. The explicit
+    # repartition(P, cell, blk) on both sides is a REPARTITION_BY_NUM AQE
+    # will not coalesce, and it satisfies the join's distribution so no
+    # further exchange follows. S = ceil(4P / n_lists): at production
+    # cluster counts (paper: 50k cells ≥ 4·cores) S=1 and the salt — and
+    # its S× neighbor replication — vanishes, leaving AQE's skew-join to
+    # split the rare giant cell.
+    sc = embeddings.sparkSession.sparkContext
+    par = max(1, sc.defaultParallelism)
+    s_blocks = max(1, -(-4 * par // len(centroids)))
+    if s_blocks > 1:
+        base_j = base.withColumn(
+            "_sd_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s_blocks)).cast("int")
+        ).repartition(par, "cell", "_sd_blk")
+        nbr_j = neighbors.withColumn(
+            "_sd_blk", F.explode(F.array(*[F.lit(i) for i in range(s_blocks)]))
+        ).repartition(par, "cell", "_sd_blk")
+        candidates = base_j.join(nbr_j, ["cell", "_sd_blk"])
+    else:
+        candidates = base.join(neighbors, "cell")
     losers = (
-        base.join(neighbors, "cell")
+        candidates
         .filter(
             (F.col("_ncsim") < F.col("_csim"))
             | ((F.col("_ncsim") == F.col("_csim")) & (F.col("_nid") < F.col(id_col)))

@@ -57,8 +57,25 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    explicit_shuffle = shuffle_partitions is not None
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+
+    # An active session means some caller already owns the tuning. Plain
+    # builder.getOrCreate() would silently overwrite its RUNTIME SQL confs
+    # (shuffle partitions, broadcast threshold, ...) with our defaults — an
+    # in-process library call retuning an unrelated session mid-job (found
+    # the hard way: a pipeline CLI invoked in-process bumped the test
+    # session's shuffle.partitions 8→32, changing every later plan). Only
+    # confs the caller EXPLICITLY requested are applied to an existing
+    # session; masters/memory are immutable post-start anyway.
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        if explicit_shuffle:
+            existing.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        for k, v in (extra_conf or {}).items():
+            existing.conf.set(k, v)
+        return existing
 
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
