@@ -10,6 +10,11 @@ stream memory-copy probe taken just before the timed queries. This sandbox
 host's capacity drifts severalfold over minutes (identical code measured
 20.6s and 43.2s headlines an hour apart); the probe timestamps which host
 window a bench number was taken in (healthy ≈ 3.5-4.5 GB/s, collapsed < 2).
+"host_cpu_scaling" is the second window axis: t_1/t_N for a fixed pure-CPU
+work item run alone vs N-way concurrent (1.0 = all advertised vCPUs real;
+this VM has measured ~0.55-0.6, i.e. ~19 effective cores behind local[32],
+with per-query swings of 3× in the same bench run). Read BENCH deltas
+against BOTH probes before attributing them to code.
 """
 
 from __future__ import annotations
@@ -69,9 +74,10 @@ def main() -> None:
     # the same code path as the scaling protocol's per-pair ceilings, so the
     # two numbers stay comparable in BASELINE.md
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from scaling_bench import copy_bandwidth
+    from scaling_bench import copy_bandwidth, cpu_scaling
 
     host_membw = round(copy_bandwidth() / 1e9, 2)
+    host_cpu = round(cpu_scaling(cpus), 3)
 
     # noop-format write, NOT .count(): counting lets Catalyst prune every
     # column the count doesn't need, so map-only queries (qf_keep_decision,
@@ -84,14 +90,24 @@ def main() -> None:
     def run_full(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # v3: per-query MEDIAN of three runs — the estimator docs_per_sec already
+    # uses. This VM stalls in 10-50s bursts (the same query measured 11.7s
+    # and 3.0s back-to-back in one session, 2026-08-19); a single-shot
+    # number grades the luck of one window, the median grades the typical
+    # one. The first run doubles as the cold sample: if the host is steady
+    # the median equals steady-state, if it hiccups once the median rejects
+    # the outlier either way.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        run_full(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # drop any intra-query persisted stages so queries are timed
-        # independently (no cross-query cache pollution or memory pressure)
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_full(QUERIES[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+            # drop any intra-query persisted stages so runs are timed
+            # independently (no cross-query cache pollution or memory pressure)
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(runs)[1], 4)
 
     # flagship docs/sec: full validation DAG over documents. Warm once
     # (python workers + model load are session overhead), then take the
@@ -128,7 +144,8 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
                 "host_membw_gbps": host_membw,
-                "bench_protocol": "noop-write-v2",
+                "host_cpu_scaling": host_cpu,
+                "bench_protocol": "noop-write-v3-median3",
             }
         )
     )

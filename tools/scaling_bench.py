@@ -190,6 +190,37 @@ def copy_bandwidth(seconds: float = 3.0) -> float:
     return n / (_t.perf_counter() - t0)
 
 
+def _cpuburn(_):
+    # fixed pure-python work item (~0.3s on a healthy core): scheduler- and
+    # GIL-free (one process each), no memory traffic to speak of — isolates
+    # CPU-slot availability from the memory-bandwidth axis copy_bandwidth
+    # measures
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return s
+
+
+def cpu_scaling(n_procs: int) -> float:
+    """Host CPU-scaling probe: time ONE process doing a fixed work item,
+    then `n_procs` processes each doing the same item concurrently; returns
+    t_1/t_N (1.0 = N fully independent cores, 0.5 = half the advertised
+    slots actually schedulable). This sandbox advertises 32 vCPUs but has
+    measured as low as ~0.55 here — per-query bench swings of 3× trace to
+    this, not to code, so BENCH_r*.json records it next to host_membw_gbps."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    _cpuburn(None)
+    t1 = _t.perf_counter() - t0
+    with mp.Pool(n_procs) as pool:
+        t0 = _t.perf_counter()
+        pool.map(_cpuburn, range(n_procs))
+        tn = _t.perf_counter() - t0
+    return t1 / tn if tn > 0 else 0.0
+
+
 def _memburn(q):
     q.put(copy_bandwidth())
 
