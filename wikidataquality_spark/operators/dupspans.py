@@ -1,0 +1,266 @@
+"""Corpus-wide exact-substring duplicate SPAN detection (and removal).
+
+The missing granularity between the whole-document dedup family
+(operators/dedup.py — exact/MinHash/SimHash mark whole docs) and the
+line-level boilerplate scrub (operators/boilerplate.py): following the
+ExactSubstr recipe of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better", arXiv:2107.06499), any word k-gram that occurs at
+least `min_occurrences` times in the ENTIRE corpus (within-doc repeats
+count) marks its token window as duplicated; overlapping/adjacent windows
+merge into maximal spans. Output is a per-document span list + duplicate
+token fraction, plus an opt-in removal that drops every duplicated span
+(the paper's "remove all copies" simplification — keep-one-survivor
+composes upstream via exact dedup, which already guarantees no two
+byte-identical documents feed this operator).
+
+Lee et al. build a monolithic suffix array — a single-machine design with
+O(corpus) RAM. The Spark-first restatement needs no suffix array at all:
+a k-gram occurring ≥2 times IS a repeated substring of length ≥ k, and
+maximal merged gram-spans are exactly the ≥k-token repeated regions, so
+
+  1. per-doc word-hash arrays → int64 gram ids (shared spelling:
+     textstats.hashed_gram_ids), DOUBLE-hashed with independent seeds —
+     one 64-bit hash at 10¹² grams yields ~10⁴ silent false spans
+     (birthday), two bound the per-pair FP at ~2⁻¹²⁸ (same argument as
+     dedup.py's exact keys);
+  2. posexplode → (doc, pos, gram) — positions matter, unlike Jaccard;
+  3. ONE hash-aggregated occurrence count over 16-byte keys (partial agg,
+     map-side combined), filtered to ≥ min_occurrences;
+  4. left-semi join positions against the duplicated keys;
+  5. gaps-and-islands merge per doc (window over the NARROW (doc, pos)
+     stream — equal-length windows merge iff pos − prev_pos ≤ k, so a lag
+     suffices; document bodies never enter this exchange);
+  6. per-doc aggregation + left join back.
+
+Every stage is relational (no Python), every shuffle carries ids/longs
+only, and the DuckDB twin (dup_span_stats_sql) replays stages 2-6 with
+STRING grams — string-gram equality ≡ double-hash equality absent
+collisions, so the span algebra is gated end-to-end in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.barrier import barrier
+from wikidataquality_spark.operators.heuristics import words_col
+from wikidataquality_spark.operators.textstats import hashed_gram_ids
+
+# Independent second seed for the double-hashed gram identity (any constant
+# works; frozen because changing it re-keys every persisted span fixture).
+_SEED2 = "dupspan-h2"
+
+
+def _gram_positions(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(_id, _pos, _h1, _h2) for every word k-gram occurrence. The word-hash
+    arrays are projected columns before hashed_gram_ids touches them
+    (textstats.py inlining hazard: element_at over an inline transform
+    re-evaluates the whole array per element — O(|words|²) per doc)."""
+    words = words_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("_wh1"),
+        F.transform(words, lambda w: F.xxhash64(F.lit(_SEED2), w)).alias("_wh2"),
+    ).filter(F.size("_wh1") >= k)
+    g = barrier(
+        base.select(
+            "_id",
+            F.arrays_zip(
+                hashed_gram_ids(F.col("_wh1"), k).alias("h1"),
+                hashed_gram_ids(F.col("_wh2"), k).alias("h2"),
+            ).alias("_g"),
+        )
+    )
+    return g.select(
+        "_id", F.posexplode("_g").alias("_pos", "_z")
+    ).select("_id", "_pos", F.col("_z.h1").alias("_h1"), F.col("_z.h2").alias("_h2"))
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (id_col, span_start, span_end) with token-index half-open [start, end).
+
+    A span is the merge of every k-token window whose gram occurs
+    ≥ min_occurrences times corpus-wide; windows merge iff they overlap or
+    touch (pos − prev_pos ≤ k)."""
+    pos = _gram_positions(docs, k, id_col, text_col)
+    dup_keys = (
+        pos.groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_occurrences)
+        .select("_h1", "_h2")
+    )
+    dup_pos = pos.join(dup_keys, ["_h1", "_h2"], "left_semi")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    brk = F.when(
+        F.lag("_pos").over(w).isNull()
+        | (F.col("_pos") - F.lag("_pos").over(w) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = dup_pos.select("_id", "_pos", F.sum(brk).over(w).alias("_isl"))
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k).alias("span_end"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs + (n_tokens, n_dup_spans, dup_token_count, dup_token_fraction).
+
+    NULL-text docs keep NULL stats (the house dedup exemption — they have
+    no tokens to share); docs with < k tokens get zeros (no gram exists)."""
+    spans = dup_spans(docs, k, min_occurrences, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_nspans"),
+        F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("_ndup"),
+    )
+    nt = F.size(words_col(F.col(text_col)))
+    out = docs.join(per_doc, id_col, "left")
+    has_text = F.col(text_col).isNotNull()
+    n_tokens = F.when(has_text, nt.cast("long"))
+    n_dup = F.when(has_text, F.coalesce(F.col("_ndup"), F.lit(0)).cast("long"))
+    return out.select(
+        *[docs[c] for c in docs.columns],
+        n_tokens.alias("n_tokens"),
+        F.when(has_text, F.coalesce(F.col("_nspans"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup_spans"),
+        n_dup.alias("dup_token_count"),
+        (n_dup / F.nullif(nt.cast("double"), F.lit(0.0))).alias(
+            "dup_token_fraction"
+        ),
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs + `text_deduped`: the document's tokens with every duplicated
+    span dropped, rejoined with single spaces.
+
+    DOCUMENTED SEMANTICS: token-level, whitespace-NORMALIZING — like the
+    reference recipe, which operates on token sequences and re-detokenizes
+    (Lee et al. 2022 §3.2). The byte-identical contract applies to the
+    boilerplate/scrub paths, not here; callers needing byte fidelity use
+    dup_span_stats to FILTER (e.g. drop docs above a fraction threshold)
+    instead of rewriting. NULL text stays NULL; span-free docs still get
+    normalized whitespace (documented: output tokenization is canonical)."""
+    spans = dup_spans(docs, k, min_occurrences, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    out = docs.join(per_doc, id_col, "left")
+    words = words_col(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    kept_words = F.when(F.col("_spans").isNull(), words).otherwise(
+        F.transform(
+            F.filter(
+                F.zip_with(
+                    words, idx, lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+                ),
+                lambda s: ~F.exists(
+                    F.col("_spans"),
+                    lambda sp: (s["i"] >= sp["span_start"])
+                    & (s["i"] < sp["span_end"]),
+                ),
+            ),
+            lambda s: s["w"],
+        )
+    )
+    return out.select(
+        *[docs[c] for c in docs.columns],
+        F.when(
+            F.col(text_col).isNotNull(), F.concat_ws(" ", kept_words)
+        ).alias("text_deduped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin: replays stages 2-6 with STRING grams (join of k raw words by
+# chr(30), the ASCII record separator — words are \s+-split so no word can
+# contain it). String equality ≡ double-hash equality absent collisions.
+# ---------------------------------------------------------------------------
+
+_W_SQL = r"string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')"
+
+
+def dup_span_stats_sql(
+    k: int = 8,
+    min_occurrences: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL emitting (id_col, n_tokens, n_dup_spans, dup_token_count,
+    dup_token_fraction) for every row of `table` — the oracle twin of
+    dup_span_stats (column subset; callers join to the table for the rest)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS _id, text, {_W_SQL} AS words FROM {table}
+),
+g AS (
+  SELECT _id, i - 1 AS pos,
+         array_to_string(words[i : i + {k} - 1], chr(30)) AS gram
+  FROM w, UNNEST(generate_series(1, len(words) - {k} + 1)) AS t(i)
+  WHERE len(words) >= {k}
+),
+dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= {min_occurrences}
+),
+dp AS (
+  SELECT g._id, g.pos FROM g JOIN dupg USING (gram)
+),
+isl AS (
+  SELECT _id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY _id ORDER BY pos) AS island
+  FROM (SELECT _id, pos,
+               lag(pos) OVER (PARTITION BY _id ORDER BY pos) AS prev
+        FROM dp)
+),
+spans AS (
+  SELECT _id, island, MIN(pos) AS span_start, MAX(pos) + {k} AS span_end
+  FROM isl GROUP BY _id, island
+),
+per_doc AS (
+  SELECT _id, CAST(COUNT(*) AS BIGINT) AS nspans,
+         CAST(SUM(span_end - span_start) AS BIGINT) AS ndup
+  FROM spans GROUP BY _id
+)
+SELECT w._id AS {id_col},
+       CASE WHEN w.text IS NULL THEN NULL
+            ELSE CAST(len(w.words) AS BIGINT) END AS n_tokens,
+       CASE WHEN w.text IS NULL THEN NULL
+            ELSE CAST(COALESCE(p.nspans, 0) AS BIGINT) END AS n_dup_spans,
+       CASE WHEN w.text IS NULL THEN NULL
+            ELSE CAST(COALESCE(p.ndup, 0) AS BIGINT) END AS dup_token_count,
+       CASE WHEN w.text IS NULL THEN NULL
+            ELSE CAST(COALESCE(p.ndup, 0) AS DOUBLE)
+                 / nullif(CAST(len(w.words) AS DOUBLE), 0.0) END
+         AS dup_token_fraction
+FROM w LEFT JOIN per_doc p USING (_id)
+"""
