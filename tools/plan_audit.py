@@ -336,6 +336,28 @@ def main() -> int:
             "sees every direction, so recall matches the sampled trainer "
             "exactly — the honest expected result for near-uniform data.\n"
         )
+    # same survival rule for the PQ recall block (tools/pq_recall.py --write)
+    pq_json = os.path.join(REPO, "tools", "pq_recall.json")
+    if os.path.exists(pq_json):
+        import json
+
+        with open(pq_json) as f:
+            rec = json.load(f)
+        cfg = {k: v for k, v in rec.items() if k.startswith("candidates")}
+        out += (
+            "\n## PQ recall (tools/pq_recall.py)\n\n"
+            f"ADC shortlist recall@10 vs exact brute force, "
+            f"{rec['n_vectors']} vectors ({rec['sf_dir']}), m={rec['m']} "
+            f"subspaces × k={rec['k']} centroids (4-bit codes, 64× smaller "
+            f"than float32), {rec['n_queries']} queries:\n\n"
+            + "\n".join(f"- `{k}`: {v}" for k, v in cfg.items())
+            + "\n\nThe two-stage scan (operators/pq.pq_adc_rerank_topk: ADC "
+            "shortlist → broadcast point-join → exact re-rank) has exactly "
+            "the shortlist's recall; the same near-uniform-corpus FLOOR "
+            "caveat as the IVF table applies. Encode/ADC algebra is gated "
+            "bit-for-bit against DuckDB in tests/test_pq.py — this block "
+            "measures quality, not parity.\n"
+        )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(out)
     print(out)
