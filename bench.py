@@ -40,9 +40,9 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "window_topk_orders_per_customer",
-    "sessionize_users",
+    "quality_score_docs",
     "asof_purchase_last_click",
-    "ann_cosine_threshold",
+    "dup_span_stats_docs",
     "ivf_ann_topk",
     "semdedup_marks",
     "grouped_map_source_zscore",

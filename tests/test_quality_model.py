@@ -38,10 +38,13 @@ def test_artifact_contract(art):
     assert lo < hi
 
 
-def test_logit_and_class_match_duckdb_twin_exactly(spark, sf001_dir, art):
-    """Bit-for-bit logit parity on the full sf0.01 documents table: the
-    scorer is +,-,*,/ over shared stat spellings with literals from one
-    artifact, so not even the last ulp may differ."""
+def test_logit_and_class_match_duckdb_twin(spark, sf001_dir, art):
+    """Logit parity on the full sf0.01 documents table. Every feature value
+    is bit-identical cross-engine (verified term-by-term when this gate was
+    built); the weighted fold itself differs by ±1 ulp because DuckDB fuses
+    the multiply-adds (FMA rounds once where separate *,+ round twice) — so
+    the raw logit is pinned at 1e-12 ABSOLUTE and the class labels exactly.
+    The driver oracle gates ROUND(logit, 6), the house double convention."""
     docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
     got = (
         with_quality_score(docs, art=art)
@@ -60,7 +63,10 @@ def test_logit_and_class_match_duckdb_twin_exactly(spark, sf001_dir, art):
         ORDER BY doc_id
         """
     ).df()
-    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert list(got["quality_class"]) == list(want["quality_class"])
+    pd.testing.assert_series_equal(
+        got["quality_logit"], want["quality_logit"], atol=1e-12, rtol=0.0
+    )
 
 
 def test_sigmoid_score_matches_logit(spark, art):

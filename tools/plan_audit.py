@@ -99,7 +99,8 @@ EXPECTATIONS: dict[str, list[str]] = {
                             "no_nested_loop", "equi_join"],
     "scrub_pii_all": ["pruned", "no_nested_loop"],
     "string_funcs_part": ["pruned", "no_nested_loop"],
-    "sessionize_users": ["pruned", "partial_agg", "no_nested_loop"],
+    # quality model: one codegen'd projection — literal weights, no joins
+    "quality_score_docs": ["pruned", "no_nested_loop"],
     "pivot_orders_status": ["pruned", "partial_agg", "no_nested_loop"],
     "array_ops_embedding": ["pushed", "pruned", "broadcast", "partial_agg",
                             "no_nested_loop", "equi_join"],
@@ -111,8 +112,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "pack_sequences": ["pruned", "no_nested_loop"],
     "langid_ngram_docs": ["pruned", "partial_agg", "no_nested_loop"],
     "multimodal_features": ["pushed", "pruned", "no_nested_loop"],
-    # brute-force ANN: BroadcastNestedLoopJoin on a 3-vector side IS the plan
-    "ann_cosine_threshold": ["pushed", "pruned"],
+    # dup spans: gram count (partial agg) + semi-join + islands window —
+    # every exchange on ids/positions/hashes only
+    "dup_span_stats_docs": ["pruned", "partial_agg", "no_nested_loop",
+                            "equi_join"],
     # streaming / stateful: the returned frame is the drained memory-sink
     # table (no file scan to grade); the gates that matter are the universal
     # no-cartesian / no-row-python ones plus map-side combine where it exists
@@ -287,9 +290,9 @@ def main() -> int:
         lines.append(f"| {name} | {', '.join(must)} | {'✅ ' if ok else '❌ '}{holds} |")
     lines.append("")
     lines.append(
-        "Notes: `ann_cosine_threshold` / `range_join_price_bands` intentionally use\n"
-        "BroadcastNestedLoopJoin — the non-scan side is tiny (1 query vector /\n"
-        "3 literal bands), which is the correct physical strategy; the guard is\n"
+        "Notes: `range_join_price_bands` intentionally uses\n"
+        "BroadcastNestedLoopJoin — the non-scan side is tiny\n"
+        "(3 literal bands), which is the correct physical strategy; the guard is\n"
         "only that no unbounded CartesianProduct appears. The pipeline's dedup\n"
         "joins run on narrow (id, hash/flag) projections — document bodies never\n"
         "enter an exchange (operators/dedup.py docstrings).\n\n"

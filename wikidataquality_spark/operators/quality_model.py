@@ -17,7 +17,11 @@ Scale/parity design, in the house style of semdedup.py:
 
   - The artifact (models/quality_lr_v1.json) is train-once and versioned;
     weights/means/scales are inlined as literals into BOTH the Spark plan
-    and the DuckDB twin, so scoring replays bit-for-bit.
+    and the DuckDB twin. Every FEATURE value replays bit-for-bit; the
+    final weighted fold is ±1 ulp across engines (DuckDB fuses the
+    multiply-adds — FMA rounds once where separate *,+ round twice), so
+    the oracle gates the logit at the house ROUND(·, 6) and pytest pins
+    a 1e-12 absolute tolerance on the raw value.
   - Every feature is +,-,*,/ over existing stat spellings — NO ln/exp in
     the gated path. Document-length saturation uses x/(x+c) (monotone,
     bounded, IEEE-exact in both engines) instead of log1p, because libm

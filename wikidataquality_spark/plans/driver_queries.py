@@ -130,6 +130,51 @@ def qf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_oracle() -> str:
+    from wikidataquality_spark.operators.quality_model import (
+        load_quality_model,
+        quality_class_sql,
+        quality_logit_sql,
+    )
+
+    art = load_quality_model()
+    logit = quality_logit_sql("text", _STOPWORD_SQL, art)
+    # ROUND(·, 6) like every double-valued oracle here: the nine feature
+    # values are bit-identical cross-engine (verified), but DuckDB fuses
+    # the fold's multiply-adds (FMA), shifting the final sum's last ulp
+    return (
+        f"SELECT doc_id, ROUND({logit}, 6) AS quality_logit, "
+        f"{quality_class_sql(logit, art)} AS quality_class FROM documents"
+    )
+
+
+@_register("quality_score_docs", None)  # oracle attached below (built SQL)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/quality_model.py): the trained
+    linear classifier distilled from the rule DAG, evaluated as ONE
+    codegen'd projection with artifact literals — the FineWeb-style learned
+    score next to the hard heuristic thresholds. The gated columns are the
+    LINEAR logit (pure +,-,*,/: features bit-identical cross-engine, the
+    fold itself ±1 ulp from DuckDB's FMA — gated at the house ROUND 6) and
+    the class label cut on the unrounded logit; the sigmoid convenience
+    column is tolerance-tested in tests/test_quality_model.py instead
+    (libm exp is not cross-engine bit-stable)."""
+    from wikidataquality_spark.operators.quality_model import (
+        load_quality_model,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs, art=load_quality_model()).select(
+        "doc_id",
+        F.round("quality_logit", 6).alias("quality_logit"),
+        "quality_class",
+    )
+
+
+ORACLE["quality_score_docs"] = _quality_oracle()
+
+
 @_register(
     "qf_keep_decision",
     # exception semantics parity: a NULL rule input gives status 'exception'
@@ -852,38 +897,15 @@ def json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (events_windows retired in r04 to stay under the driver's 50-query cap:
 # the batch F.window tumbling/sliding surface is driver-visible through
 # stream_window_aggs, whose oracle recomputes the identical epoch-aligned
-# bucket math, and through sessionize_users for the gap-based grain.)
+# bucket math; the gap-based grain is stream_session_windows.)
 
 
-@_register(
-    "sessionize_users",
-    """
-SELECT user_id,
-       COUNT(*) FILTER (WHERE gap_us IS NULL OR gap_us > 1800000000) AS n_sessions,
-       COUNT(*) AS n_events
-FROM (
-  SELECT user_id,
-         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                                ORDER BY ts, event_id) AS gap_us
-  FROM events)
-GROUP BY user_id
-""",
-)
-def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: lag-gap > 30 min starts a new session. Integer (unix
-    micros) math so both engines agree exactly."""
-    e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = _unix_us("ts")
-    gap = us - F.lag(us).over(w)
-    return (
-        e.withColumn("gap_us", gap)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000), 1)).alias("n_sessions"),
-            F.count("*").alias("n_events"),
-        )
-    )
+# (sessionize_users retired in r04 to stay under the driver's 50-query cap,
+# making room for quality_score_docs: its lag-gap window surface stays
+# driver-gated through window_rank_functions (lag + frames over the same
+# exchange) and the session-window SEMANTICS through stream_session_windows,
+# whose oracle recomputes gap-based sessions in SQL; the lag-gap/island SQL
+# itself lives on as the stateful_user_stats oracle shape.)
 
 
 @_register(
@@ -939,36 +961,13 @@ from wikidataquality_spark.operators.simsearch import dot_sql  # noqa: E402
 # (embedding_norms merged into array_ops_embedding.)
 
 
-@_register(
-    "ann_cosine_threshold",
-    f"""
-WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-sims AS (
-  SELECT e.vec_id,
-         {dot_sql(a="e.embedding", b="q.q_emb")} /
-         (sqrt({dot_sql(a="e.embedding", b="e.embedding")}) *
-          sqrt({dot_sql(a="q.q_emb", b="q.q_emb")})) AS cs
-  FROM embeddings e, q
-  WHERE e.vec_id <> 0)
-SELECT vec_id, ROUND(cs, 4) AS cos_sim FROM sims WHERE cs >= 0.15
-""",
-)
-def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine similarity vs a query vector (broadcast the 1-row
-    query side; the scan side streams). The LSH-bucketed scale path lives in
-    operators/simsearch.py."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    cs = _dot(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-    )
-    return (
-        joined.withColumn("cs", cs)
-        .filter(F.col("cs") >= 0.15)
-        .select("vec_id", F.round("cs", 4).alias("cos_sim"))
-    )
+# (ann_cosine_threshold retired in r04 to stay under the driver's 50-query
+# cap, making room for dup_span_stats_docs: its brute-force cosine math is
+# driver-gated through semdedup_marks / embedding_neardup_pairs (the same
+# guarded dot/norm folds) and its tiny-broadcast-side BroadcastNestedLoopJoin
+# physical shape through range_join_price_bands; the exact-kNN SQL remains
+# the ivf_ann_topk oracle and tests/test_simsearch.py keeps the threshold
+# form unit-gated.)
 
 
 def _semdedup_oracle() -> str:
@@ -989,9 +988,9 @@ def semdedup_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/train_semdedup.py), so the oracle replays the identical
     assignment + survivor algebra with inlined constants — the driver
     hash-compares the real cluster geometry, not a sample. The retired
-    `knn_cosine_topk` brute-force surface stays covered by
-    `ann_cosine_threshold` (same dot/rank math, threshold form) and
-    tests/test_simsearch.py; its exact-kNN SQL lives on as the
+    brute-force queries (`knn_cosine_topk`, later `ann_cosine_threshold`)
+    stay covered by this query's guarded dot/norm folds and
+    tests/test_simsearch.py; the exact-kNN SQL lives on as the
     `ivf_ann_topk` oracle."""
     from wikidataquality_spark.operators.semdedup import (
         load_semdedup_centroids,
@@ -1072,6 +1071,32 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint(F.col("text")).alias("fingerprint"),
         F.round(quality_score(F.col("text")), 6).alias("quality_score"),
     )
+
+
+def _dup_span_oracle() -> str:
+    from wikidataquality_spark.operators.dupspans import dup_span_stats_sql
+
+    return dup_span_stats_sql(k=8, min_occurrences=2)
+
+
+@_register("dup_span_stats_docs", None)  # oracle attached below (built SQL)
+def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/dupspans.py — the
+    ExactSubstr recipe of Lee et al. 2022 without the suffix array): per-doc
+    maximal ≥8-token repeated-region stats from one double-hashed gram count
+    + a semi-join + a gaps-and-islands merge over narrow (doc, pos) rows.
+    The oracle replays the span algebra with STRING grams (equality ≡
+    double-hash equality absent ~2⁻¹²⁸ collisions)."""
+    from wikidataquality_spark.operators.dupspans import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, k=8, min_occurrences=2).select(
+        "doc_id", "n_tokens", "n_dup_spans", "dup_token_count",
+        "dup_token_fraction",
+    )
+
+
+ORACLE["dup_span_stats_docs"] = _dup_span_oracle()
 
 
 NGRAM_JACCARD_T = 0.6
@@ -1473,7 +1498,7 @@ FROM s GROUP BY user_id, sid
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows per user over the stream (30-min gap). The
-    oracle is the lag-gap/island SQL (the proven sessionize_users shape):
+    oracle is the lag-gap/island SQL (the retired sessionize_users shape):
     a session starts when the previous event is ≥ gap away — Spark session
     windows are [start, start+gap), so an event exactly at the boundary
     opens a new session; session start = first event's timestamp, emitted
