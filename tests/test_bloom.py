@@ -146,3 +146,26 @@ def test_cross_corpus_convenience_reuses_filter(spark):
     ).select("text").distinct().count() > 0
     # the returned filter probes a SECOND batch without touching the corpus
     assert bloom.count() > 0
+
+
+def test_probe_plan_narrow_rows_no_text_exchange(spark):
+    """The probe side's exchanges must carry only (id, word, bit) longs —
+    the document text collapses to hash probes before any join, and no
+    nested-loop join may appear at any size."""
+    import contextlib
+    import io
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    m, k = bloom_size(250, 0.01)
+    bloom = build_bloom(corpus, F.col("text"), m, k)
+    marks = bloom_member_marks(docs, bloom, F.col("text"), m, k)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        marks.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # every Exchange argument line must mention only probe/filter columns
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"text rides an exchange: {line}")

@@ -135,3 +135,17 @@ def test_artifact_validation(tmp_path):
         load_dsir_model(str(bad))
     with pytest.raises(ValueError):
         dsir_gumbel_topk(None, 0)
+
+
+def test_scorer_plan_zero_shuffle_zero_python(spark, docs, art):
+    """The 100 TB contract: scoring is ONE codegen'd projection — the
+    physical plan may contain no Exchange, no Python eval node, no Join."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_dsir_logweight(docs).explain("formatted")
+    plan = buf.getvalue()
+    for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"):
+        assert node not in plan, plan
