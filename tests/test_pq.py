@@ -148,6 +148,49 @@ def test_null_and_ragged_vectors_encode_null(spark, art):
     assert pq_adc_topk(pq_encode(df, art), QUERY, art).count() == 1
 
 
+def test_degenerate_vectors_encode_null_and_adc_survives(spark, art):
+    """One NaN element used to return the argmin fold's -1 seed, and the
+    ADC scan died with INVALID_INDEX_OF_ZERO (element_at(lut, 0)) — a
+    single bad crawled embedding killing the whole job. Degenerate vectors
+    (NULL/NaN/±Inf element) must encode to NULL and the scan must complete
+    over a poisoned corpus; the DuckDB twin must agree row-for-row."""
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [0.5] * 64),
+        (2, [nan] * 64),
+        (3, [0.5] * 63 + [nan]),
+        (4, [0.5] * 63 + [inf]),
+        (5, [0.5] * 63 + [-inf]),
+        (6, [0.5] * 63 + [None]),
+        (7, [0.25] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, art).collect()}
+    assert out[1] is not None and out[7] is not None
+    for bad in (2, 3, 4, 5, 6):
+        assert out[bad] is None, (bad, out[bad])
+    # the poisoned corpus scans to completion and ranks only the clean rows
+    got = pq_adc_topk(pq_encode(df, art), QUERY, art, k_results=10).collect()
+    assert sorted(r["vec_id"] for r in got) == [1, 7]
+    # twin parity on the degenerate guard itself
+    import duckdb as _duck
+
+    con = _duck.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    )
+    con.register("emb", pdf)
+    want = con.execute(
+        f"SELECT vec_id, {pq_encode_sql(art)} AS code FROM emb ORDER BY vec_id"
+    ).df()
+    for vid, code in zip(want["vec_id"], want["code"], strict=True):
+        spark_code = out[vid]
+        if spark_code is None:
+            assert code is None or (isinstance(code, float) and pd.isna(code)), vid
+        else:
+            assert list(spark_code) == list(code), vid
+
+
 def test_encode_plan_is_pure_projection_and_topk_takeordered(spark, sf001_dir, art):
     emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
     enc_plan = (

@@ -122,8 +122,14 @@ def pq_encode(
     df: DataFrame, art: dict, vcol: str = "embedding", out: str = "pq_code"
 ) -> DataFrame:
     """Append `out`: array<int> of length m — per-subspace argmin centroid
-    ids (0-based). NULL or wrong-length vectors encode to NULL (the caller
-    exempts them, the house dedup convention). ZERO shuffle, zero Python."""
+    ids (0-based). NULL, wrong-length, or degenerate vectors (any NULL /
+    NaN / ±Inf element) encode to NULL (the caller exempts them, the house
+    dedup convention). The degenerate guard is what keeps the downstream
+    ADC scan TOTAL: a NaN distance makes every strict-< comparison false,
+    the argmin fold would return its -1 seed, and `element_at(lut, 0)`
+    aborts the whole job with INVALID_INDEX_OF_ZERO under ANSI — one bad
+    crawled embedding must not kill a 100 TB scan. ZERO shuffle, zero
+    Python."""
     m, k, dim = art["m"], art["k"], art["dim"]
     dsub = dim // m
     vec = F.col(vcol)
@@ -146,8 +152,16 @@ def pq_encode(
             lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
         )
         codes.append(best["c"])
+    # x.isNull() first: it is never NULL itself, so `exists` is TRUE/FALSE
+    # (never NULL) and the ~ below cannot leak a NULL condition
+    degenerate = F.exists(
+        vec,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
     code_arr = F.when(
-        vec.isNotNull() & (F.size(vec) == dim), F.array(*codes)
+        vec.isNotNull() & (F.size(vec) == dim) & ~degenerate, F.array(*codes)
     )
     return df.withColumn(out, code_arr)
 
@@ -245,9 +259,10 @@ def _list_sql(vals: list[float]) -> str:
 
 
 def pq_encode_sql(art: dict, vcol: str = "embedding") -> str:
-    """SQL expression: the m-int code list for `vcol` (NULL when NULL or
-    wrong length). list_indexof(l, list_min(l)) is the first-minimal argmin,
-    matching the Spark fold's strict-< tie policy."""
+    """SQL expression: the m-int code list for `vcol` (NULL when NULL,
+    wrong length, or any element is NULL/NaN/±Inf — the same degenerate
+    guard as pq_encode). list_indexof(l, list_min(l)) is the first-minimal
+    argmin, matching the Spark fold's strict-< tie policy."""
     m, k, dim = art["m"], art["k"], art["dim"]
     dsub = dim // m
     parts = []
@@ -261,9 +276,13 @@ def pq_encode_sql(art: dict, vcol: str = "embedding") -> str:
             for c in range(k)
         )
         parts.append(f"(list_indexof([{dists}], list_min([{dists}])) - 1)")
+    degenerate = (
+        f"len(list_filter({vcol}, x -> x IS NULL OR "
+        f"NOT isfinite(CAST(x AS DOUBLE)))) > 0"
+    )
     return (
-        f"(CASE WHEN {vcol} IS NULL OR len({vcol}) != {dim} THEN NULL "
-        f"ELSE [{','.join(parts)}] END)"
+        f"(CASE WHEN {vcol} IS NULL OR len({vcol}) != {dim} OR {degenerate} "
+        f"THEN NULL ELSE [{','.join(parts)}] END)"
     )
 
 
