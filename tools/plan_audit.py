@@ -98,9 +98,14 @@ EXPECTATIONS: dict[str, list[str]] = {
     "qf_golden_confusion": ["pushed", "pruned", "broadcast", "partial_agg",
                             "no_nested_loop", "equi_join"],
     "scrub_pii_all": ["pruned", "no_nested_loop"],
-    "string_funcs_part": ["pruned", "no_nested_loop"],
-    # quality model: one codegen'd projection — literal weights, no joins
-    "quality_score_docs": ["pruned", "no_nested_loop"],
+    # normalize: ONE Arrow stage + codegen strip, no join/exchange on the
+    # doc side (string_funcs_part's surface absorbed here, r04)
+    "normalize_docs": ["pruned", "no_nested_loop"],
+    # quality model: codegen'd literal-weight projection; the CCNet bucket
+    # adds a distinct-value cutoff agg (partial) + broadcast cutoff join —
+    # the doc table is never windowed or sorted
+    "quality_score_docs": ["pruned", "broadcast", "partial_agg",
+                           "no_nested_loop", "equi_join"],
     "pivot_orders_status": ["pruned", "partial_agg", "no_nested_loop"],
     "array_ops_embedding": ["pushed", "pruned", "broadcast", "partial_agg",
                             "no_nested_loop", "equi_join"],

@@ -123,17 +123,20 @@ def with_ppl_bucket(
     return joined.withColumn(out_col, bucket).drop("__cut_lang", "cut1", "cut2")
 
 
-def ppl_bucket_sql(
+def ppl_bucket_ctes(
     table: str,
-    id_expr: str = "doc_id",
     lang_expr: str = "lang",
     value_expr: str = "perplexity",
     qs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     round_to: int | None = None,
-) -> str:
-    """DuckDB twin of ppl_cutoffs + with_ppl_bucket: identical distinct-value
-    cumulative-count cutoffs, identical tie/NULL semantics. Emits
-    (id, bucket) for every row of `table`."""
+) -> tuple[str, str]:
+    """Composable DuckDB twin pieces: `(cte_chain, bucket_case)`.
+
+    `cte_chain` defines per_value/cum/cuts over `table` (splice after WITH,
+    possibly behind caller CTEs — `table` may itself be a CTE name);
+    `bucket_case` assumes the caller selects FROM `{table} t LEFT JOIN cuts
+    ON t.{lang_expr} = cuts.lang`. Both embed the identical ceil arithmetic
+    and tie/NULL semantics as the Spark operator."""
     v = f"round({value_expr}, {round_to})" if round_to is not None else value_expr
     fracs = [_as_fraction(q) for q in qs]
     if all(fracs):
@@ -142,8 +145,7 @@ def ppl_bucket_sql(
     else:  # float path, mirrors F.ceil(n * q)
         t1 = f"CAST(ceil(n * {qs[0]!r}) AS BIGINT)"
         t2 = f"CAST(ceil(n * {qs[1]!r}) AS BIGINT)"
-    return f"""
-WITH per_value AS (
+    ctes = f"""per_value AS (
   SELECT {lang_expr} AS lang, {v} AS v, COUNT(*) AS c
   FROM {table}
   WHERE {value_expr} IS NOT NULL AND {lang_expr} IS NOT NULL
@@ -158,11 +160,29 @@ WITH per_value AS (
          MIN(CASE WHEN cum >= {t1} THEN v END) AS cut1,
          MIN(CASE WHEN cum >= {t2} THEN v END) AS cut2
   FROM cum GROUP BY lang
-)
-SELECT {id_expr} AS id,
-       CASE WHEN {value_expr} IS NULL OR cuts.lang IS NULL THEN NULL
+)"""
+    case = f"""CASE WHEN {value_expr} IS NULL OR cuts.lang IS NULL THEN NULL
             WHEN {v} <= cut1 THEN 'head'
             WHEN {v} <= cut2 THEN 'middle'
-            ELSE 'tail' END AS bucket
+            ELSE 'tail' END"""
+    return ctes, case
+
+
+def ppl_bucket_sql(
+    table: str,
+    id_expr: str = "doc_id",
+    lang_expr: str = "lang",
+    value_expr: str = "perplexity",
+    qs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    round_to: int | None = None,
+) -> str:
+    """DuckDB twin of ppl_cutoffs + with_ppl_bucket: identical distinct-value
+    cumulative-count cutoffs, identical tie/NULL semantics. Emits
+    (id, bucket) for every row of `table`."""
+    ctes, case = ppl_bucket_ctes(table, lang_expr, value_expr, qs, round_to)
+    return f"""
+WITH {ctes}
+SELECT {id_expr} AS id,
+       {case} AS bucket
 FROM {table} t LEFT JOIN cuts ON t.{lang_expr} = cuts.lang
 """

@@ -137,15 +137,26 @@ def _quality_oracle() -> str:
         quality_logit_sql,
     )
 
+    from wikidataquality_spark.operators.pplbucket import ppl_bucket_ctes
+
     art = load_quality_model()
     logit = quality_logit_sql("text", _STOPWORD_SQL, art)
     # ROUND(·, 6) like every double-valued oracle here: the nine feature
     # values are bit-identical cross-engine (verified), but DuckDB fuses
-    # the fold's multiply-adds (FMA), shifting the final sum's last ulp
-    return (
-        f"SELECT doc_id, ROUND({logit}, 6) AS quality_logit, "
-        f"{quality_class_sql(logit, art)} AS quality_class FROM documents"
-    )
+    # the fold's multiply-adds (FMA), shifting the final sum's last ulp.
+    # The CCNet bucket cuts on the ROUNDED logit for the same reason — a
+    # tercile boundary landing on an FMA-shifted ulp would flip a bucket.
+    ctes, case = ppl_bucket_ctes("scored", lang_expr="lang", value_expr="ql6")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, ROUND({logit}, 6) AS ql6,
+         {quality_class_sql(logit, art)} AS quality_class
+  FROM documents
+), {ctes}
+SELECT t.doc_id, t.ql6 AS quality_logit, t.quality_class,
+       {case.replace("ql6", "t.ql6")} AS quality_bucket
+FROM scored t LEFT JOIN cuts ON t.lang = cuts.lang
+"""
 
 
 @_register("quality_score_docs", None)  # oracle attached below (built SQL)
@@ -153,22 +164,37 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (operators/quality_model.py): the trained
     linear classifier distilled from the rule DAG, evaluated as ONE
     codegen'd projection with artifact literals — the FineWeb-style learned
-    score next to the hard heuristic thresholds. The gated columns are the
-    LINEAR logit (pure +,-,*,/: features bit-identical cross-engine, the
-    fold itself ±1 ulp from DuckDB's FMA — gated at the house ROUND 6) and
-    the class label cut on the unrounded logit; the sigmoid convenience
-    column is tolerance-tested in tests/test_quality_model.py instead
-    (libm exp is not cross-engine bit-stable)."""
+    score next to the hard heuristic thresholds — then CCNet-style
+    head/middle/tail bucketing of that score PER LANGUAGE
+    (operators/pplbucket.py: distinct-value cumulative-count cutoffs, never
+    a window over the document table; broadcast two-comparison assign).
+    The gated columns are the LINEAR logit (pure +,-,*,/: features
+    bit-identical cross-engine, the fold itself ±1 ulp from DuckDB's FMA —
+    gated at the house ROUND 6), the class label cut on the unrounded
+    logit, and the bucket cut on the ROUNDED logit (an FMA-shifted ulp at a
+    tercile boundary would otherwise flip a bucket); the sigmoid
+    convenience column is tolerance-tested in tests/test_quality_model.py
+    instead (libm exp is not cross-engine bit-stable)."""
+    from wikidataquality_spark.operators.pplbucket import with_ppl_bucket
     from wikidataquality_spark.operators.quality_model import (
         load_quality_model,
         with_quality_score,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return with_quality_score(docs, art=load_quality_model()).select(
+    scored = with_quality_score(docs, art=load_quality_model()).select(
         "doc_id",
-        F.round("quality_logit", 6).alias("quality_logit"),
+        "lang",
+        F.round("quality_logit", 6).alias("ql6"),
         "quality_class",
+    )
+    return with_ppl_bucket(
+        scored, lang_col="lang", value_col="ql6", out_col="quality_bucket"
+    ).select(
+        "doc_id",
+        F.col("ql6").alias("quality_logit"),
+        "quality_class",
+        "quality_bucket",
     )
 
 
@@ -759,28 +785,65 @@ def setop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
-@_register(
-    "string_funcs_part",
-    """
-SELECT p_partkey,
-       upper(p_name) AS name_upper,
-       substring(p_name, 1, 5) AS name_prefix,
-       concat_ws(':', p_brand, p_type) AS brand_type,
-       length(p_name) AS name_len,
-       levenshtein(p_name, 'red widget') AS lev_dist
-FROM part
-""",
+# (string_funcs_part retired in r04 to free a driver slot for
+# normalize_docs, which carries the same string-function surface —
+# upper/substring/concat_ws/length/levenshtein — over the documents table.)
+
+
+def _normalize_oracle() -> str:
+    from wikidataquality_spark.operators.normalize import (
+        nfc_normalize_sql,
+        strip_control_chars_sql,
+    )
+
+    # DuckDB twin of normalize_text MINUS the mojibake repair stage (repair
+    # is strict-round-trip Python, inexpressible in SQL): on datagen's clean
+    # corpus repair is the identity BY CONSTRUCTION of its acceptance rule
+    # (only a strictly-shrinking cp1252→utf8 round-trip is accepted), so the
+    # full Spark pipeline and the repair-less twin must hash-match — a
+    # repair misfiring on clean text would show up HERE as a loud mismatch,
+    # which is exactly the false-repair guarantee worth gating at corpus
+    # scale (the positive repair fixtures live in tests/test_normalize.py).
+    twin = strip_control_chars_sql(nfc_normalize_sql("text"))
+    return f"""
+WITH n AS (
+  SELECT doc_id, lang, source, text, {twin} AS text_norm FROM documents
 )
-def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function surface: upper/substring/concat/length/levenshtein."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias("lev_dist"),
+SELECT doc_id,
+       text_norm,
+       (text_norm <> text) AS changed,
+       length(text_norm) AS n_chars_norm,
+       substring(text_norm, 1, 12) AS prefix12,
+       upper(concat_ws(':', lang, source)) AS lang_source,
+       levenshtein(coalesce(lang, ''), 'en') AS lev_en
+FROM n
+"""
+
+
+@_register("normalize_docs", _normalize_oracle())
+def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (operators/normalize.py): mojibake repair →
+    NFC → control/format strip over every document, ONE Arrow stage plus
+    codegen — the ftfy-class pre-clean that runs before any fingerprint or
+    dedup stage. Also carries the string-function surface absorbed from the
+    retired string_funcs_part (upper/substring/concat_ws/length/
+    levenshtein), computed over the normalized text / doc metadata (metadata
+    only for upper — JVM simple-case vs utf8proc full-case mapping disagree
+    on e.g. ß, so upper is gated on the ASCII metadata columns)."""
+    from wikidataquality_spark.operators.normalize import with_normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    n = with_normalized_text(docs.select("doc_id", "lang", "source", "text"))
+    return n.select(
+        "doc_id",
+        "text_norm",
+        (F.col("text_norm") != F.col("text")).alias("changed"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+        F.substring("text_norm", 1, 12).alias("prefix12"),
+        F.upper(F.concat_ws(":", "lang", "source")).alias("lang_source"),
+        F.levenshtein(F.coalesce(F.col("lang"), F.lit("")), F.lit("en"))
+        .cast("long")
+        .alias("lev_en"),
     )
 
 
