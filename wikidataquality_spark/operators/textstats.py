@@ -34,16 +34,22 @@ def token_count(text: Column) -> Column:
 # pack_sequences) — a second copy could drift and silently desynchronize
 # two gates' tokenizations.
 BPE_PIECES_RE_SQL = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\t\n\x0B\f\r ]"
+# Java spelling of the same families (\s is fine JVM-side) — shared with the
+# trained-BPE tokenizer (operators/bpe.py), whose word_counts/encode must
+# segment EXACTLY like the counters here or token budgets drift.
+BPE_PIECES_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def bpe_pieces(text: Column) -> Column:
+    """Array of word-piece units — alternating letter-runs, digit-runs, and
+    single punctuation (the regex families real BPE pre-tokenizers split
+    on). The ONE pre-tokenization every BPE-adjacent operator shares."""
+    return F.regexp_extract_all(text, F.lit(BPE_PIECES_RE), 0)
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish token estimate: count word-piece units — alternating
-    letter-runs, digit-runs, and single punctuation (the regex families real
-    BPE pre-tokenizers split on)."""
-    pieces = F.regexp_extract_all(
-        text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"), 0
-    )
-    return F.size(pieces)
+    """BPE-ish token estimate: count word-piece units."""
+    return F.size(bpe_pieces(text))
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
