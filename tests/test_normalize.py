@@ -132,6 +132,50 @@ def test_normalize_text_end_to_end_and_null(spark):
     assert got[2] is None
 
 
+def test_series_twin_matches_column(spark):
+    """normalize_series (the fused-into-enrich pandas twin) must produce the
+    same bytes as the normalize_text Column for every fault class."""
+    import pandas as pd
+
+    from wikidataquality_spark.operators.normalize import normalize_series
+
+    rows = (
+        NFC_CASES
+        + list(MOJIBAKE_CASES)
+        + CLEAN_CASES
+        + ["a\x00b​c", "“café” ok".encode("utf-8").decode("latin-1"), None]
+    )
+    df = spark.createDataFrame([(s,) for s in rows], "text string")
+    col_out = [r["o"] for r in df.select(normalize_text("text").alias("o")).collect()]
+    ser_out = list(normalize_series(pd.Series(rows, dtype=object)))
+    for s, c, p in zip(rows, col_out, ser_out):
+        p_norm = None if (p is None or (isinstance(p, float) and p != p)) else p
+        assert c == p_norm, (repr(s), repr(c), repr(p))
+
+
+def test_pipeline_normalize_opt_in(spark):
+    """Pipeline opt-in: normalize_text=True repairs a planted-mojibake page
+    before stats/fingerprints; the default leaves bytes untouched (golden
+    byte-identity contract)."""
+    from datetime import datetime
+
+    from wikidataquality_spark.pipeline import PipelineConfig, validate
+
+    moji_text = "â€œthe quick brown fox jumps over the lazy dogâ€\x9d " * 3
+    html = ("<html><body><main>" + moji_text + "</main></body></html>").encode("utf-8")
+    pages = spark.createDataFrame(
+        [("https://ex.com/a", datetime(2024, 1, 1), html, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg_off = PipelineConfig(persist_intermediate=False)
+    cfg_on = PipelineConfig(persist_intermediate=False, normalize_text=True)
+    off = validate(pages, cfg_off).select("text_extracted").collect()[0][0]
+    on = validate(pages, cfg_on).select("text_extracted").collect()[0][0]
+    assert "â€œ" in off and "â€" in off
+    assert "â€" not in on and "“the quick brown fox" in on
+    assert on == _repair_one(off)
+
+
 def test_strip_plan_is_pure_codegen(spark):
     df = spark.createDataFrame([("x",)], "text string")
     buf = io.StringIO()

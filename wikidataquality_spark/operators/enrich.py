@@ -242,24 +242,51 @@ class _FusedScorer:
         )
 
 
-@F.pandas_udf(ENRICH_TYPE)
-def enrich_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    from wikidataquality_spark.operators.dedup import (
-        minhash_params,
-        minhash_sig_series,
-    )
+def _make_enrich_udf(normalize: bool):
+    @F.pandas_udf(ENRICH_TYPE)
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from wikidataquality_spark.operators.dedup import (
+            minhash_params,
+            minhash_sig_series,
+        )
 
-    scorer = _FusedScorer()  # once per task, reused across batches
-    mh_a, mh_b = minhash_params()
-    mh_vocab: dict[str, int] = {}
-    for html in batches:
-        text = extract_text_series(html)
-        scored = scorer.score(text)
-        scored.insert(0, "text_extracted", text)
-        scored["minhash_sig"] = minhash_sig_series(text, mh_a, mh_b, mh_vocab)
-        yield scored
+        if normalize:
+            from wikidataquality_spark.operators.normalize import normalize_series
+
+        scorer = _FusedScorer()  # once per task, reused across batches
+        mh_a, mh_b = minhash_params()
+        mh_vocab: dict[str, int] = {}
+        for html in batches:
+            text = extract_text_series(html)
+            if normalize:
+                # BEFORE any stat/model/hash: mojibake/NFC/zero-width faults
+                # must not reach fingerprints or language ID. Fused here so
+                # the opt-in costs zero extra Arrow stages.
+                text = normalize_series(text)
+            scored = scorer.score(text)
+            scored.insert(0, "text_extracted", text)
+            scored["minhash_sig"] = minhash_sig_series(text, mh_a, mh_b, mh_vocab)
+            yield scored
+
+    return _udf
 
 
-def enriched(html_col: str | Column = "html") -> Column:
+enrich_udf = _make_enrich_udf(normalize=False)
+_enrich_norm_udf = None  # built on first use; a second module-level pandas
+# UDF would register with Spark even for the many sessions that never opt in
+
+
+def enriched(html_col: str | Column = "html", normalize: bool = False) -> Column:
+    """The fused enrich struct. `normalize=True` (OPT-IN — the default is
+    frozen by the golden byte-identity contract) runs the ftfy-class
+    pre-clean (operators/normalize.py) on the extracted text inside the same
+    Arrow stage; `text_extracted` and everything derived from it (stats,
+    langid, perplexity, minhash, downstream scrub/dedup) then see the
+    normalized bytes."""
     col = F.col(html_col) if isinstance(html_col, str) else html_col
-    return enrich_udf(col)
+    if not normalize:
+        return enrich_udf(col)
+    global _enrich_norm_udf
+    if _enrich_norm_udf is None:
+        _enrich_norm_udf = _make_enrich_udf(normalize=True)
+    return _enrich_norm_udf(col)

@@ -150,6 +150,24 @@ def repair_mojibake_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield _repair_series(texts)
 
 
+# Python re accepts the same \uXXXX escapes as Java — one inventory, three
+# engine spellings (Java/RE2/Python).
+import re as _re
+
+_CONTROL_RE_PY = _re.compile(_char_class(lambda c: f"\\u{c:04X}"))
+
+
+def normalize_series(texts: pd.Series) -> pd.Series:
+    """Pandas-side twin of `normalize_text` (repair → NFC → strip), for
+    fusing into an ALREADY-EXISTING Arrow stage (the pipeline's enrich pass
+    normalizes before any stat/hash without paying a second Python
+    round-trip of every body). Column-vs-series equality is gated in
+    tests/test_normalize.py."""
+    out = _repair_series(texts)
+    out = out.map(lambda s: unicodedata.normalize("NFC", s) if s is not None else None)
+    return out.str.replace(_CONTROL_RE_PY, "", regex=True)
+
+
 @F.pandas_udf(T.StringType())
 def nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for texts in batches:

@@ -71,6 +71,11 @@ class PipelineConfig:
     # Drop the fat html column once text is extracted (column pruning by
     # construction — html must never travel through the dedup shuffles).
     drop_html: bool = True
+    # OPT-IN ftfy-class pre-clean (mojibake repair → NFC → control strip)
+    # fused into the enrich pass, BEFORE any stat/model/fingerprint. Default
+    # False: the golden fixtures pin byte-identical extracted/scrubbed text,
+    # and normalization is a corpus-semantics decision, not a bug fix.
+    normalize_text: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -113,7 +118,9 @@ def validate(
         "distinct_line_ratio_stat", "dup_line_char_ratio_stat",
         "alpha_ratio_stat", "has_blockword", "has_pii_email", "minhash_sig",
     ]
-    df = pages.withColumn("_enriched", enriched("html")).selectExpr(
+    df = pages.withColumn(
+        "_enriched", enriched("html", normalize=cfg.normalize_text)
+    ).selectExpr(
         "*", *[f"_enriched.{c} AS {c}" for c in enrich_cols]
     ).drop("_enriched")
     if cfg.drop_html:
