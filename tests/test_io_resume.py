@@ -317,3 +317,54 @@ def test_export_once_replaces_partial_and_publishes_atomically(spark, tmp_path):
     m1 = os.path.getmtime(os.path.join(out, "_SUCCESS"))
     export_once(df, target, "csv")
     assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == m1
+
+
+def test_resume_normalize_fingerprints_normalized_bytes(spark, tmp_path):
+    """--normalize + --resume: state fingerprints recomputed from completed
+    partitions must hash the NORMALIZED bytes — a day-2 mojibake re-crawl of
+    a day-1 page is an exact dup only after repair, and only if the resume
+    path normalizes exactly like the enrich stage does."""
+    import sys
+    from datetime import datetime
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    clean = (
+        "“café research notes” — the quick brown fox "
+        "jumps over the lazy dog and keeps going. " * 4
+    )
+    moji = clean.encode("utf-8").decode("latin-1")  # byte-per-byte mojibake
+    assert moji != clean
+
+    def page(url, ts, text):
+        html = f"<html><body><main>{text}</main></body></html>".encode()
+        return (url, ts, html, None, "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    day1 = [page("https://ex.com/a", datetime(2025, 3, 1, 12), clean),
+            page("https://ex.com/b", datetime(2025, 3, 1, 13), "an unrelated page about rivers. " * 8)]
+    day2 = [page("https://ex.com/a2", datetime(2025, 3, 2, 12), moji),
+            page("https://ex.com/c", datetime(2025, 3, 2, 13), "fresh day two content entirely new. " * 8)]
+
+    d1_path, full_path = str(tmp_path / "d1.parquet"), str(tmp_path / "full.parquet")
+    spark.createDataFrame(day1, schema).write.parquet(d1_path)
+    spark.createDataFrame(day1 + day2, schema).write.parquet(full_path)
+
+    out_dir, met_dir = str(tmp_path / "out"), str(tmp_path / "met")
+    rc = run_pipeline.main(["--input", d1_path, "--output", out_dir,
+                            "--metrics", met_dir, "--normalize", "--run-id", "n1"])
+    assert rc == 0
+    rc2 = run_pipeline.main(["--input", full_path, "--output", out_dir,
+                             "--metrics", met_dir, "--normalize", "--resume",
+                             "--run-id", "n2"])
+    assert rc2 == 0
+
+    out = spark.read.parquet(out_dir)
+    dup = out.filter(F.col("url") == "https://ex.com/a2").collect()[0]
+    assert "unique_value.exact_dup" in dup["violated_rules"]
+    # and its text was actually repaired before hashing
+    assert "â€" not in dup["scrubbed_text"]
+    # the fresh page is NOT flagged
+    fresh = out.filter(F.col("url") == "https://ex.com/c").collect()[0]
+    assert "unique_value.exact_dup" not in fresh["violated_rules"]

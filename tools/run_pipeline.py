@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
         "(hash-partition by host with per-url salting for hosts above 5%% of "
         "rows — BASELINE's explicit-skew mandate; 0 = off)",
     )
+    ap.add_argument(
+        "--normalize",
+        action="store_true",
+        help="ftfy-class pre-clean (mojibake repair / NFC / control strip) "
+        "fused into the enrich stage, before any stat or fingerprint. "
+        "Changes output BYTES — a corpus-semantics switch, default off",
+    )
     args = ap.parse_args(argv)
 
     from wikidataquality_spark.deploy import ensure_shipped
@@ -90,8 +97,17 @@ def main(argv: list[str] | None = None) -> int:
             # whose extraction failed, which the batch side dedup-exempts)
             from wikidataquality_spark.operators.extract import extracted_text
 
+            prior_text = extracted_text("html")
+            if args.normalize:
+                # a normalized run dedups normalized bytes — resume
+                # fingerprints must hash the SAME bytes or nothing matches
+                from wikidataquality_spark.operators.normalize import (
+                    normalize_text,
+                )
+
+                prior_text = normalize_text(prior_text)
             dedup_state = dup_fingerprints(
-                prior.withColumn("text_extracted", extracted_text("html")),
+                prior.withColumn("text_extracted", prior_text),
                 text_col="text_extracted",
             )
         pages = resume_filter(pages, args.output)
@@ -108,7 +124,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "nothing_to_do", "input": args.input}))
         return 0
 
-    validated = validate(pages, dedup_state=dedup_state)
+    cfg = None
+    if args.normalize:
+        from wikidataquality_spark.pipeline import PipelineConfig
+
+        cfg = PipelineConfig(normalize_text=True)
+    validated = validate(pages, config=cfg, dedup_state=dedup_state)
     out = validated.select(*results(validated).columns, "partition")
     entry = write_partitioned(
         out, args.output, partition_col="partition", run_id=args.run_id,

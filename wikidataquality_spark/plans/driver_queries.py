@@ -174,7 +174,17 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit, and the bucket cut on the ROUNDED logit (an FMA-shifted ulp at a
     tercile boundary would otherwise flip a bucket); the sigmoid
     convenience column is tolerance-tested in tests/test_quality_model.py
-    instead (libm exp is not cross-engine bit-stable)."""
+    instead (libm exp is not cross-engine bit-stable).
+
+    Cost shape: TWO corpus passes (the cutoff agg and the assign branch
+    each evaluate the logit projection — Catalyst shares no common subtree
+    across a join's sides). Deliberate: the alternative, a checkpoint/
+    persist barrier on the scored projection, would trade the second
+    streaming scan for materializing ~30 bytes × N rows AND make the query
+    builder eagerly execute (breaking the explain-before-run plan audit);
+    a production deployment would instead write scores to a table once and
+    bucket from there — which is exactly what the two branches become when
+    `scored` is a materialized table."""
     from wikidataquality_spark.operators.pplbucket import with_ppl_bucket
     from wikidataquality_spark.operators.quality_model import (
         load_quality_model,
