@@ -366,6 +366,40 @@ def main() -> int:
             "bit-for-bit against DuckDB in tests/test_pq.py — this block "
             "measures quality, not parity.\n"
         )
+    # same survival rule for the MinHash banding recall block
+    # (tools/minhash_recall.py --write)
+    mh_json = os.path.join(REPO, "tools", "minhash_recall.json")
+    if os.path.exists(mh_json):
+        import json
+
+        with open(mh_json) as f:
+            rec = json.load(f)
+        rows = "\n".join(
+            f"| {rng} | {v['pairs']} | {v['recall']} | {v['planted_pairs']} | "
+            f"{v['planted_recall']} | {v['theory']} |"
+            for rng, v in rec["bins"].items()
+        )
+        out += (
+            "\n## MinHash banding recall (tools/minhash_recall.py)\n\n"
+            f"Band-collision rate vs EXACT shingle Jaccard, {rec['n_docs']} docs "
+            f"({rec['sf_dir']}), {rec['bands']} bands × {rec['rows']} rows. The "
+            "operator marks dups on bucket collision (no verify stage — classic "
+            "MinHash dedup), so collision recall IS operator recall. Corpus "
+            "columns measure the real corpus (its only true near-dups are "
+            "exact-ish copies); `planted` columns sweep controlled token-"
+            "replacement twins across the similarity range; `theory` is "
+            "1-(1-s^r)^b at the bin midpoint:\n\n"
+            "| J bin | corpus pairs | recall | planted pairs | planted recall | theory |\n"
+            "| --- | --- | --- | --- | --- | --- |\n"
+            + rows
+            + f"\n\nCandidate pairs on the corpus slice: {rec['n_candidate_pairs']}, "
+            f"precision at J≥0.7: {rec['precision_at_070']} (band false positives "
+            "cost a wrongly-dropped doc here — the no-verify design leans on the "
+            "16×8 S-curve being steep, which the planted sweep confirms "
+            "empirically). Signatures replay the exact UDF code path "
+            "(_shingle_hashes/_minhash_sig) — this block measures QUALITY; "
+            "engine parity is gated by the frozen signature fixtures in tests.\n"
+        )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(out)
     print(out)
