@@ -196,3 +196,24 @@ def test_cache_transparency():
     # the purity contract it relies on
     out2 = [encode_word(w, ranks) for w in words]
     assert out1 == out2
+
+
+def test_pack_on_exact_bpe_counts(spark, sf001_dir):
+    """Composition: pack_sequences over the trained tokenizer's EXACT token
+    counts (the n_tokens_col seam) — block assignment must be consistent
+    with the real token stream: offsets advance by exactly size(bpe_tokens)
+    within a (source, shard) stream."""
+    from wikidataquality_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet").limit(60)
+    bpe = with_bpe_tokens(docs)
+    packed = pack_sequences(
+        bpe, seq_len=128, n_tokens_col=F.coalesce(F.col("bpe_token_count"), F.lit(0).cast("long"))
+    ).collect()
+    rows = sorted(packed, key=lambda r: (r["source"], r["shard"], r["doc_id"]))
+    stream_pos: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["source"], r["shard"])
+        pos = stream_pos.get(key, 0)
+        assert r["pack_id"] == pos // 128 and r["pack_offset"] == pos % 128, r
+        stream_pos[key] = pos + r["n_tokens"]
