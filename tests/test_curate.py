@@ -1,0 +1,116 @@
+"""Curation funnel gates: conservation (stages sum to input), cascade
+attribution (first failing stage owns the doc), determinism, fail-closed
+decontamination, selection modes, packing consistency, and the CLI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.curate import CurateConfig, curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120)
+        .cache()
+    )
+
+
+def _run(docs, cfg):
+    registry: list = []
+    curated, funnel = curate(docs, cfg, persist_registry=registry)
+    c = curated.collect()
+    f = {r["stage"]: r["n"] for r in funnel.collect()}
+    for df in registry:
+        df.unpersist()
+    return c, f
+
+
+def test_conservation_and_kept_matches_filter(docs):
+    c, f = _run(docs, CurateConfig(pack=False))
+    assert sum(f.values()) == docs.count()
+    assert f.get("kept", 0) == len(c)
+    assert len(c) > 0
+
+
+def test_benchmark_contamination_drops_and_cascade(docs, spark):
+    # benchmark = the text of two docs → those docs must drop as
+    # contaminated UNLESS an earlier stage (quality/dedup) already owns them
+    bench_rows = docs.orderBy("doc_id").limit(2).select("text").collect()
+    bench = spark.createDataFrame([(r["text"],) for r in bench_rows], "text string")
+    c, f = _run(docs, CurateConfig(pack=False, benchmark=bench))
+    c_ids = {r["doc_id"] for r in c}
+    planted = {r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()}
+    assert not (planted & c_ids)
+    # attribution is exclusive: totals still conserve
+    assert sum(f.values()) == docs.count()
+    # vs the no-benchmark run, only decontaminate and later stages may
+    # differ — eligibility/quality/dedup counts are unchanged (cascade order)
+    _, f0 = _run(docs, CurateConfig(pack=False))
+    for stage in ("eligibility", "quality", "dedup"):
+        assert f.get(stage, 0) == f0.get(stage, 0), (stage, f, f0)
+
+
+def test_determinism(docs):
+    c1, f1 = _run(docs, CurateConfig(pack=False, rates={"src1": 0.5}, sample_seed=3))
+    c2, f2 = _run(docs, CurateConfig(pack=False, rates={"src1": 0.5}, sample_seed=3))
+    assert f1 == f2
+    assert sorted(r["doc_id"] for r in c1) == sorted(r["doc_id"] for r in c2)
+
+
+def test_dsir_topk_selection(docs):
+    k = 10
+    c, f = _run(docs, CurateConfig(pack=False, dsir_k=k))
+    assert f.get("kept", 0) == len(c)
+    assert len(c) <= k
+    _, f0 = _run(docs, CurateConfig(pack=False))
+    # select drops exactly the survivors beyond k
+    assert f.get("select", 0) == f0.get("kept", 0) - len(c)
+
+
+def test_rates_and_dsir_exclusive(docs):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, CurateConfig(rates={"a": 0.1}, dsir_k=5))
+
+
+def test_pack_columns_consistent(docs):
+    c, _ = _run(docs, CurateConfig(seq_len=64))
+    rows = sorted(c, key=lambda r: (r["source"], r["doc_id"]))
+    assert all(r["n_tokens"] == len(r["bpe_tokens"]) for r in rows)
+    pos: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["source"], r["doc_id"] // 10_000)
+        p = pos.get(key, 0)
+        assert r["pack_id"] == p // 64 and r["pack_offset"] == p % 64, r
+        pos[key] = p + r["n_tokens"]
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    import json as json_mod
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_corpus
+
+    out_dir = str(tmp_path / "curated")
+    buf, old = StringIO(), sys.stdout
+    sys.stdout = buf
+    try:
+        rc = curate_corpus.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out_dir, "--seq-len", "128"]
+        )
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    res = json_mod.loads([l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert res["docs_kept"] > 0
+    assert res["docs_in"] == sum(res["funnel"].values())
+    back = spark.read.parquet(out_dir)
+    assert back.count() == res["docs_kept"]
+    for col in ("quality_bucket", "bpe_token_count", "pack_id", "pack_offset"):
+        assert col in back.columns

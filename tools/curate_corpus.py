@@ -1,0 +1,87 @@
+"""Training-corpus curation CLI — the spark-submit surface for curate().
+
+    spark-submit --py-files <pkg.zip> tools/curate_corpus.py \
+        --input /data/documents --output /data/curated \
+        [--benchmark /data/eval_docs] [--rates '{"src1": 0.5}'] \
+        [--dsir-k 100000] [--normalize] [--no-dedup] [--no-pack] \
+        [--seq-len 2048] [--drop-buckets tail] [--cpus N]
+
+Writes the curated corpus (quality columns + BPE token counts + pack
+assignment) as parquet and prints ONE JSON line with the attrition funnel;
+the same funnel is saved inside the output dir as _funnel.json (underscore-
+prefixed so parquet readers skip it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output", required=True, help="curated parquet dir")
+    ap.add_argument("--benchmark", default=None, help="eval-set parquet (text col) to decontaminate against")
+    ap.add_argument("--rates", default=None, help='JSON per-source keep rates, e.g. \'{"src1": 0.5}\'')
+    ap.add_argument("--dsir-k", type=int, default=None, help="DSIR importance top-k selection")
+    ap.add_argument("--normalize", action="store_true")
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--no-pack", action="store_true")
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--drop-buckets", default="tail", help="comma-joined CCNet buckets to drop ('' = none)")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from wikidataquality_spark.curate import CurateConfig, curate
+    from wikidataquality_spark.deploy import ensure_shipped
+    from wikidataquality_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="wdq_curate")
+    ensure_shipped(spark)
+
+    docs = spark.read.parquet(args.input)
+    cfg = CurateConfig(
+        normalize=args.normalize,
+        drop_buckets=tuple(b for b in args.drop_buckets.split(",") if b),
+        dedup=not args.no_dedup,
+        benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+        rates=json.loads(args.rates) if args.rates else None,
+        dsir_k=args.dsir_k,
+        pack=not args.no_pack,
+        seq_len=args.seq_len,
+    )
+    t0 = time.perf_counter()
+    registry: list = []
+    curated, funnel = curate(docs, cfg, persist_registry=registry)
+    curated.write.mode("overwrite").parquet(args.output)
+    stages = {r["stage"]: r["n"] for r in funnel.collect()}
+    for df in registry:
+        df.unpersist()
+    out = {
+        "status": "ok",
+        "input": args.input,
+        "output": args.output,
+        "funnel": stages,
+        "docs_in": sum(stages.values()),
+        "docs_kept": stages.get("kept", 0),
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+    # underscore prefix: Spark/Hadoop readers ignore _-prefixed files, so
+    # the manifest can live inside the dataset dir without breaking
+    # read.parquet(output)
+    with open(os.path.join(args.output, "_funnel.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

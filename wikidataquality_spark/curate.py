@@ -1,0 +1,232 @@
+"""End-to-end training-corpus curation: one auditable funnel composing the
+engine's LLM-pipeline families.
+
+The composition a training-data team actually runs, as ONE DAG:
+
+  eligibility → (opt-in) normalize → quality score + CCNet bucket →
+  dedup (exact + MinHash) → benchmark decontamination →
+  selection (stratified rates OR DSIR top-k) → trained-BPE tokenize + pack
+
+Scale shape — flags first, count once, filter once:
+  every stage emits a FLAG column over the same frame (scrub-not-drop, the
+  house convention); the funnel is then ONE aggregation over a first-failing-
+  stage attribution expression, and the curated output is ONE filter. No
+  per-stage count() actions, no per-stage materialization — at 10¹² docs the
+  whole funnel costs a single pass over the corpus plus the operators' own
+  bounded shuffles (dedup's narrow key aggs, decontamination's broadcast
+  gram join, selection's literal CASE or top-k).
+
+Attribution is CASCADE-ordered (eligibility ≺ quality ≺ dedup ≺
+decontaminate ≺ select): a doc that is both tail-quality and contaminated
+counts against quality — each dropped doc appears in EXACTLY one funnel row,
+so the rows sum to docs_in (conservation is gated in tests/test_curate.py).
+
+Unverifiable rows fail CLOSED: contamination_marks yields NULL for NULL-id
+docs ("cannot be re-attached through the NULL join key"); curate() drops
+them at the decontaminate stage rather than letting a possibly-contaminated
+doc into training data.
+
+Reference analogue: the full DelegatingConstraintChecker job surface
+(ref≈includes/ConstraintCheck/DelegatingConstraintChecker.php:~40-200)
+driving every checker and summarizing violations — here the checkers are
+corpus-curation stages and the summary is the attrition funnel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STAGES = ("eligibility", "quality", "dedup", "decontaminate", "select", "kept")
+
+
+@dataclass
+class CurateConfig:
+    normalize: bool = False  # ftfy-class pre-clean before any scoring/hash
+    drop_buckets: tuple[str, ...] = ("tail",)  # CCNet buckets to drop
+    dedup: bool = True
+    benchmark: DataFrame | None = None  # eval-set docs (text col) to decontaminate against
+    # selection: at most one of —
+    rates: dict[str, float] | None = None  # stratified per-source keep rates
+    dsir_k: int | None = None  # DSIR importance top-k
+    sample_seed: int = 0
+    # packing
+    pack: bool = True  # trained-BPE token counts + pack assignment
+    seq_len: int = 2048
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    lang_col: str = "lang"
+    source_col: str = "source"
+    extra: dict = field(default_factory=dict)
+
+
+def curate(
+    docs: DataFrame,
+    cfg: CurateConfig | None = None,
+    persist_registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (curated, funnel).
+
+    curated: surviving docs with quality columns (+ BPE token counts and
+    pack assignment when cfg.pack). funnel: (stage, n) — docs dropped at
+    each stage under first-failing-stage attribution, plus the final
+    'kept' row; rows sum to the input count.
+
+    The flagged frame is sealed with the house persist + noop-write barrier
+    (same rationale and `persist_registry` ownership contract as
+    pipeline.validate): the funnel aggregation, the curated filter, and the
+    DSIR top-k are separate consumers that would otherwise each recompute
+    the enrich/normalize/dedup work. At 10¹²-doc scale the equivalent is
+    writing the flagged frame to a stage table."""
+    cfg = cfg or CurateConfig()
+    if cfg.rates is not None and cfg.dsir_k is not None:
+        raise ValueError("rates and dsir_k are mutually exclusive selection modes")
+
+    from wikidataquality_spark.operators.pplbucket import with_ppl_bucket
+    from wikidataquality_spark.operators.quality_model import (
+        load_quality_model,
+        with_quality_score,
+    )
+
+    id_c, text_c = cfg.id_col, cfg.text_col
+
+    if cfg.normalize:
+        from wikidataquality_spark.operators.normalize import normalize_text
+
+        docs = docs.withColumn(text_c, normalize_text(text_c))
+
+    # --- stage flags (no actions yet) ----------------------------------
+    flagged = docs.withColumn(
+        "_eligible",
+        F.col(id_c).isNotNull()
+        & F.col(text_c).isNotNull()
+        & (F.length(text_c) > 0),
+    )
+
+    scored = with_quality_score(flagged, text_col=text_c, art=load_quality_model())
+    scored = scored.withColumn("_ql6", F.round("quality_logit", 6))
+    scored = with_ppl_bucket(
+        scored, lang_col=cfg.lang_col, value_col="_ql6", out_col="quality_bucket"
+    )
+    # NULL bucket (NULL lang/score) is NOT a quality drop — eligibility and
+    # decontamination own the NULL cases; quality drops only what it scored.
+    scored = scored.withColumn(
+        "_quality_drop", F.coalesce(F.col("quality_bucket").isin(*cfg.drop_buckets), F.lit(False))
+    )
+
+    if cfg.dedup:
+        from wikidataquality_spark.operators.dedup import dup_marks
+
+        scored = dup_marks(scored, text_col=text_c, id_col=id_c)
+        scored = scored.withColumn(
+            "_dup_drop",
+            F.coalesce(F.col("is_exact_dup"), F.lit(False))
+            | F.coalesce(F.col("is_near_dup"), F.lit(False)),
+        )
+    else:
+        scored = scored.withColumn("_dup_drop", F.lit(False))
+
+    if cfg.benchmark is not None:
+        from wikidataquality_spark.operators.decontaminate import contamination_marks
+
+        marks = contamination_marks(
+            scored, cfg.benchmark, id_col=id_c, text_col=text_c
+        ).select(id_c, "contaminated")
+        scored = scored.join(marks, id_c, "left")
+        # NULL contaminated = unverifiable → fail closed (drop here)
+        scored = scored.withColumn(
+            "_contam_drop", F.coalesce(F.col("contaminated"), F.lit(True))
+        )
+    else:
+        scored = scored.withColumn("_contam_drop", F.lit(False))
+
+    # Seal the heavy flags (UDF enrich + dedup shuffles + gram join) before
+    # the multi-consumer tail: selection, funnel agg, and curated filter
+    # all read the cache instead of racing to recompute the DAG.
+    scored = scored.persist()
+    scored.write.format("noop").mode("overwrite").save()
+    if persist_registry is not None:
+        persist_registry.append(scored)
+
+    if cfg.rates is not None:
+        from wikidataquality_spark.operators.sampling import stratified_sample_marks
+
+        scored = stratified_sample_marks(
+            scored,
+            cfg.rates,
+            stratum_col=cfg.source_col,
+            id_col=id_c,
+            seed=cfg.sample_seed,
+        )
+        scored = scored.withColumn("_select_drop", ~F.col("sampled"))
+    elif cfg.dsir_k is not None:
+        from wikidataquality_spark.operators.dsir import dsir_gumbel_topk
+
+        # top-k over docs that SURVIVE the earlier stages — selecting from
+        # already-dropped docs would waste the budget on rows the filter
+        # removes. The k-row result broadcasts back as a flag.
+        survivors = scored.filter(
+            F.col("_eligible")
+            & ~F.col("_quality_drop")
+            & ~F.col("_dup_drop")
+            & ~F.col("_contam_drop")
+        )
+        picked = dsir_gumbel_topk(
+            survivors, cfg.dsir_k, id_col=id_c, text_col=text_c
+        ).select(F.col(id_c), F.lit(True).alias("_picked"))
+        scored = scored.join(F.broadcast(picked), id_c, "left")
+        scored = scored.withColumn(
+            "_select_drop", ~F.coalesce(F.col("_picked"), F.lit(False))
+        ).drop("_picked")
+    else:
+        scored = scored.withColumn("_select_drop", F.lit(False))
+
+    # --- funnel: ONE aggregation, first-failing-stage attribution -------
+    reason = (
+        F.when(~F.col("_eligible"), F.lit("eligibility"))
+        .when(F.col("_quality_drop"), F.lit("quality"))
+        .when(F.col("_dup_drop"), F.lit("dedup"))
+        .when(F.col("_contam_drop"), F.lit("decontaminate"))
+        .when(F.col("_select_drop"), F.lit("select"))
+        .otherwise(F.lit("kept"))
+    )
+    scored = scored.withColumn("_stage", reason)
+    funnel = scored.groupBy(F.col("_stage").alias("stage")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    # --- curated output: ONE filter (+ optional tokenize/pack) ----------
+    curated = scored.filter(F.col("_stage") == "kept").drop(
+        "_eligible",
+        "_quality_drop",
+        "_dup_drop",
+        "_contam_drop",
+        "_select_drop",
+        "_stage",
+        "_ql6",
+    )
+    if cfg.pack:
+        from wikidataquality_spark.operators.bpe import load_bpe, with_bpe_tokens
+        from wikidataquality_spark.operators.packing import pack_sequences
+
+        curated = with_bpe_tokens(curated, art=load_bpe(), text_col=text_c)
+        # both consumers below (the pack window's narrow projection and the
+        # re-attach join's wide side) would re-run the encode UDF — seal it
+        curated = curated.persist()
+        curated.write.format("noop").mode("overwrite").save()
+        if persist_registry is not None:
+            persist_registry.append(curated)
+        packed = pack_sequences(
+            curated,
+            seq_len=cfg.seq_len,
+            id_col=id_c,
+            source_col=cfg.source_col,
+            text_col=text_c,
+            n_tokens_col=F.coalesce(
+                F.col("bpe_token_count"), F.lit(0).cast("long")
+            ),
+        ).select(id_c, "n_tokens", "pack_id", "pack_offset")
+        curated = curated.join(packed, id_c)
+    return curated, funnel
