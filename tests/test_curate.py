@@ -114,3 +114,15 @@ def test_cli_end_to_end(spark, tmp_path):
     assert back.count() == res["docs_kept"]
     for col in ("quality_bucket", "bpe_token_count", "pack_id", "pack_offset"):
         assert col in back.columns
+
+
+def test_unlisted_sources_kept_by_default(docs):
+    """default_rate=1.0: a rates dict naming one source must not silently
+    drop every other source (r04 review — the operator-level default of 0.0
+    turned a down-sample into an allowlist)."""
+    c, _ = _run(docs, CurateConfig(pack=False, rates={"src1": 0.0}))
+    kept_sources = {r["source"] for r in c}
+    all_sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert "src1" not in kept_sources
+    assert kept_sources == (all_sources - {"src1"}) or kept_sources.issubset(all_sources)
+    assert len(kept_sources) > 0

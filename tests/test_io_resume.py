@@ -368,3 +368,24 @@ def test_resume_normalize_fingerprints_normalized_bytes(spark, tmp_path):
     # the fresh page is NOT flagged
     fresh = out.filter(F.col("url") == "https://ex.com/c").collect()[0]
     assert "unique_value.exact_dup" not in fresh["violated_rules"]
+
+
+def test_resume_refuses_normalize_mismatch(spark, tmp_path):
+    """A resumed run with a different --normalize setting must fail loudly:
+    mixing text semantics across partitions of one dataset is unrecoverable
+    downstream (r04 review)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    from wikidataquality_spark.datagen import write_pages_parquet
+
+    corpus = write_pages_parquet(str(tmp_path / "pages.parquet"), 60, seed=9)
+    out_dir, met_dir = str(tmp_path / "out"), str(tmp_path / "met")
+    rc = run_pipeline.main(["--input", corpus, "--output", out_dir,
+                            "--metrics", met_dir, "--run-id", "m1"])
+    assert rc == 0
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        run_pipeline.main(["--input", corpus, "--output", out_dir,
+                           "--metrics", met_dir, "--resume", "--normalize"])

@@ -199,3 +199,40 @@ def test_normalize_plan_single_arrow_stage_no_shuffle(spark, sf001_dir):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
     for node in ("Exchange", "BatchEvalPython", "Join"):
         assert node not in plan, plan
+
+
+def test_marker_prefilter_covers_all_scripts():
+    """The prefilter must pass every script's mojibake through to repair —
+    the hand-picked marker list missed Cyrillic/Greek/Polish leads
+    (r04 review). Uses _repair_series (the prefiltered path), not
+    _repair_one directly."""
+    import pandas as pd
+
+    from wikidataquality_spark.operators.normalize import _repair_series
+
+    cases = {
+        "Ð¿Ñ€Ð¸Ð²ÐµÑ‚ Ð¼Ð¸Ñ€": "привет мир",  # Russian
+        "Å‚adny Å›wiat": "ładny świat",  # Polish
+        "ÎµÎ»Î»Î·Î½Î¹ÎºÎ¬": "ελληνικά",  # Greek
+        "â€™tis Ã©tait": "’tis était",  # the original Western cases
+    }
+    got = _repair_series(pd.Series(list(cases), dtype=object))
+    for (src, want), g in zip(cases.items(), got):
+        assert g == want, (repr(src), repr(g))
+    # clean accented text must NOT match the prefilter (no repair attempt
+    # cost, no change): lead chars appear but never lead+continuation bigrams
+    clean = pd.Series(["été déjà naïve Øre straße", None], dtype=object)
+    out = _repair_series(clean)
+    assert out[0] == clean[0] and out[1] is None
+
+
+def test_normalize_series_nan_tolerant():
+    import numpy as np
+    import pandas as pd
+
+    from wikidataquality_spark.operators.normalize import normalize_series
+
+    out = normalize_series(pd.Series(["ok", None, np.nan], dtype=object))
+    assert out[0] == "ok"
+    assert out[1] is None or out[1] != out[1]
+    assert out[2] is None or out[2] != out[2]

@@ -137,3 +137,38 @@ def test_assign_plan_broadcast_no_doc_sort(spark, docs):
     ), plan
     for node in ("SortMergeJoin", "CartesianProduct"):
         assert node not in plan, plan
+
+
+def test_mixed_rational_irrational_qs_twin_parity(spark):
+    """Per-q threshold path choice: a rational q must use exact integer
+    arithmetic in BOTH engines even when the other q is irrational
+    (r04 review: the twin floated both when either was irrational)."""
+    import math
+
+    rows = [(i, "en", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, perplexity double")
+    df.createOrReplaceTempView("t_mixed")
+    qs = (0.07, 1.0 / math.pi)
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in with_ppl_bucket(df, qs=qs).collect()
+    }
+    con = duckdb.connect()
+    con.register("t_mixed_pd", df.toPandas())
+    sql = ppl_bucket_sql("t_mixed_pd", qs=qs)
+    want = {i: b for i, b in con.execute(sql).fetchall()}
+    assert got == want
+    # the exact-integer boundary: ceil(0.07*100) must be 7, not 8
+    assert got[7] == "head" and got[8] != "head"
+
+
+def test_caller_cut_columns_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 1.0, 99.0), (2, "en", 2.0, 98.0), (3, "en", 3.0, 97.0)],
+        "doc_id long, lang string, perplexity double, cut1 double",
+    )
+    out = with_ppl_bucket(df)
+    assert "cut1" in out.columns
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["cut1"] == 99.0  # the CALLER's column, untouched
+    assert rows[1]["ppl_bucket"] == "head"

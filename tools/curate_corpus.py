@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--benchmark", default=None, help="eval-set parquet (text col) to decontaminate against")
     ap.add_argument("--rates", default=None, help='JSON per-source keep rates, e.g. \'{"src1": 0.5}\'')
+    ap.add_argument("--default-rate", type=float, default=1.0,
+                    help="keep rate for sources not listed in --rates (1.0 = keep; 0.0 = allowlist)")
     ap.add_argument("--dsir-k", type=int, default=None, help="DSIR importance top-k selection")
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument("--no-dedup", action="store_true")
@@ -54,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup=not args.no_dedup,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         rates=json.loads(args.rates) if args.rates else None,
+        default_rate=args.default_rate,
         dsir_k=args.dsir_k,
         pack=not args.no_pack,
         seq_len=args.seq_len,

@@ -70,6 +70,23 @@ def main(argv: list[str] | None = None) -> int:
     pages = spark.read.parquet(args.input)
     pages = partition_column(pages, by=args.partition_by)
     dedup_state = None
+    # byte-semantics fingerprint: recorded with every run, checked on
+    # resume. Mixing --normalize and default partitions in ONE dataset
+    # gives partition-dependent bytes and resume-state fingerprints that
+    # no longer describe what the prior run wrote — refuse loudly.
+    cfg_fp = {"normalize": bool(args.normalize)}
+    if args.resume:
+        from wikidataquality_spark.io.catalog import read_manifest
+
+        for run in read_manifest(args.output).get("runs", []):
+            prior = run.get("config_fingerprint")
+            if prior is not None and prior != cfg_fp:
+                raise ValueError(
+                    f"resume config mismatch: prior run {run['run_id']} wrote "
+                    f"partitions with {prior}, this invocation is {cfg_fp} — "
+                    "a resumed dataset must keep one text semantics; rerun "
+                    "with matching flags or use a fresh --output"
+                )
     if args.resume:
         # Cross-partition dedup must still see the documents a previous run
         # already validated: without state, a resumed run deduplicates only
@@ -133,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
     out = validated.select(*results(validated).columns, "partition")
     entry = write_partitioned(
         out, args.output, partition_col="partition", run_id=args.run_id,
-        input_snapshot=args.input,
+        input_snapshot=args.input, config_fingerprint=cfg_fp,
     )
     n_in = entry["rows"]
     metrics = rule_metrics(validated, by=args.partition_by)

@@ -50,6 +50,11 @@ class CurateConfig:
     benchmark: DataFrame | None = None  # eval-set docs (text col) to decontaminate against
     # selection: at most one of —
     rates: dict[str, float] | None = None  # stratified per-source keep rates
+    # rate for sources NOT listed in `rates`. Curation default is 1.0 (keep
+    # unlisted sources): the operator-level default of 0.0 silently dropped
+    # every source a `--rates '{"cc": 0.5}'` invocation forgot to mention
+    # (r04 review). Pass 0.0 explicitly for allowlist semantics.
+    default_rate: float = 1.0
     dsir_k: int | None = None  # DSIR importance top-k
     sample_seed: int = 0
     # packing
@@ -156,6 +161,7 @@ def curate(
         scored = stratified_sample_marks(
             scored,
             cfg.rates,
+            default_rate=cfg.default_rate,
             stratum_col=cfg.source_col,
             id_col=id_c,
             seed=cfg.sample_seed,

@@ -89,6 +89,7 @@ def write_partitioned(
     partition_col: str = "partition",
     run_id: str | None = None,
     input_snapshot: str | None = None,
+    config_fingerprint: dict | None = None,
 ) -> dict:
     """Write df partitioned by partition_col — dynamic partition OVERWRITE
     (a re-run of the same partition replaces it, the idempotent-resume
@@ -135,6 +136,11 @@ def write_partitioned(
         "rows": int(sum(r[1] for r in counted)),
         "input_snapshot": input_snapshot,
     }
+    if config_fingerprint is not None:
+        # byte-semantics switches (e.g. run_pipeline --normalize) recorded
+        # per run so a resume can REFUSE to mix partitions written under
+        # different text semantics into one dataset (r04 review)
+        entry["config_fingerprint"] = dict(config_fingerprint)
     with _manifest_lock(table_dir):
         manifest = read_manifest(table_dir)
         manifest["runs"].append(entry)

@@ -89,13 +89,31 @@ def strip_control_chars_sql(text_expr: str) -> str:
 
 
 # --- mojibake repair -------------------------------------------------------
-# Marker prefilter: UTF-8 multi-byte lead bytes land on these cp1252 chars.
-# Â/Ã/Ä/Å = 0xC2-0xC5 leads (Latin-1 Supplement, Latin Extended); â€ is the
-# 0xE2 0x80 lead pair of General Punctuation (’ “ ” – — …). A clean document
-# can legitimately contain "Ã©tait"-free accented text; the STRICT
-# round-trip requirement below is what prevents false repairs, the regex
-# only bounds how many rows pay for the attempt.
-_MOJIBAKE_MARKERS = "(?:Ã.|Â.|â€|å…|ð)"
+# Marker prefilter: a UTF-8 LEAD byte (0xC2-0xF4) mis-decoded as cp1252/
+# latin-1 lands on Â…ô, and it is always FOLLOWED by a continuation byte
+# (0x80-0xBF), which lands on the cp1252 decodes of that range (€ ‚ " – ™ œ
+# NBSP ¡ £ © ® ½ …) or, for cp1252's five undefined slots via the latin-1
+# path, a raw C1 control. Legitimate accented text ("été", "Ø", "привет")
+# contains lead-range chars but essentially never lead+continuation
+# BIGRAMS, so the prefilter is tight while covering EVERY script's mojibake
+# (the r04 review caught the previous hand-picked marker list missing
+# Cyrillic/Greek/Polish leads 0xC4-0xD1 — those pages silently skipped
+# repair). The STRICT round-trip requirement in _repair_one is what prevents
+# false repairs; the regex only bounds how many rows pay for the attempt.
+import re as _mk_re
+
+
+def _continuation_chars() -> str:
+    out = []
+    for byte in range(0x80, 0xC0):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:  # cp1252 undefined → latin-1 C1 control
+            out.append(chr(byte))
+    return "".join(_mk_re.escape(c) for c in sorted(set(out)))
+
+
+_MOJIBAKE_MARKERS = f"[Â-ô][{_continuation_chars()}]"
 
 # "Sloppy cp1252" (the ftfy term): web text misdecoded as latin-1 instead of
 # cp1252 carries raw C1 controls (U+0080-U+009F) where cp1252 has € ‚ ƒ … —
@@ -163,17 +181,21 @@ def normalize_series(texts: pd.Series) -> pd.Series:
     normalizes before any stat/hash without paying a second Python
     round-trip of every body). Column-vs-series equality is gated in
     tests/test_normalize.py."""
-    out = _repair_series(texts)
-    out = out.map(lambda s: unicodedata.normalize("NFC", s) if s is not None else None)
+    out = _repair_series(texts).map(_nfc_or_none)
     return out.str.replace(_CONTROL_RE_PY, "", regex=True)
+
+
+# isinstance guard, not `is not None`: a float NaN missing-value marker
+# (pandas .str ops emit NaN, not None) would crash unicodedata.normalize
+# and kill the whole Arrow batch (r04 review).
+def _nfc_or_none(s):
+    return unicodedata.normalize("NFC", s) if isinstance(s, str) else None
 
 
 @F.pandas_udf(T.StringType())
 def nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for texts in batches:
-        yield texts.map(
-            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
-        )
+        yield texts.map(_nfc_or_none)
 
 
 @F.pandas_udf(T.StringType())
@@ -181,9 +203,7 @@ def repair_nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Fused repair→NFC in ONE Arrow stage (the arrow_le1 plan-budget shape:
     composing the two single-op UDFs would stack two ArrowEvalPython nodes)."""
     for texts in batches:
-        yield _repair_series(texts).map(
-            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
-        )
+        yield _repair_series(texts).map(_nfc_or_none)
 
 
 def nfc_normalize(text: Column | str) -> Column:

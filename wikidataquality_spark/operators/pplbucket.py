@@ -109,18 +109,24 @@ def with_ppl_bucket(
     if cutoffs is None:
         cutoffs = ppl_cutoffs(df, lang_col, value_col, qs, round_to)
     v = _rounded(F.col(value_col), round_to)
+    # every cutoff column gets the __ prefix before the join: a caller frame
+    # that already carries cut1/cut2 would otherwise be clobbered by the
+    # unconditional drop below (r04 review)
+    cuts = (
+        cutoffs.withColumnRenamed("lang", "__cut_lang")
+        .withColumnRenamed("cut1", "__cut1")
+        .withColumnRenamed("cut2", "__cut2")
+    )
     joined = df.join(
-        F.broadcast(cutoffs.withColumnRenamed("lang", "__cut_lang")),
-        F.col(lang_col) == F.col("__cut_lang"),
-        "left",
+        F.broadcast(cuts), F.col(lang_col) == F.col("__cut_lang"), "left"
     )
     bucket = (
         F.when(F.col(value_col).isNull() | F.col("__cut_lang").isNull(), F.lit(None))
-        .when(v <= F.col("cut1"), F.lit("head"))
-        .when(v <= F.col("cut2"), F.lit("middle"))
+        .when(v <= F.col("__cut1"), F.lit("head"))
+        .when(v <= F.col("__cut2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return joined.withColumn(out_col, bucket).drop("__cut_lang", "cut1", "cut2")
+    return joined.withColumn(out_col, bucket).drop("__cut_lang", "__cut1", "__cut2")
 
 
 def ppl_bucket_ctes(
@@ -138,13 +144,19 @@ def ppl_bucket_ctes(
     ON t.{lang_expr} = cuts.lang`. Both embed the identical ceil arithmetic
     and tie/NULL semantics as the Spark operator."""
     v = f"round({value_expr}, {round_to})" if round_to is not None else value_expr
-    fracs = [_as_fraction(q) for q in qs]
-    if all(fracs):
-        t1 = f"(n * {fracs[0][0]} + {fracs[0][1] - 1}) // {fracs[0][1]}"
-        t2 = f"(n * {fracs[1][0]} + {fracs[1][1] - 1}) // {fracs[1][1]}"
-    else:  # float path, mirrors F.ceil(n * q)
-        t1 = f"CAST(ceil(n * {qs[0]!r}) AS BIGINT)"
-        t2 = f"CAST(ceil(n * {qs[1]!r}) AS BIGINT)"
+
+    # per-q path choice, EXACTLY like ppl_cutoffs.thresh — choosing the
+    # integer path only `if all(fracs)` diverged from Spark on mixed qs
+    # like (0.07, 1/π): Spark used exact ints for the rational one while
+    # the twin floated both, flipping a boundary cutoff (r04 review)
+    def _t(q: float) -> str:
+        frac = _as_fraction(q)
+        if frac is not None:
+            a_, b_ = frac
+            return f"(n * {a_} + {b_ - 1}) // {b_}"
+        return f"CAST(ceil(n * {q!r}) AS BIGINT)"
+
+    t1, t2 = _t(qs[0]), _t(qs[1])
     ctes = f"""per_value AS (
   SELECT {lang_expr} AS lang, {v} AS v, COUNT(*) AS c
   FROM {table}
