@@ -126,3 +126,32 @@ def test_unlisted_sources_kept_by_default(docs):
     assert "src1" not in kept_sources
     assert kept_sources == (all_sources - {"src1"}) or kept_sources.issubset(all_sources)
     assert len(kept_sources) > 0
+
+
+def test_cli_temperature_mixture(spark, tmp_path):
+    import json as json_mod
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_corpus
+
+    out_dir = str(tmp_path / "curated_temp")
+    buf, old = StringIO(), sys.stdout
+    sys.stdout = buf
+    try:
+        rc = curate_corpus.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out_dir, "--no-pack", "--temperature", "5.0"]
+        )
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    res = json_mod.loads([l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert res["docs_kept"] > 0
+    # exclusivity guard
+    with pytest.raises(ValueError, match="exclusive"):
+        curate_corpus.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out_dir, "--temperature", "2.0", "--dsir-k", "5"]
+        )

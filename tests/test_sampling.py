@@ -108,3 +108,49 @@ def test_default_named_stratum_is_still_validated():
         stratified_sample_marks(None, {"default": 1.5})
     with pytest.raises(ValueError, match="default_rate"):
         stratified_sample_marks(None, {}, default_rate=-0.1)
+
+
+def test_temperature_rates_shapes():
+    from wikidataquality_spark.operators.sampling import temperature_rates
+
+    sizes = {"en": 1_000_000, "fr": 100_000, "sw": 1_000}
+    # τ=1: natural proportions — the largest feasible T keeps everything
+    r1 = temperature_rates(sizes, temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in r1.values()), r1
+    # τ→large: flattens toward uniform — the rare stratum is kept fully,
+    # the head is down-sampled hardest
+    r5 = temperature_rates(sizes, temperature=100.0)
+    assert r5["sw"] == 1.0
+    assert r5["en"] < r5["fr"] < 1.0
+    # expected counts match the mixture shape: n_s·rate_s ∝ p_s
+    picked = {s: sizes[s] * r5[s] for s in sizes}
+    assert abs(picked["en"] / picked["sw"] - 1.0) < 0.1  # near-uniform
+    # explicit FEASIBLE budget: total expected ≈ target, shape preserved
+    r = temperature_rates(sizes, temperature=2.0, target_total=30_000)
+    total = sum(sizes[s] * r[s] for s in sizes)
+    assert abs(total - 30_000) < 1.0
+    # INFEASIBLE budget (rate_sw would exceed 1): capped at t_max with the
+    # shape preserved — the documented scale-down, not a silent upsample
+    r_cap = temperature_rates(sizes, temperature=2.0, target_total=50_000)
+    assert max(r_cap.values()) <= 1.0
+    assert sum(sizes[s] * r_cap[s] for s in sizes) < 50_000
+    # τ=2 mixture: p ∝ sqrt(n) — check the en:fr ratio
+    import math
+
+    want = math.sqrt(sizes["en"]) / math.sqrt(sizes["fr"])
+    got = (sizes["en"] * r["en"]) / (sizes["fr"] * r["fr"])
+    assert abs(got / want - 1.0) < 1e-9
+
+
+def test_temperature_rates_edge_cases():
+    import pytest as _pytest
+
+    from wikidataquality_spark.operators.sampling import temperature_rates
+
+    assert temperature_rates({}, 1.0) == {}
+    assert temperature_rates({"a": 0}, 1.0) == {}
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_rates({"a": 10}, 0.0)
+    # rates always land in [0,1] (valid stratified_sample_marks input)
+    r = temperature_rates({"a": 5, "b": 500000}, temperature=0.3)
+    assert all(0.0 <= v <= 1.0 for v in r.values())

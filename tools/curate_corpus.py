@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--default-rate", type=float, default=1.0,
                     help="keep rate for sources not listed in --rates (1.0 = keep; 0.0 = allowlist)")
     ap.add_argument("--dsir-k", type=int, default=None, help="DSIR importance top-k selection")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="temperature-based mixture: per-source rates ∝ n^(1/τ) "
+                    "computed from corpus source counts (exclusive with --rates/--dsir-k)")
+    ap.add_argument("--target-total", type=int, default=None,
+                    help="expected doc budget for --temperature (capped at feasibility)")
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--no-pack", action="store_true")
@@ -50,12 +55,27 @@ def main(argv: list[str] | None = None) -> int:
     ensure_shipped(spark)
 
     docs = spark.read.parquet(args.input)
+    rates = json.loads(args.rates) if args.rates else None
+    if args.temperature is not None:
+        if rates is not None or args.dsir_k is not None:
+            raise ValueError("--temperature is exclusive with --rates/--dsir-k")
+        from pyspark.sql import functions as F
+
+        from wikidataquality_spark.operators.sampling import temperature_rates
+
+        # one bounded collect: sources are dozens-grained, never row-grained
+        sizes = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+            if r["source"] is not None
+        }
+        rates = temperature_rates(sizes, args.temperature, args.target_total)
     cfg = CurateConfig(
         normalize=args.normalize,
         drop_buckets=tuple(b for b in args.drop_buckets.split(",") if b),
         dedup=not args.no_dedup,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
-        rates=json.loads(args.rates) if args.rates else None,
+        rates=rates,
         default_rate=args.default_rate,
         dsir_k=args.dsir_k,
         pack=not args.no_pack,

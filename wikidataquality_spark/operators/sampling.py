@@ -111,3 +111,42 @@ def stratified_sample_marks(
     return df.withColumn("sample_u", u).withColumn(
         "sampled", F.coalesce(u < rate, F.lit(False))
     )
+
+
+def temperature_rates(
+    stratum_sizes: dict[str, int],
+    temperature: float,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-based mixture sampling — the
+    multilingual/multi-source standard (mBERT/XLM-R's exponent-smoothed
+    multinomial, α = 1/τ in some papers' notation): sampling probability
+    p_s ∝ n_s^(1/τ), so τ=1 keeps natural proportions, τ→∞ flattens toward
+    uniform, τ<1 sharpens toward the head.
+
+    Returns keep RATES (fractions of each stratum) rather than
+    probabilities: rate_s = target_s / n_s with target_s = p_s·T, scaled so
+    no rate exceeds 1 (sampling without replacement cannot upsample — when
+    the requested T would need rate>1 for some stratum, every rate is
+    scaled down by the worst violation, preserving the mixture SHAPE; the
+    returned total is then < T and a caller wanting exactly T should epoch
+    the capped strata instead). target_total=None sizes the mixture to the
+    largest T whose rates are all ≤ 1.
+
+    Driver-side pure arithmetic over a dozens-sized dict — feeds
+    stratified_sample_marks, which compiles the rates to a literal CASE
+    chain; the corpus never shuffles for any of this.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    sizes = {s: n for s, n in stratum_sizes.items() if n > 0}
+    if not sizes:
+        return {}
+    total = sum(sizes.values())
+    w = {s: (n / total) ** (1.0 / temperature) for s, n in sizes.items()}
+    z = sum(w.values())
+    p = {s: wi / z for s, wi in w.items()}
+    # largest feasible T: rate_s = p_s·T/n_s ≤ 1  ⇒  T ≤ min(n_s/p_s)
+    t_max = min(sizes[s] / p[s] for s in sizes)
+    t = t_max if target_total is None else min(float(target_total), t_max)
+    return {s: min(p[s] * t / sizes[s], 1.0) for s in sizes}
