@@ -400,6 +400,35 @@ def main() -> int:
             "(_shingle_hashes/_minhash_sig) — this block measures QUALITY; "
             "engine parity is gated by the frozen signature fixtures in tests.\n"
         )
+    # same survival rule for the quality PR curve (tools/quality_curve.py --write)
+    qc_json = os.path.join(REPO, "tools", "quality_curve.json")
+    if os.path.exists(qc_json):
+        import json
+
+        with open(qc_json) as f:
+            rec = json.load(f)
+        b, s = rec["best_f1"], rec["shipped_low_threshold"]
+        sample = [p for i, p in enumerate(rec["curve"]) if i % 4 == 0]
+        out += (
+            "\n## Quality-filter PR curve (tools/quality_curve.py)\n\n"
+            f"Logit-threshold sweep vs the frozen golden keep labels, "
+            f"{rec['n_docs']} docs (positive rate {rec['positive_rate']}). "
+            f"Best-F1 point: thr {b['thr']} → P {b['precision']} / R "
+            f"{b['recall']} / F1 {b['f1']}. Shipped low-class boundary "
+            f"(what the pre-filter drops below): thr {s['thr']} → P "
+            f"{s['precision']} / R {s['recall']} — the drop-confidently-bad "
+            "contract: recall 1.0 at the shipped point, precision traded "
+            "deliberately. Curve sample (every 4th of 25 quantile points):\n\n"
+            "| thr | precision | recall | f1 |\n| --- | --- | --- | --- |\n"
+            + "\n".join(
+                f"| {p['thr']} | {p['precision']} | {p['recall']} | {p['f1']} |"
+                for p in sample
+            )
+            + "\n\nSame corpus/text provenance as the trainer (no held-out web "
+            "corpus exists in-sandbox by contract — honestly a training-"
+            "distribution curve). The default-threshold F1/recall gate lives "
+            "in tests/test_quality_model.py.\n"
+        )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(out)
     print(out)
