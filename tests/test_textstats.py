@@ -181,3 +181,22 @@ def test_mapinarrow_matches_codegen(spark, sf0001_dir):
         for r in docs.select("doc_id", F.length("text").alias("n_chars")).collect()
     }
     assert got == want
+
+
+def test_compression_ratio_orders_junk_below_prose(spark):
+    from wikidataquality_spark.operators.textstats import compression_ratio
+
+    rows = [
+        ("buy cheap pills now " * 200,),  # repetitive junk
+        ("The committee convened at noon to review the harbor proposal, "
+         "weighing dredging costs against the fishing fleet's access and "
+         "the ferry schedule through the autumn months. " * 4,),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["r"] for r in df.select(compression_ratio(F.col("text")).alias("r")).collect()]
+    assert got[0] is not None and got[1] is not None
+    assert got[0] < got[1] < 1.0  # junk compresses far better than prose
+    assert got[0] < 0.1
+    assert got[2] is None and got[3] is None

@@ -342,3 +342,38 @@ def quality_score(text: Column) -> Column:
     return (mwl_ok * 0.2 + stop * 0.2 + sym * 0.2 + dwr * 0.2 + alpha * 0.2).alias(
         "quality_score"
     )
+
+
+# --- compression-ratio quality signal ---------------------------------------
+# The one pandas UDF in this module (everything above is pure codegen): zlib
+# has no Column spelling. Type OBJECT, not DDL string — parsing "double"
+# at decoration time needs an active SparkSession, which imports don't have.
+from collections.abc import Iterator as _Iterator
+
+import pandas as _pd
+from pyspark.sql import types as _T
+
+
+@F.pandas_udf(_T.DoubleType())
+def compression_ratio_udf(batches: _Iterator[_pd.Series]) -> _Iterator[_pd.Series]:
+    """zlib-deflate bytes / raw utf-8 bytes per document — the classic
+    template/spam detector (used alongside Gopher rules in RedPajama-class
+    cleaning): boilerplate-repetitive junk compresses toward ~0.1 while
+    natural prose sits ~0.4-0.7. NULL/empty text → NULL (undefined, the
+    house stat policy). Level pinned at 6: the ratio is a heuristic
+    FEATURE, not an oracle-gated value — zlib output can shift across
+    library builds, so tests assert orderings and bounds, never bytes."""
+    import zlib
+
+    def ratio(s):
+        if not isinstance(s, str) or not s:
+            return None
+        raw = s.encode("utf-8")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    for texts in batches:
+        yield texts.map(ratio)
+
+
+def compression_ratio(text: Column) -> Column:
+    return compression_ratio_udf(text)

@@ -1,0 +1,90 @@
+"""Domain-blocklist URL filtering (the UT1/adult-category-list stage).
+
+Web-text pipelines drop whole domains before looking at a single body byte
+(UT1 blacklists in RefinedWeb/FineWeb, spam/parked-domain lists): the input
+is a list of REGISTRABLE domains and the rule is suffix semantics —
+`example.com` blocks `a.b.example.com`. The naive spelling is a
+LIKE-'%'-theta-join (a nested loop over corpus × blocklist); this module
+never builds one:
+
+  1. each doc's host explodes into its parent-domain chain
+     (`a.b.example.com` → [a.b.example.com, b.example.com, example.com]) —
+     BOUNDED rows/doc (hosts have ≲10 labels; the bare TLD is excluded so a
+     pathological "com" list entry cannot blank the corpus);
+  2. the chain equi-joins the broadcast blocklist (category lists are ≤10⁶
+     rows — trivially broadcastable; only HITS survive into the distinct);
+  3. hits re-attach with a left join: scrub-not-drop flags, every row
+     survives.
+
+NULL/unparseable host → `blocked` NULL ("unverifiable", the
+contamination_marks convention): a NULL is not silently clean, the caller
+decides whether unverifiable means drop (fail closed) or keep.
+
+Reference analogue: ConflictsWithChecker's blocklist ethos
+(ref≈includes/ConstraintCheck/Checker/ConflictsWithChecker.php:~30-90)
+applied to the URL authority instead of statement values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.operators.dedup import host_of
+
+MAX_LABELS = 10  # bound the per-doc chain; hosts deeper than this are spam anyway
+
+
+def domain_chain(url_col: str | Column = "url") -> Column:
+    """Array of the host's parent domains, most-specific first, bare TLD
+    excluded; NULL for NULL/unparseable hosts. Pure codegen."""
+    host = F.lower(host_of(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # suffix i covers labels[i..n): keep suffixes of ≥2 labels, cap depth
+    idx = F.sequence(F.lit(0), F.least(n - 2, F.lit(MAX_LABELS - 1)))
+    return F.when(
+        host.isNotNull() & (n >= 2),
+        F.transform(idx, lambda i: F.array_join(F.slice(labels, i + 1, n - i), ".")),
+    ).otherwise(
+        # single-label hosts (intranet names) still match themselves
+        F.when(host.isNotNull(), F.array(host))
+    )
+
+
+def domain_blocklist_marks(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """(id, matched_domain, blocked) for EVERY input row. blocked is TRUE
+    when any parent domain of the url's host appears in `blocklist`
+    (lowercased), FALSE for a parseable-but-unlisted host, NULL for an
+    unparseable/NULL host. matched_domain is the MOST SPECIFIC hit
+    (deterministic: longest match, ties impossible within one chain)."""
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_bl_domain")).distinct()
+    )
+    chains = docs.select(
+        F.col(id_col), domain_chain(F.col(url_col)).alias("_chain")
+    )
+    # most specific hit = LONGEST matched suffix (within one chain suffix
+    # lengths strictly decrease, so max_by(length) is unambiguous); only
+    # hits enter the aggregation, so its state is bounded by blocked docs
+    hits = (
+        chains.select(id_col, F.explode("_chain").alias("_bl_domain"))
+        .join(bl, "_bl_domain")
+        .groupBy(id_col)
+        .agg(F.expr("max_by(_bl_domain, length(_bl_domain))").alias("matched_domain"))
+    )
+    known = F.col("_chain").isNotNull()
+    return (
+        chains.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "matched_domain",
+            F.when(known, F.col("matched_domain").isNotNull()).alias("blocked"),
+        )
+    )
