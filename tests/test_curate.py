@@ -155,3 +155,22 @@ def test_cli_temperature_mixture(spark, tmp_path):
             ["--input", "/root/testdata/sf0.001/documents.parquet",
              "--output", out_dir, "--temperature", "2.0", "--dsir-k", "5"]
         )
+
+
+def test_blocklist_stage_first_and_fail_closed(spark):
+    """urlfilter owns blocked docs before quality/dedup see them; NULL-host
+    docs fail closed when a blocklist is active."""
+    rows = [
+        (1, "https://spam.example.com/x", "the quick brown fox jumps over the lazy dog " * 6, "en", "src1"),
+        (2, "https://ok.org/y", "a committee reviewed the harbor dredging proposal at noon " * 6, "en", "src1"),
+        (3, "not a url", "perfectly fine text that parses nowhere " * 8, "en", "src1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    c, f = _run(docs, CurateConfig(pack=False, dedup=False, blocklist=bl))
+    ids = {r["doc_id"] for r in c}
+    assert 1 not in ids and 3 not in ids  # blocked + unverifiable both out
+    assert f.get("urlfilter", 0) == 2
+    assert sum(f.values()) == 3

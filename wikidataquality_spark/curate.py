@@ -3,9 +3,10 @@ engine's LLM-pipeline families.
 
 The composition a training-data team actually runs, as ONE DAG:
 
-  eligibility → (opt-in) normalize → quality score + CCNet bucket →
-  dedup (exact + MinHash) → benchmark decontamination →
-  selection (stratified rates OR DSIR top-k) → trained-BPE tokenize + pack
+  eligibility → (opt-in) normalize → (opt-in) domain blocklist →
+  quality score + CCNet bucket → dedup (exact + MinHash) →
+  benchmark decontamination → selection (stratified rates OR DSIR top-k) →
+  trained-BPE tokenize + pack
 
 Scale shape — flags first, count once, filter once:
   every stage emits a FLAG column over the same frame (scrub-not-drop, the
@@ -16,8 +17,8 @@ Scale shape — flags first, count once, filter once:
   bounded shuffles (dedup's narrow key aggs, decontamination's broadcast
   gram join, selection's literal CASE or top-k).
 
-Attribution is CASCADE-ordered (eligibility ≺ quality ≺ dedup ≺
-decontaminate ≺ select): a doc that is both tail-quality and contaminated
+Attribution is CASCADE-ordered (eligibility ≺ urlfilter ≺ quality ≺
+dedup ≺ decontaminate ≺ select): a doc that is both tail-quality and contaminated
 counts against quality — each dropped doc appears in EXACTLY one funnel row,
 so the rows sum to docs_in (conservation is gated in tests/test_curate.py).
 
@@ -39,12 +40,25 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-STAGES = ("eligibility", "quality", "dedup", "decontaminate", "select", "kept")
+STAGES = (
+    "eligibility",
+    "urlfilter",
+    "quality",
+    "dedup",
+    "decontaminate",
+    "select",
+    "kept",
+)
 
 
 @dataclass
 class CurateConfig:
     normalize: bool = False  # ftfy-class pre-clean before any scoring/hash
+    # UT1-style domain blocklist (DataFrame with a `domain` column). Runs
+    # FIRST after eligibility — metadata-only, so blocked docs never pay
+    # for scoring/hashing attribution-wise. Requires a url column on docs.
+    blocklist: DataFrame | None = None
+    url_col: str = "url"
     drop_buckets: tuple[str, ...] = ("tail",)  # CCNet buckets to drop
     dedup: bool = True
     benchmark: DataFrame | None = None  # eval-set docs (text col) to decontaminate against
@@ -109,6 +123,20 @@ def curate(
         & F.col(text_c).isNotNull()
         & (F.length(text_c) > 0),
     )
+
+    if cfg.blocklist is not None:
+        from wikidataquality_spark.operators.urlfilter import domain_blocklist_marks
+
+        marks = domain_blocklist_marks(
+            flagged, cfg.blocklist, url_col=cfg.url_col, id_col=id_c
+        ).select(id_c, "blocked")
+        flagged = flagged.join(marks, id_c, "left")
+        # NULL blocked = unparseable host → fail closed, like contamination
+        flagged = flagged.withColumn(
+            "_url_drop", F.coalesce(F.col("blocked"), F.lit(True))
+        )
+    else:
+        flagged = flagged.withColumn("_url_drop", F.lit(False))
 
     scored = with_quality_score(flagged, text_col=text_c, art=load_quality_model())
     scored = scored.withColumn("_ql6", F.round("quality_logit", 6))
@@ -175,6 +203,7 @@ def curate(
         # removes. The k-row result broadcasts back as a flag.
         survivors = scored.filter(
             F.col("_eligible")
+            & ~F.col("_url_drop")
             & ~F.col("_quality_drop")
             & ~F.col("_dup_drop")
             & ~F.col("_contam_drop")
@@ -192,6 +221,7 @@ def curate(
     # --- funnel: ONE aggregation, first-failing-stage attribution -------
     reason = (
         F.when(~F.col("_eligible"), F.lit("eligibility"))
+        .when(F.col("_url_drop"), F.lit("urlfilter"))
         .when(F.col("_quality_drop"), F.lit("quality"))
         .when(F.col("_dup_drop"), F.lit("dedup"))
         .when(F.col("_contam_drop"), F.lit("decontaminate"))
@@ -206,6 +236,7 @@ def curate(
     # --- curated output: ONE filter (+ optional tokenize/pack) ----------
     curated = scored.filter(F.col("_stage") == "kept").drop(
         "_eligible",
+        "_url_drop",
         "_quality_drop",
         "_dup_drop",
         "_contam_drop",
