@@ -30,6 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="documents parquet dir")
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--benchmark", default=None, help="eval-set parquet (text col) to decontaminate against")
+    ap.add_argument("--blocklist", default=None, help="domain blocklist parquet (domain col); needs a url column on the input")
     ap.add_argument("--rates", default=None, help='JSON per-source keep rates, e.g. \'{"src1": 0.5}\'')
     ap.add_argument("--default-rate", type=float, default=1.0,
                     help="keep rate for sources not listed in --rates (1.0 = keep; 0.0 = allowlist)")
@@ -75,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         drop_buckets=tuple(b for b in args.drop_buckets.split(",") if b),
         dedup=not args.no_dedup,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+        blocklist=spark.read.parquet(args.blocklist) if args.blocklist else None,
         rates=rates,
         default_rate=args.default_rate,
         dsir_k=args.dsir_k,
