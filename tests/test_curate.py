@@ -174,3 +174,20 @@ def test_blocklist_stage_first_and_fail_closed(spark):
     assert 1 not in ids and 3 not in ids  # blocked + unverifiable both out
     assert f.get("urlfilter", 0) == 2
     assert sum(f.values()) == 3
+
+
+def test_conservation_under_duplicate_ids(spark):
+    """Duplicate doc_ids must not multiply through the marks joins — the
+    funnel still sums to docs_in (r04 review)."""
+    rows = [
+        (7, "https://spam.example.com/a", "the quick brown fox jumps over the lazy dog " * 6, "en", "src1"),
+        (7, "https://ok.org/b", "a committee reviewed the harbor dredging proposal at noon " * 6, "en", "src1"),
+        (9, "https://ok.org/c", "fresh content about rivers and ferries in autumn " * 6, "en", "src1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    bench = spark.createDataFrame([(rows[2][2],)], "text string")
+    _, f = _run(docs, CurateConfig(pack=False, dedup=False, blocklist=bl, benchmark=bench))
+    assert sum(f.values()) == 3, f

@@ -72,7 +72,7 @@ def test_duckdb_twin_parity(spark):
 WITH hosts AS (
   SELECT doc_id,
          CASE WHEN regexp_matches(url, '^https?://') THEN
-           lower(regexp_replace(regexp_replace(url, '^https?://', ''), '[:/].*$', ''))
+           regexp_replace(lower(regexp_replace(regexp_replace(url, '^https?://', ''), '[:/].*$', '')), '\.$', '')
          END AS host
   FROM docs
 ), chains AS (
@@ -80,7 +80,8 @@ WITH hosts AS (
          CASE WHEN host IS NULL THEN NULL
               WHEN len(string_split(host, '.')) < 2 THEN [host]
               ELSE [array_to_string(string_split(host, '.')[i:], '.')
-                    FOR i IN range(1, len(string_split(host, '.')))]
+                    FOR i IN range(greatest(1, len(string_split(host, '.')) - 9),
+                                   len(string_split(host, '.')))]
          END AS chain
   FROM hosts
 ), hits AS (
@@ -89,8 +90,10 @@ WITH hosts AS (
   GROUP BY doc_id
 )
 SELECT chains.doc_id,
-       CASE WHEN chain IS NULL THEN NULL ELSE matched IS NOT NULL END,
-       matched
+       CASE WHEN chain IS NULL OR chains.doc_id IS NULL THEN NULL
+            ELSE matched IS NOT NULL END,
+       CASE WHEN chain IS NULL OR chains.doc_id IS NULL THEN NULL
+            ELSE matched END
 FROM chains LEFT JOIN hits ON chains.doc_id = hits.doc_id
 """).fetchall()
     }
@@ -118,3 +121,22 @@ def test_chain_is_pure_codegen(spark):
     plan = buf.getvalue()
     for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"):
         assert node not in plan, plan
+
+
+def test_deep_host_and_trailing_dot_cannot_evade(spark):
+    """r04 review: (a) a 12-label subdomain chain must still match its
+    registrable blocked domain (the depth cap keeps the SHORT end); (b) the
+    FQDN trailing-dot spelling resolves like the dotless host and must
+    match; (c) a NULL id with a blocked host is NULL-unverifiable, never a
+    clean FALSE."""
+    deep = "https://" + ".".join(["a"] * 10) + ".example.com/x"
+    docs = spark.createDataFrame(
+        [(1, deep), (2, "https://example.com./page"), (None, "https://example.com/z")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    rows = {r["doc_id"]: (r["blocked"], r["matched_domain"])
+            for r in domain_blocklist_marks(docs, bl).collect()}
+    assert rows[1] == (True, "example.com")
+    assert rows[2] == (True, "example.com")
+    assert rows[None] == (None, None)

@@ -127,9 +127,18 @@ def curate(
     if cfg.blocklist is not None:
         from wikidataquality_spark.operators.urlfilter import domain_blocklist_marks
 
-        marks = domain_blocklist_marks(
-            flagged, cfg.blocklist, url_col=cfg.url_col, id_col=id_c
-        ).select(id_c, "blocked")
+        # dropDuplicates: the marks operator emits one row per input row;
+        # duplicate input ids would otherwise MULTIPLY through this left
+        # join and break the funnel's conservation invariant (r04 review —
+        # ids sharing a value then share one verdict, the operator's
+        # documented id-keyed contract)
+        marks = (
+            domain_blocklist_marks(
+                flagged, cfg.blocklist, url_col=cfg.url_col, id_col=id_c
+            )
+            .select(id_c, "blocked")
+            .dropDuplicates([id_c])
+        )
         flagged = flagged.join(marks, id_c, "left")
         # NULL blocked = unparseable host → fail closed, like contamination
         flagged = flagged.withColumn(
@@ -164,9 +173,12 @@ def curate(
     if cfg.benchmark is not None:
         from wikidataquality_spark.operators.decontaminate import contamination_marks
 
-        marks = contamination_marks(
-            scored, cfg.benchmark, id_col=id_c, text_col=text_c
-        ).select(id_c, "contaminated")
+        # dropDuplicates: same conservation guard as the blocklist join
+        marks = (
+            contamination_marks(scored, cfg.benchmark, id_col=id_c, text_col=text_c)
+            .select(id_c, "contaminated")
+            .dropDuplicates([id_c])
+        )
         scored = scored.join(marks, id_c, "left")
         # NULL contaminated = unverifiable → fail closed (drop here)
         scored = scored.withColumn(

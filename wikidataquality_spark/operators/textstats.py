@@ -376,4 +376,4 @@ def compression_ratio_udf(batches: _Iterator[_pd.Series]) -> _Iterator[_pd.Serie
 
 
 def compression_ratio(text: Column) -> Column:
-    return compression_ratio_udf(text)
+    return compression_ratio_udf(text).alias("compression_ratio")

@@ -37,12 +37,19 @@ MAX_LABELS = 10  # bound the per-doc chain; hosts deeper than this are spam anyw
 
 def domain_chain(url_col: str | Column = "url") -> Column:
     """Array of the host's parent domains, most-specific first, bare TLD
-    excluded; NULL for NULL/unparseable hosts. Pure codegen."""
-    host = F.lower(host_of(url_col))
+    excluded; NULL for NULL/unparseable hosts. Pure codegen.
+
+    The depth cap keeps the SHORT end of the chain (suffixes of ≤
+    MAX_LABELS labels): blocklists name registrable domains, so the
+    registrable suffix must survive no matter how deep the host is — a cap
+    from the long end let a 12-label spam chain walk past its own blocked
+    domain (r04 review). A trailing FQDN dot is stripped first for the
+    same reason ('example.com.' is the classic evasion spelling)."""
+    host = F.regexp_replace(F.lower(host_of(url_col)), r"\.$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # suffix i covers labels[i..n): keep suffixes of ≥2 labels, cap depth
-    idx = F.sequence(F.lit(0), F.least(n - 2, F.lit(MAX_LABELS - 1)))
+    # suffix i covers labels[i..n) and has n-i labels: keep 2 ≤ n-i ≤ MAX
+    idx = F.sequence(F.greatest(n - MAX_LABELS, F.lit(0)), n - 2)
     return F.when(
         host.isNotNull() & (n >= 2),
         F.transform(idx, lambda i: F.array_join(F.slice(labels, i + 1, n - i), ".")),
@@ -59,11 +66,18 @@ def domain_blocklist_marks(
     id_col: str = "doc_id",
     domain_col: str = "domain",
 ) -> DataFrame:
-    """(id, matched_domain, blocked) for EVERY input row. blocked is TRUE
-    when any parent domain of the url's host appears in `blocklist`
-    (lowercased), FALSE for a parseable-but-unlisted host, NULL for an
-    unparseable/NULL host. matched_domain is the MOST SPECIFIC hit
-    (deterministic: longest match, ties impossible within one chain)."""
+    """(id, matched_domain, blocked) per id. blocked is TRUE when any
+    parent domain of the url's host appears in `blocklist` (lowercased),
+    FALSE for a parseable-but-unlisted host, NULL for an unparseable/NULL
+    host OR a NULL id (a NULL id cannot be re-attached through the join
+    key, so its verdict is UNVERIFIABLE — never a silent clean FALSE; the
+    contamination_marks convention, r04 review). matched_domain is the
+    MOST SPECIFIC hit (deterministic: longest match, ties impossible
+    within one chain).
+
+    Precondition: ids unique (the operator is id-keyed; duplicate ids
+    share one verdict and a left join against this output multiplies —
+    same contract as operators/boilerplate.py)."""
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(domain_col)).alias("_bl_domain")).distinct()
     )
@@ -79,12 +93,12 @@ def domain_blocklist_marks(
         .groupBy(id_col)
         .agg(F.expr("max_by(_bl_domain, length(_bl_domain))").alias("matched_domain"))
     )
-    known = F.col("_chain").isNotNull()
+    known = F.col("_chain").isNotNull() & F.col(id_col).isNotNull()
     return (
         chains.join(hits, id_col, "left")
         .select(
             id_col,
-            "matched_domain",
+            F.when(known, F.col("matched_domain")).alias("matched_domain"),
             F.when(known, F.col("matched_domain").isNotNull()).alias("blocked"),
         )
     )
