@@ -191,3 +191,31 @@ def test_conservation_under_duplicate_ids(spark):
     bench = spark.createDataFrame([(rows[2][2],)], "text string")
     _, f = _run(docs, CurateConfig(pack=False, dedup=False, blocklist=bl, benchmark=bench))
     assert sum(f.values()) == 3, f
+
+
+def test_funnel_by_dimension(spark, tmp_path):
+    """--funnel-by source: per-source attrition rows sum to the global
+    funnel, and the global funnel still conserves."""
+    import json as json_mod
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import curate_corpus
+
+    out_dir = str(tmp_path / "curated_by")
+    buf, old = StringIO(), sys.stdout
+    sys.stdout = buf
+    try:
+        rc = curate_corpus.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out_dir, "--no-pack", "--funnel-by", "source"]
+        )
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    res = json_mod.loads([l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    detail = res["funnel_by"]["source"]
+    assert sum(sum(v.values()) for v in detail.values()) == res["docs_in"]
+    for stage, n in res["funnel"].items():
+        assert sum(v.get(stage, 0) for v in detail.values()) == n

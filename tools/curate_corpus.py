@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-pack", action="store_true")
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--drop-buckets", default="tail", help="comma-joined CCNet buckets to drop ('' = none)")
+    ap.add_argument("--funnel-by", default=None, help="extra lineage dimension for the funnel (e.g. source, lang)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -82,14 +83,24 @@ def main(argv: list[str] | None = None) -> int:
         dsir_k=args.dsir_k,
         pack=not args.no_pack,
         seq_len=args.seq_len,
+        extra={"funnel_by": args.funnel_by} if args.funnel_by else {},
     )
     t0 = time.perf_counter()
     registry: list = []
     curated, funnel = curate(docs, cfg, persist_registry=registry)
     curated.write.mode("overwrite").parquet(args.output)
-    stages = {r["stage"]: r["n"] for r in funnel.collect()}
+    rows = funnel.collect()
     for df in registry:
         df.unpersist()
+    if args.funnel_by:
+        stages: dict[str, int] = {}
+        detail: dict[str, dict[str, int]] = {}
+        for r in rows:
+            stages[r["stage"]] = stages.get(r["stage"], 0) + r["n"]
+            detail.setdefault(str(r[args.funnel_by]), {})[r["stage"]] = r["n"]
+    else:
+        stages = {r["stage"]: r["n"] for r in rows}
+        detail = None
     out = {
         "status": "ok",
         "input": args.input,
@@ -99,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         "docs_kept": stages.get("kept", 0),
         "wall_s": round(time.perf_counter() - t0, 2),
     }
+    if detail is not None:
+        out["funnel_by"] = {args.funnel_by: detail}
     # underscore prefix: Spark/Hadoop readers ignore _-prefixed files, so
     # the manifest can live inside the dataset dir without breaking
     # read.parquet(output)

@@ -241,9 +241,12 @@ def curate(
         .otherwise(F.lit("kept"))
     )
     scored = scored.withColumn("_stage", reason)
-    funnel = scored.groupBy(F.col("_stage").alias("stage")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    # funnel_by adds a lineage dimension (per-source/per-lang attrition —
+    # the rule-metrics-per-partition ethos applied to curation); the
+    # default stays the compact (stage, n) shape
+    fb = cfg.extra.get("funnel_by")
+    group_cols = ([F.col(fb)] if fb else []) + [F.col("_stage").alias("stage")]
+    funnel = scored.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
 
     # --- curated output: ONE filter (+ optional tokenize/pack) ----------
     curated = scored.filter(F.col("_stage") == "kept").drop(
