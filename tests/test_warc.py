@@ -1,0 +1,193 @@
+"""WARC ingest gates: byte-identical round-trip, every HTTP framing path,
+per-record corruption totality + resync, and the distributed encode.
+
+The reader is the engine's Common-Crawl ingest seam (io/warc.py), so the
+gates mirror the multimodal decoders' discipline: one bad record = one
+error row, never a dead task; payload bytes survive framing round-trips
+byte-identically (the B:15 byte-identity invariant starts at ingest)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wikidataquality_spark.io.warc import (
+    build_warc,
+    build_warc_record,
+    encode_warc_partitions,
+    iter_warc_records,
+    read_warc,
+    warc_to_documents,
+)
+
+TS1 = datetime(2025, 3, 2, 17, 40, 42)
+TS2 = datetime(2025, 3, 3, 1, 2, 3)
+
+HTML_A = "<html><body>héllo wörld — naïve 中文</body></html>".encode("utf-8")
+HTML_B = b""
+HTML_C = b"<html>gone</html>"
+
+
+def _three_records() -> list[bytes]:
+    return [
+        build_warc_record("http://a.example/x", TS1, HTML_A),
+        build_warc_record("http://b.example/", TS2, HTML_B),
+        build_warc_record("http://c.example/404", TS1, HTML_C, status=404),
+    ]
+
+
+def _rows(blob: bytes):
+    return list(iter_warc_records(blob, warc_file="f"))
+
+
+def test_round_trip_plain_and_per_record_gzip():
+    recs = _three_records()
+    for per_gzip in (False, True):
+        rows = _rows(build_warc(recs, per_record_gzip=per_gzip))
+        assert [r["err"] for r in rows] == [None, None, None]
+        assert [r["url"] for r in rows] == [
+            "http://a.example/x",
+            "http://b.example/",
+            "http://c.example/404",
+        ]
+        assert rows[0]["html"] == HTML_A  # byte-identical through framing
+        assert rows[1]["html"] == HTML_B
+        assert rows[2]["html"] == HTML_C
+        assert [r["http_status"] for r in rows] == [200, 200, 404]
+        assert [r["warc_ts"] for r in rows] == [TS1, TS2, TS1]
+        assert all(r["warc_type"] == "response" for r in rows)
+        assert rows[0]["content_type"] == "text/html; charset=utf-8"
+        # offsets are the decompressed-stream lineage pointers: strictly
+        # increasing, first at 0
+        offs = [r["record_offset"] for r in rows]
+        assert offs[0] == 0 and offs == sorted(offs)
+
+
+def test_http_transfer_and_content_encodings_decode():
+    # chunked, gzip, and chunked-over-gzip all decode back to the original
+    recs = [
+        build_warc_record("http://a.example/chunked", TS1, HTML_A, chunked=7),
+        build_warc_record("http://a.example/gz", TS1, HTML_A, gzip_payload=True),
+        build_warc_record(
+            "http://a.example/both", TS1, HTML_A, chunked=5, gzip_payload=True
+        ),
+    ]
+    rows = _rows(build_warc(recs))
+    assert [r["err"] for r in rows] == [None, None, None]
+    assert all(r["html"] == HTML_A for r in rows)
+
+
+def test_corrupt_record_is_one_error_row_and_resyncs():
+    good1, good2 = build_warc_record("http://a.example/1", TS1, HTML_A), (
+        build_warc_record("http://a.example/2", TS2, HTML_C)
+    )
+    # bad Content-Length (points past EOF of its own block region)
+    bad = good1.replace(b"WARC-Target-URI: http://a.example/1", b"WARC-Target-URI: http://bad.example/")
+    bad = bad.replace(b"Content-Length: ", b"Content-Length: 9", 1)
+    rows = _rows(bad + good2)
+    assert len(rows) == 2
+    assert rows[0]["err"] is not None and "truncated record block" in rows[0]["err"]
+    assert rows[0]["url"] == "http://bad.example/"  # parsed headers preserved
+    assert rows[0]["html"] is None
+    assert rows[1]["err"] is None and rows[1]["url"] == "http://a.example/2"
+
+    # garbage between records: one error row, following record still parses
+    rows = _rows(b"not-a-warc-header\r\n\r\n" + good1)
+    assert len(rows) == 2
+    assert rows[0]["err"] is not None and "bad record version line" in rows[0]["err"]
+    assert rows[1]["err"] is None and rows[1]["html"] == HTML_A
+
+
+def test_unreadable_gzip_costs_exactly_one_error_row():
+    blob = b"\x1f\x8b" + b"\x00" * 40
+    rows = _rows(blob)
+    assert len(rows) == 1
+    assert rows[0]["err"] is not None and "gzip" in rows[0]["err"]
+    # truncated member (valid prefix of a real stream)
+    whole = build_warc(_three_records(), per_record_gzip=True)
+    rows = _rows(whole[: len(whole) // 2])
+    errs = [r for r in rows if r["err"] is not None]
+    assert len(errs) == 1 and "truncated gzip member" in errs[0]["err"]
+
+
+def test_non_response_records_pass_through_without_payload():
+    info_block = b"software: test\r\n"
+    info = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:x:1>\r\n"
+        b"WARC-Date: 2025-03-02T17:40:42Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(info_block)
+    ) + info_block + b"\r\n\r\n"
+    conv = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:x:2>\r\n"
+        b"WARC-Target-URI: http://a.example/wet\r\n"
+        b"WARC-Date: 2025-03-02T17:40:42Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: 5\r\n\r\n"
+    ) + b"plain" + b"\r\n\r\n"
+    rows = _rows(info + conv)
+    assert [r["err"] for r in rows] == [None, None]
+    assert rows[0]["warc_type"] == "warcinfo" and rows[0]["html"] is None
+    # conversion (WET) records surface the block as the payload
+    assert rows[1]["warc_type"] == "conversion" and rows[1]["html"] == b"plain"
+
+
+def test_read_warc_and_projection(spark, tmp_path):
+    d = tmp_path / "warc_in"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(
+        build_warc(_three_records(), per_record_gzip=True)
+    )
+    (d / "seg-00001.warc").write_bytes(
+        build_warc([build_warc_record("http://d.example/", TS2, HTML_C)])
+        + b"garbage-tail-that-is-not-a-record"
+    )
+    warc = read_warc(spark, str(d)).cache()
+    rows = {r["url"]: r for r in warc.collect() if r["err"] is None}
+    assert set(rows) == {
+        "http://a.example/x",
+        "http://b.example/",
+        "http://c.example/404",
+        "http://d.example/",
+    }
+    assert bytes(rows["http://a.example/x"]["html"]) == HTML_A
+    errs = warc.filter(F.col("err").isNotNull()).collect()
+    assert len(errs) == 1 and errs[0]["warc_file"].endswith("seg-00001.warc")
+
+    docs = warc_to_documents(warc)
+    assert set(docs.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    kept = {r["url"] for r in docs.collect()}
+    # 404 and the error row are filtered; clean 2xx responses remain
+    assert kept == {"http://a.example/x", "http://b.example/", "http://d.example/"}
+    warc.unpersist()
+
+
+def test_encode_warc_partitions_round_trips(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(url="http://a.example/1", warc_ts=TS1, html=HTML_A),
+            Row(url="http://a.example/2", warc_ts=TS2, html=HTML_C),
+            Row(url="http://a.example/3", warc_ts=TS1, html=None),
+        ]
+    ).repartition(2)
+    out = encode_warc_partitions(docs).collect()
+    assert sum(r["n_records"] for r in out) == 3
+    assert 1 <= len(out) <= 2  # one blob row per non-empty partition
+    parsed = [
+        rec
+        for r in out
+        for rec in iter_warc_records(bytes(r["warc_blob"]), warc_file="p")
+    ]
+    assert all(r["err"] is None for r in parsed)
+    by_url = {r["url"]: r for r in parsed}
+    assert by_url["http://a.example/1"]["html"] == HTML_A
+    assert by_url["http://a.example/2"]["html"] == HTML_C
+    assert by_url["http://a.example/3"]["html"] == b""  # NULL html → empty body
+    assert by_url["http://a.example/1"]["warc_ts"] == TS1

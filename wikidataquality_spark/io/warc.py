@@ -1,0 +1,411 @@
+"""WARC (ISO 28500) ingest — the container format Common-Crawl-style corpora
+actually arrive in.
+
+Parity: the reference ingests entity dumps through maintenance scripts
+(ref≈maintenance/UpdateExternalData.php:~20-150 parses external dump files
+into rows); the graft's input_hint (BASELINE.json:15) is an Iceberg table of
+Common-Crawl-style pages `(url, warc_ts, html, ...)` — and the upstream
+format those pages come from is WARC. This module closes the ingest seam:
+raw `*.warc` / `*.warc.gz` files → the exact input schema the validation
+DAG consumes, so a user can point the engine at a crawl instead of
+pre-converted parquet.
+
+Design for 100 TB of crawl:
+  - one WARC file = one `binaryFile` row = one task. Common Crawl ships
+    ~1 GB .warc.gz segments in the tens of thousands per crawl, so
+    parallelism = file count, which is the natural (and only splittable)
+    unit: per-record gzip members can't be random-accessed without a side
+    index anyway. Blobs never shuffle — parse immediately after the scan,
+    project to (url, warc_ts, html), and only those columns move on.
+  - TOTAL parse (same contract as operators/multimodal.py decoders): crawls
+    are full of truncated members, bad Content-Lengths, and malformed HTTP
+    blocks. Every corruption class becomes a structured error ROW
+    (err != NULL) and the parser RESYNCS to the next record boundary, so one
+    bad record never costs the other ~50k records in its segment, and a
+    fully unreadable file costs exactly one error row.
+  - all WARC/HTTP framing rules implemented here are from the public ISO
+    28500 spec + RFC 9112 (chunked transfer coding) with stdlib zlib only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType(), True),
+        # byte offset of the record header in the DECOMPRESSED stream —
+        # lineage back into the segment (the analogue of Common Crawl's
+        # index offsets), and the deterministic intra-file tiebreaker
+        T.StructField("record_offset", T.LongType(), True),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),  # decoded payload bytes
+        T.StructField("err", T.StringType(), True),  # NULL on success
+    ]
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _err_str(e: Exception) -> str:
+    """Stable bounded error label (same convention as multimodal._err_str):
+    every corruption class below raises THIS repo's ValueError constants,
+    never stdlib message text that could drift across Python versions."""
+    return f"{type(e).__name__}: {e}"[:160]
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream. Common Crawl WARCs
+    are one gzip member PER RECORD concatenated into one file; whole-file
+    gzip is a single member — both land here and both decompress with the
+    same loop. Truncation/trailing garbage raise (caller turns that into
+    one error row for the file)."""
+    out = []
+    data = bytes(blob)
+    while data[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            raise ValueError("warc: corrupt gzip member") from None
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        data = d.unused_data
+    if data:
+        raise ValueError("warc: trailing non-gzip bytes after gzip members")
+    return b"".join(out)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 chunked transfer decoding (chunk extensions ignored,
+    trailers discarded)."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("warc: chunked body missing size line")
+        size_token = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError("warc: bad chunk size") from None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size > len(body):
+            raise ValueError("warc: truncated chunk")
+        out.append(body[pos : pos + size])
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            raise ValueError("warc: chunk missing trailing CRLF")
+        pos += 2
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes:
+    """HTTP Content-Encoding: identity / gzip / deflate (both zlib-wrapped
+    and raw-deflate servers exist in the wild — try wrapped first)."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        return _gunzip_members(body)
+    if enc == "deflate":
+        for wbits in (15, -15):
+            try:
+                return zlib.decompress(body, wbits)
+            except zlib.error:
+                continue
+        raise ValueError("warc: corrupt deflate body")
+    raise ValueError(f"warc: unsupported content-encoding {enc!r}")
+
+
+def _parse_headers(head: bytes) -> dict[str, str]:
+    """'Name: value' lines → lower-cased dict. latin-1 is total on bytes, so
+    a stray high byte in a header can never raise here."""
+    headers: dict[str, str] = {}
+    for line in head.split(b"\r\n"):
+        sep = line.find(b":")
+        if sep <= 0:
+            continue  # tolerate stray non-header lines (incl. folded tails)
+        headers[line[:sep].strip().lower().decode("latin-1")] = (
+            line[sep + 1 :].strip().decode("latin-1")
+        )
+    return headers
+
+
+def _parse_warc_date(value: str) -> datetime | None:
+    """WARC-Date (ISO-8601, 'Z' or offset, optional fraction) → naive UTC —
+    the session timezone is pinned to UTC everywhere (session.py), so naive
+    UTC is the engine's timestamp convention."""
+    try:
+        dt = datetime.fromisoformat(value.strip().replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _parse_http_response(block: bytes) -> tuple[int, str | None, bytes]:
+    """HTTP response block → (status, content_type, decoded payload bytes).
+    Transfer-Encoding: chunked is undone first, then Content-Encoding —
+    the reverse of how the server applied them (RFC 9112 §6.1)."""
+    head_end = block.find(b"\r\n\r\n")
+    if head_end < 0:
+        raise ValueError("warc: http block missing header terminator")
+    status_end = block.find(b"\r\n")
+    status_parts = block[:status_end].split(b" ", 2)
+    if len(status_parts) < 2 or not status_parts[0].startswith(b"HTTP/"):
+        raise ValueError("warc: bad http status line")
+    try:
+        status = int(status_parts[1])
+    except ValueError:
+        raise ValueError("warc: bad http status code") from None
+    headers = _parse_headers(block[status_end + 2 : head_end])
+    body = block[head_end + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    body = _decode_content(body, headers.get("content-encoding", ""))
+    return status, headers.get("content-type"), body
+
+
+def iter_warc_records(blob: bytes, warc_file: str | None = None) -> Iterator[dict]:
+    """Tolerant WARC record iterator: yields one dict per record in
+    WARC_SCHEMA's column order. Corruption yields an error row (err set,
+    html NULL, whatever header fields DID parse preserved) and resyncs to
+    the next 'WARC/' line; an unreadable file yields exactly one error row."""
+    try:
+        stream = _gunzip_members(blob) if bytes(blob[:2]) == _GZIP_MAGIC else bytes(blob)
+    except Exception as e:  # noqa: BLE001 — totality on purpose
+        yield {
+            "warc_file": warc_file,
+            "record_offset": None,
+            "record_id": None,
+            "warc_type": None,
+            "url": None,
+            "warc_ts": None,
+            "http_status": None,
+            "content_type": None,
+            "html": None,
+            "err": _err_str(e),
+        }
+        return
+
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        # skip inter-record CRLF padding
+        while stream.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        offset = pos
+        row = {
+            "warc_file": warc_file,
+            "record_offset": offset,
+            "record_id": None,
+            "warc_type": None,
+            "url": None,
+            "warc_ts": None,
+            "http_status": None,
+            "content_type": None,
+            "html": None,
+            "err": None,
+        }
+        try:
+            head_end = stream.find(b"\r\n\r\n", pos)
+            if head_end < 0:
+                raise ValueError("warc: record missing header terminator")
+            version_end = stream.find(b"\r\n", pos)
+            if not stream.startswith(b"WARC/", pos):
+                raise ValueError("warc: bad record version line")
+            headers = _parse_headers(stream[version_end + 2 : head_end])
+            row["record_id"] = headers.get("warc-record-id")
+            row["warc_type"] = headers.get("warc-type")
+            row["url"] = headers.get("warc-target-uri")
+            ts_raw = headers.get("warc-date")
+            if ts_raw is not None:
+                row["warc_ts"] = _parse_warc_date(ts_raw)
+            try:
+                clen = int(headers["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("warc: missing or bad Content-Length") from None
+            body_start = head_end + 4
+            if clen < 0 or body_start + clen > n:
+                raise ValueError("warc: truncated record block")
+            block = stream[body_start : body_start + clen]
+            pos = body_start + clen  # resync point even if the block is bad
+
+            wtype = (row["warc_type"] or "").lower()
+            whead_ct = headers.get("content-type", "")
+            if wtype == "response" and whead_ct.lower().startswith("application/http"):
+                status, ctype, payload = _parse_http_response(block)
+                row["http_status"] = status
+                row["content_type"] = ctype
+                row["html"] = payload
+            elif wtype in ("resource", "conversion"):
+                # the block IS the payload (e.g. WET conversion records)
+                row["content_type"] = whead_ct or None
+                row["html"] = block
+            else:
+                # warcinfo / request / metadata / revisit: framing kept for
+                # lineage, payload deliberately not surfaced as html
+                row["content_type"] = whead_ct or None
+        except Exception as e:  # noqa: BLE001 — totality on purpose
+            row["err"] = _err_str(e)
+            resync = stream.find(b"\r\nWARC/", max(pos, offset + 1))
+            pos = n if resync < 0 else resync + 2
+        yield row
+
+
+def read_warc(spark: SparkSession, path: str, glob: str | None = "*.warc*") -> DataFrame:
+    """`*.warc` / `*.warc.gz` directory → one row per WARC record
+    (WARC_SCHEMA). binaryFile scan → immediate parse in one iterator
+    mapInPandas stage; the fat decompressed payloads are born AFTER the
+    scan and the caller projects them away before any shuffle."""
+    from wikidataquality_spark.io.formats import read_binary_files
+
+    files = read_binary_files(spark, path, glob)
+    cols = [f.name for f in WARC_SCHEMA.fields]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(iter_warc_records(bytes(content), warc_file=fpath))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(process, WARC_SCHEMA)
+
+
+def warc_to_documents(warc: DataFrame) -> DataFrame:
+    """Project parsed WARC rows to the pipeline's input shape
+    (url, warc_ts, html, text NULL, lang NULL — BASELINE.json:15): clean
+    2xx response records only; text/lang are produced downstream by the
+    extract and langid stages. Deterministic under recrawl: url_dup_marks
+    (operators/dedup.py) is the follow-on stage for duplicate captures."""
+    return warc.filter(
+        (F.lower(F.col("warc_type")) == "response")
+        & F.col("err").isNull()
+        & F.col("url").isNotNull()
+        & F.col("http_status").between(200, 299)
+    ).select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encode side: deterministic WARC writer (fixture builder + distributed sink
+# building block). No RNG anywhere — record ids are sha256(url), dates are
+# the row's own timestamp — so the same rows always serialize to the same
+# bytes and round-trip tests can assert byte identity.
+# ---------------------------------------------------------------------------
+
+
+def build_warc_record(
+    url: str,
+    ts: datetime | None,
+    payload: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: int = 0,
+    gzip_payload: bool = False,
+) -> bytes:
+    """One WARC response record wrapping an HTTP/1.1 response. chunked > 0
+    re-frames the body as chunked transfer coding with that chunk size;
+    gzip_payload applies Content-Encoding: gzip — both exist to exercise the
+    reader's decode paths with real framing."""
+    body = payload
+    http_headers = [f"HTTP/1.1 {status} X", f"Content-Type: {content_type}"]
+    if gzip_payload:
+        comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+        body = comp.compress(body) + comp.flush()
+        http_headers.append("Content-Encoding: gzip")
+    if chunked > 0:
+        http_headers.append("Transfer-Encoding: chunked")
+        chunks = [body[i : i + chunked] for i in range(0, len(body), chunked)]
+        body = b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks) + b"0\r\n\r\n"
+    else:
+        http_headers.append(f"Content-Length: {len(body)}")
+    block = "\r\n".join(http_headers).encode("latin-1") + b"\r\n\r\n" + body
+    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    rid = hashlib.sha256(url.encode("utf-8")).hexdigest()[:32]
+    warc_headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode("latin-1")
+    return warc_headers + block + b"\r\n\r\n"
+
+
+def _gzip_member(record: bytes) -> bytes:
+    comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return comp.compress(record) + comp.flush()
+
+
+def build_warc(records: list[bytes], per_record_gzip: bool = False) -> bytes:
+    """Concatenate pre-built records into one WARC file. per_record_gzip
+    emits the Common Crawl layout: one gzip member per record."""
+    if per_record_gzip:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+WARC_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_blob", T.BinaryType(), True),
+        T.StructField("n_records", T.LongType(), False),
+    ]
+)
+
+
+def encode_warc_partitions(docs: DataFrame, per_record_gzip: bool = True) -> DataFrame:
+    """Distributed WARC ENCODE: each input partition serializes to one
+    (warc_blob, n_records) row — the segment-per-partition shape of a crawl
+    sink. The expensive work (HTTP framing + per-record gzip) runs on
+    executors; the caller hands the blobs to any binary sink. One partition's
+    serialized bytes live in executor memory at once — size partitions like
+    any file sink (Common Crawl's ~1 GB segments are the model)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        members: list[bytes] = []
+        count = 0
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                ts_py = ts.to_pydatetime() if isinstance(ts, pd.Timestamp) else ts
+                rec = build_warc_record(
+                    str(url), ts_py, bytes(html) if html is not None else b""
+                )
+                members.append(_gzip_member(rec) if per_record_gzip else rec)
+                count += 1
+        if count:
+            yield pd.DataFrame(
+                [{"warc_blob": b"".join(members), "n_records": count}],
+                columns=["warc_blob", "n_records"],
+            )
+
+    return docs.select("url", "warc_ts", "html").mapInPandas(
+        process, WARC_BLOB_SCHEMA
+    )
