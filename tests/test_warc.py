@@ -169,6 +169,61 @@ def test_read_warc_and_projection(spark, tmp_path):
     warc.unpersist()
 
 
+def test_pipeline_from_warc_matches_parquet(spark, tmp_path):
+    """--input-format warc runs the IDENTICAL validation DAG: same corpus
+    fed once as parquet pages and once as a gzip WARC segment produces the
+    same keep decisions and byte-identical scrubbed text per url."""
+    import json
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    from wikidataquality_spark.datagen import generate_pages
+
+    pdf = generate_pages(40, seed=11)
+    # warc_to_documents yields text/lang NULL (both are DAG products); the
+    # parquet arm must carry the same NULLs for row-for-row comparability
+    pdf["text"] = None
+    pdf["lang"] = None
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pq_dir = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(pdf, schema=schema).write.parquet(pq_dir)
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    recs = [
+        build_warc_record(u, ts.to_pydatetime(), bytes(h))
+        for u, ts, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+    ]
+    (warc_dir / "seg-00000.warc.gz").write_bytes(build_warc(recs, per_record_gzip=True))
+
+    def run(args):
+        buf, old = StringIO(), sys.stdout
+        sys.stdout = buf
+        try:
+            rc = run_pipeline.main(args)
+        finally:
+            sys.stdout = old
+        line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+        return rc, json.loads(line)
+
+    out_pq, met_pq = str(tmp_path / "out_pq"), str(tmp_path / "met_pq")
+    out_wc, met_wc = str(tmp_path / "out_wc"), str(tmp_path / "met_wc")
+    rc1, res1 = run(["--input", pq_dir, "--output", out_pq, "--metrics", met_pq])
+    rc2, res2 = run(
+        ["--input", str(warc_dir), "--input-format", "warc",
+         "--output", out_wc, "--metrics", met_wc]
+    )
+    assert rc1 == 0 and rc2 == 0
+    assert res1["docs"] == res2["docs"] == 40
+
+    cols = ["url", "warc_ts", "keep", "scrubbed_text", "lang_pred", "perplexity"]
+    a = sorted(map(tuple, spark.read.parquet(out_pq).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_wc).select(*cols).collect()))
+    assert a == b
+
+
 def test_encode_warc_partitions_round_trips(spark):
     docs = spark.createDataFrame(
         [

@@ -33,6 +33,15 @@ if REPO not in sys.path:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="pages parquet dir/table")
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "warc"],
+        help="'warc' ingests raw *.warc/*.warc.gz crawl segments (io/warc.py): "
+        "clean 2xx response records are projected to the pages shape "
+        "(text/lang NULL — both are produced by the DAG itself) so the engine "
+        "runs straight off a crawl with no pre-conversion step",
+    )
     ap.add_argument("--output", required=True, help="validated-results table dir")
     ap.add_argument("--metrics", required=True, help="metrics table dir")
     ap.add_argument("--partition-by", default="date", choices=["date", "host"])
@@ -67,7 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     ensure_shipped(spark)
 
     t0 = time.perf_counter()
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from wikidataquality_spark.io.warc import read_warc, warc_to_documents
+
+        pages = warc_to_documents(read_warc(spark, args.input))
+    else:
+        pages = spark.read.parquet(args.input)
     pages = partition_column(pages, by=args.partition_by)
     dedup_state = None
     # byte-semantics fingerprint: recorded with every run, checked on
