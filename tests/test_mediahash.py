@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from pyspark.sql import Row
 
-from wikidataquality_spark.operators.imagehash import (
+from wikidataquality_spark.operators.mediahash import (
     DHASH_BANDS,
     DHASH_LUMA_TOL,
     DHASH_MAX_HAMMING,
@@ -113,6 +113,94 @@ def test_flat_images_do_not_merge_across_luma(spark):
     assert rows[2]["is_image_neardup"] is False
     assert rows[3]["is_image_neardup"] is True and rows[3]["neardup_of"] == 1
     assert rows[1]["is_image_neardup"] is False
+
+
+def _audio_signal(seed: int, n: int = 8000) -> np.ndarray:
+    """Noise carrier under a piecewise-random envelope: adjacent window
+    energies differ substantially, so gradient signs are envelope-driven
+    (a pure tone would have a flat envelope and noise-driven signs)."""
+    rng = np.random.default_rng(seed)
+    env = np.repeat(rng.uniform(0.1, 1.0, size=65), -(-n // 65))[:n]
+    x = rng.normal(0.0, 1.0, n) * env * 12000
+    return np.clip(x, -32000, 32000).astype(np.int16)
+
+
+def test_audio_fingerprint_requantization_invariance(spark):
+    from wikidataquality_spark.operators.mediahash import (
+        audio_fingerprints,
+        audio_neardup_marks,
+        audio_sig64,
+    )
+    from wikidataquality_spark.operators.multimodal import encode_wav
+
+    x = _audio_signal(11)
+    sig16, _ = audio_sig64(x)
+    # positive rescaling preserves every gradient sign exactly
+    sig_scaled, _ = audio_sig64((x.astype(np.int32) // 2).astype(np.int16))
+    assert sig16 == sig_scaled
+
+    wav16 = encode_wav(x, 8000)
+    x8 = ((x.astype(np.int32) // 256) + 128).astype(np.uint8)  # 8-bit requant
+    wav8 = encode_wav(x8, 8000, sampwidth=1)
+    wav_other = encode_wav(_audio_signal(12), 8000)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, blob=wav16),
+            Row(media_id=2, blob=wav8),
+            Row(media_id=3, blob=wav_other),
+            Row(media_id=4, blob=b"RIFFjunk"),
+        ]
+    )
+    feats = audio_fingerprints(media)
+    rows = {r["media_id"]: r for r in audio_neardup_marks(feats).collect()}
+    assert rows[2]["is_audio_neardup"] is True and rows[2]["neardup_of"] == 1
+    assert rows[1]["is_audio_neardup"] is False  # anchor survives
+    assert rows[3]["is_audio_neardup"] is False  # different envelope
+    assert rows[4]["is_audio_neardup"] is False and rows[4]["err"] is not None
+
+
+def test_video_neardup_frame_majority(spark):
+    from wikidataquality_spark.operators.mediahash import (
+        frame_dhash_features,
+        video_neardup_marks,
+    )
+    from wikidataquality_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppmv,
+        sample_frames,
+    )
+
+    def frames(seed, n=12):
+        return [_rgb(_seeded_image(seed * 100 + i, 16, 16)) for i in range(n)]
+
+    fa = frames(1)
+    fb = [f.copy() for f in fa]
+    for f in fb:
+        f[2:4, 2:4, :] ^= 9  # light retouch of every frame
+    fc = frames(2)
+
+    def media_row(mid, fs):
+        return Row(
+            media_id=mid,
+            url=f"v{mid}",
+            blob=encode_ppmv(fs),
+            meta=Row(
+                kind="video", format="ppmv", width=16, height=16,
+                n_frames=len(fs), sample_rate=None, duration_ms=None,
+            ),
+        )
+
+    media = spark.createDataFrame(
+        [media_row(1, fa), media_row(2, fb), media_row(3, fc)], schema=MEDIA_SCHEMA
+    )
+    feats = frame_dhash_features(sample_frames(media, every_nth=5))
+    assert feats.filter("err is not null").count() == 0
+    marks = {r["media_id"]: r for r in video_neardup_marks(feats).collect()}
+    assert marks[1]["total_frames"] == 3  # frames 0, 5, 10 sampled
+    assert marks[2]["is_video_neardup"] is True and marks[2]["neardup_of"] == 1
+    assert marks[2]["matched_frames"] >= 2
+    assert marks[1]["is_video_neardup"] is False  # anchor video survives
+    assert marks[3]["is_video_neardup"] is False
 
 
 def test_decode_totality_and_null_exemption(spark):
