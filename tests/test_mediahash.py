@@ -190,12 +190,21 @@ def test_video_neardup_frame_majority(spark):
             ),
         )
 
+    corrupt = Row(
+        media_id=4, url="v4", blob=b"not-a-ppmv-container",
+        meta=Row(kind="video", format="ppmv", width=None, height=None,
+                 n_frames=None, sample_rate=None, duration_ms=None),
+    )
     media = spark.createDataFrame(
-        [media_row(1, fa), media_row(2, fb), media_row(3, fc)], schema=MEDIA_SCHEMA
+        [media_row(1, fa), media_row(2, fb), media_row(3, fc), corrupt],
+        schema=MEDIA_SCHEMA,
     )
     feats = frame_dhash_features(sample_frames(media, every_nth=5))
-    assert feats.filter("err is not null").count() == 0
+    assert feats.filter("err is not null").count() == 1  # the corrupt demux
     marks = {r["media_id"]: r for r in video_neardup_marks(feats).collect()}
+    # totality: the all-corrupt video keeps an accounting row (0 hashed
+    # frames, unflagged) instead of vanishing from the marks table
+    assert marks[4]["total_frames"] == 0 and marks[4]["is_video_neardup"] is False
     assert marks[1]["total_frames"] == 3  # frames 0, 5, 10 sampled
     assert marks[2]["is_video_neardup"] is True and marks[2]["neardup_of"] == 1
     assert marks[2]["matched_frames"] >= 2

@@ -66,6 +66,19 @@ def test_round_trip_plain_and_per_record_gzip():
         assert offs[0] == 0 and offs == sorted(offs)
 
 
+def test_unicode_url_and_null_fields_round_trip():
+    # IRIs round-trip through UTF-8 headers (latin-1 would crash the writer)
+    iri = "http://example.com/中文/ß?q=naïve"
+    rows = _rows(build_warc([build_warc_record(iri, TS1, HTML_A)]))
+    assert rows[0]["err"] is None and rows[0]["url"] == iri
+    # NULL url omits WARC-Target-URI (never the string 'None'); None/NaT
+    # timestamps fall back to the epoch instead of raising
+    rows = _rows(build_warc([build_warc_record(None, None, HTML_C)]))
+    assert rows[0]["err"] is None and rows[0]["url"] is None
+    assert rows[0]["warc_ts"] == datetime(1970, 1, 1)
+    assert rows[0]["html"] == HTML_C
+
+
 def test_http_transfer_and_content_encodings_decode():
     # chunked, gzip, and chunked-over-gzip all decode back to the original
     recs = [
@@ -224,16 +237,65 @@ def test_pipeline_from_warc_matches_parquet(spark, tmp_path):
     assert a == b
 
 
+def test_pipeline_warc_dedups_recrawl_captures(spark, tmp_path):
+    """The ingest path must collapse repeat captures of one url (earliest
+    wins) before the DAG: its dedup anchors key on url, so two rows sharing
+    a url could never flag each other, and the per-url byte-identity
+    invariant would break."""
+    import json
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    from wikidataquality_spark.datagen import generate_pages
+
+    pdf = generate_pages(4, seed=21)
+    recs = [
+        build_warc_record(u, ts.to_pydatetime(), bytes(h))
+        for u, ts, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+    ]
+    # a later recrawl of page 0 with different bytes — must NOT survive
+    recrawl_url = pdf["url"][0]
+    recs.append(build_warc_record(recrawl_url, TS2, b"<html>recrawl</html>"))
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(build_warc(recs, per_record_gzip=True))
+
+    buf, old = StringIO(), sys.stdout
+    sys.stdout = buf
+    try:
+        rc = run_pipeline.main(
+            ["--input", str(d), "--input-format", "warc",
+             "--output", str(tmp_path / "out"), "--metrics", str(tmp_path / "met")]
+        )
+    finally:
+        sys.stdout = old
+    res = json.loads([l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert rc == 0 and res["docs"] == 4  # 5 captures → 4 documents
+    out = spark.read.parquet(str(tmp_path / "out"))
+    dup_rows = out.filter(F.col("url") == recrawl_url).collect()
+    assert len(dup_rows) == 1
+    # earliest capture survives: its warc_ts is the original, not TS2
+    assert dup_rows[0]["warc_ts"] == pdf["warc_ts"][0].to_pydatetime()
+
+
 def test_encode_warc_partitions_round_trips(spark):
+    schema = "url string, warc_ts timestamp, html binary"
     docs = spark.createDataFrame(
         [
-            Row(url="http://a.example/1", warc_ts=TS1, html=HTML_A),
-            Row(url="http://a.example/2", warc_ts=TS2, html=HTML_C),
-            Row(url="http://a.example/3", warc_ts=TS1, html=None),
-        ]
+            ("http://a.example/1", TS1, HTML_A),
+            ("http://a.example/2", TS2, HTML_C),
+            ("http://a.example/3", TS1, None),
+            # NULL url + NULL ts arrive as None/NaT in pandas — the encode
+            # must stay total (one such row used to kill the whole task)
+            (None, None, HTML_B),
+        ],
+        schema=schema,
     ).repartition(2)
     out = encode_warc_partitions(docs).collect()
-    assert sum(r["n_records"] for r in out) == 3
+    assert sum(r["n_records"] for r in out) == 4
     assert 1 <= len(out) <= 2  # one blob row per non-empty partition
     parsed = [
         rec
@@ -246,3 +308,6 @@ def test_encode_warc_partitions_round_trips(spark):
     assert by_url["http://a.example/2"]["html"] == HTML_C
     assert by_url["http://a.example/3"]["html"] == b""  # NULL html → empty body
     assert by_url["http://a.example/1"]["warc_ts"] == TS1
+    # the NULL-url/NaT row survives as an anonymous epoch-dated record
+    assert by_url[None]["html"] == HTML_B
+    assert by_url[None]["warc_ts"] == datetime(1970, 1, 1)

@@ -77,9 +77,24 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
         from wikidataquality_spark.io.warc import read_warc, warc_to_documents
+        from wikidataquality_spark.operators.dedup import url_dup_marks
 
         pages = warc_to_documents(read_warc(spark, args.input))
+        # a real crawl captures the same url repeatedly (recrawls, http/https
+        # and www variants) — but the DAG's dedup anchors key on url, so two
+        # rows SHARING one url can never flag each other, and the per-url
+        # byte-identity invariant (B:15) breaks. Earliest capture per
+        # canonical url survives (url_dup_marks' first-crawl-wins order);
+        # parquet inputs are assumed already url-unique (the datagen/Iceberg
+        # contract), which is why this lives on the ingest path only.
+        pages = (
+            url_dup_marks(pages)
+            .filter(~F.col("url_dup"))
+            .drop("url_canonical", "url_dup")
+        )
     else:
         pages = spark.read.parquet(args.input)
     pages = partition_column(pages, by=args.partition_by)

@@ -59,12 +59,15 @@ WARC_SCHEMA = T.StructType(
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
+# the one shared error-label convention (160-char bound, TypeName: msg) —
+# imported, not copied, so the contract can't drift between modules
+from wikidataquality_spark.operators.multimodal import _err_str  # noqa: E402
 
-def _err_str(e: Exception) -> str:
-    """Stable bounded error label (same convention as multimodal._err_str):
-    every corruption class below raises THIS repo's ValueError constants,
-    never stdlib message text that could drift across Python versions."""
-    return f"{type(e).__name__}: {e}"[:160]
+# gzip members are fed to the decompressor in bounded chunks: feeding the
+# whole remaining buffer per member makes d.unused_data re-materialize the
+# tail each iteration — O(members × bytes), hours on a ~1 GB 50k-member
+# Common Crawl segment (r04 session review). Chunked feeding is O(bytes).
+_GZ_CHUNK = 1 << 20
 
 
 def _gunzip_members(blob: bytes) -> bytes:
@@ -74,18 +77,22 @@ def _gunzip_members(blob: bytes) -> bytes:
     same loop. Truncation/trailing garbage raise (caller turns that into
     one error row for the file)."""
     out = []
-    data = bytes(blob)
-    while data[:2] == _GZIP_MAGIC:
+    buf = memoryview(blob)
+    pos, n = 0, len(buf)
+    while pos < n:
+        if bytes(buf[pos : pos + 2]) != _GZIP_MAGIC:
+            raise ValueError("warc: trailing non-gzip bytes after gzip members")
         d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(data))
-        except zlib.error:
-            raise ValueError("warc: corrupt gzip member") from None
-        if not d.eof:
-            raise ValueError("warc: truncated gzip member")
-        data = d.unused_data
-    if data:
-        raise ValueError("warc: trailing non-gzip bytes after gzip members")
+        while not d.eof:
+            chunk = buf[pos : pos + _GZ_CHUNK]
+            if len(chunk) == 0:
+                raise ValueError("warc: truncated gzip member")
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error:
+                raise ValueError("warc: corrupt gzip member") from None
+            pos += len(chunk)
+        pos -= len(d.unused_data)  # unread tail of the final chunk (≤ _GZ_CHUNK)
     return b"".join(out)
 
 
@@ -133,16 +140,26 @@ def _decode_content(body: bytes, encoding: str) -> bytes:
     raise ValueError(f"warc: unsupported content-encoding {enc!r}")
 
 
+def _hdr_decode(b: bytes) -> str:
+    """WARC headers are UTF-8 by spec (ISO 28500 §4); real crawls also carry
+    legacy latin-1 bytes. UTF-8 first, latin-1 fallback — total on any
+    bytes, and round-trips the UTF-8 the writer emits (IRIs in
+    WARC-Target-URI)."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(head: bytes) -> dict[str, str]:
-    """'Name: value' lines → lower-cased dict. latin-1 is total on bytes, so
-    a stray high byte in a header can never raise here."""
+    """'Name: value' lines → lower-cased dict; decoding is total."""
     headers: dict[str, str] = {}
     for line in head.split(b"\r\n"):
         sep = line.find(b":")
         if sep <= 0:
             continue  # tolerate stray non-header lines (incl. folded tails)
-        headers[line[:sep].strip().lower().decode("latin-1")] = (
-            line[sep + 1 :].strip().decode("latin-1")
+        headers[_hdr_decode(line[:sep].strip()).lower()] = _hdr_decode(
+            line[sep + 1 :].strip()
         )
     return headers
 
@@ -284,10 +301,15 @@ def read_warc(spark: SparkSession, path: str, glob: str | None = "*.warc*") -> D
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # one yield PER FILE: binaryFile packs many segments into one
+            # Arrow batch, and accumulating every file's decompressed
+            # payloads before yielding would hold the whole batch's records
+            # in memory at once (r04 session review) — per-file yields bound
+            # the peak at one segment's worth
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(iter_warc_records(bytes(content), warc_file=fpath))
-            yield pd.DataFrame(rows, columns=cols)
+                rows = list(iter_warc_records(bytes(content), warc_file=fpath))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(process, WARC_SCHEMA)
 
@@ -321,7 +343,7 @@ def warc_to_documents(warc: DataFrame) -> DataFrame:
 
 
 def build_warc_record(
-    url: str,
+    url: str | None,
     ts: datetime | None,
     payload: bytes,
     status: int = 200,
@@ -332,7 +354,13 @@ def build_warc_record(
     """One WARC response record wrapping an HTTP/1.1 response. chunked > 0
     re-frames the body as chunked transfer coding with that chunk size;
     gzip_payload applies Content-Encoding: gzip — both exist to exercise the
-    reader's decode paths with real framing."""
+    reader's decode paths with real framing.
+
+    TOTAL like the reader: headers are UTF-8 (spec; IRIs with non-latin1
+    characters round-trip), a NULL url omits WARC-Target-URI (the reader
+    yields url NULL and warc_to_documents filters it — never the literal
+    string 'None'), and an unusable timestamp (None OR pandas NaT, whose
+    strftime raises) falls back to the epoch instead of killing the task."""
     body = payload
     http_headers = [f"HTTP/1.1 {status} X", f"Content-Type: {content_type}"]
     if gzip_payload:
@@ -345,18 +373,22 @@ def build_warc_record(
         body = b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks) + b"0\r\n\r\n"
     else:
         http_headers.append(f"Content-Length: {len(body)}")
-    block = "\r\n".join(http_headers).encode("latin-1") + b"\r\n\r\n" + body
-    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
-    rid = hashlib.sha256(url.encode("utf-8")).hexdigest()[:32]
+    block = "\r\n".join(http_headers).encode("utf-8") + b"\r\n\r\n" + body
+    try:
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    except (AttributeError, ValueError):  # None, or NaT (strftime raises)
+        date = "1970-01-01T00:00:00Z"
+    rid = hashlib.sha256((url or "").encode("utf-8")).hexdigest()[:32]
+    uri_line = f"WARC-Target-URI: {url}\r\n" if url is not None else ""
     warc_headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: response\r\n"
         f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
         f"WARC-Date: {date}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"{uri_line}"
         f"Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     return warc_headers + block + b"\r\n\r\n"
 
 
@@ -394,9 +426,12 @@ def encode_warc_partitions(docs: DataFrame, per_record_gzip: bool = True) -> Dat
         count = 0
         for pdf in batches:
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                # NaT falls through unconverted — build_warc_record's
+                # epoch fallback absorbs it (totality); a NULL url is
+                # passed as None, never stringified
                 ts_py = ts.to_pydatetime() if isinstance(ts, pd.Timestamp) else ts
                 rec = build_warc_record(
-                    str(url), ts_py, bytes(html) if html is not None else b""
+                    url, ts_py, bytes(html) if html is not None else b""
                 )
                 members.append(_gzip_member(rec) if per_record_gzip else rec)
                 count += 1

@@ -368,7 +368,13 @@ def video_neardup_marks(
     precision by exact per-frame verification; ties across several anchor
     videos resolve to the smallest anchor id."""
     hashed = frame_features.filter(F.col("dhash").isNotNull())
-    totals = hashed.groupBy(id_col).agg(F.count("*").alias("total_frames"))
+    # totals over ALL videos present in the features (count(dhash) skips
+    # NULLs): an all-corrupt video keeps a row with total_frames 0 and
+    # is_video_neardup false instead of vanishing — the same totality
+    # accounting the image/audio twins give error rows (r04 session review)
+    totals = frame_features.groupBy(id_col).agg(
+        F.count(F.col("dhash")).alias("total_frames")
+    )
     pair_frames = (
         _verified_anchor_rows(
             hashed, id_col, "dhash", "grid_luma", max_hamming, luma_tol,
