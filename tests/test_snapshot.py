@@ -60,6 +60,30 @@ def test_statuses_including_null_text_semantics(spark):
     assert sliced == ["u2", "u5", "u6", "u7"]  # exactly added+changed
 
 
+def test_null_id_rows_agree_between_diff_and_slice(spark):
+    """NULL ids never equi-join: the diff reports them added/removed, and
+    changed_slice must carry the same added rows (a plain semi-join would
+    silently drop them — the slice would disagree with the report)."""
+    old = _snap(spark, [("u1", "same"), (None, "orphan-old")])
+    new = _snap(spark, [("u1", "same"), (None, "orphan-new"), ("u2", "fresh")])
+    diff = snapshot_diff(old, new)
+    nones_first = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731
+    statuses = sorted(
+        ((r["url"], r["status"]) for r in diff.collect()), key=nones_first
+    )
+    assert statuses == [
+        (None, "added"),
+        (None, "removed"),
+        ("u1", "unchanged"),
+        ("u2", "added"),
+    ]
+    sliced = sorted(
+        ((r["url"], r["text"]) for r in changed_slice(new, diff).collect()),
+        key=nones_first,
+    )
+    assert sliced == [(None, "orphan-new"), ("u2", "fresh")]
+
+
 def test_duckdb_twin_parity_on_generated_recrawl(spark):
     from wikidataquality_spark.datagen import generate_pages
 

@@ -463,15 +463,39 @@ def main() -> int:
             "| query | input rows | shuffled rows | row expansion | "
             "shuffle MB | row width B |\n"
             "| --- | --- | --- | --- | --- | --- |\n" + "\n".join(rows) + "\n\n"
-            "Reading of the current numbers: zero-shuffle map queries "
-            "(qf_keep_decision, scrub_pii_all, multimodal_features) shuffle "
-            "0 rows; every dedup/banding family moves ≤25 B rows at its "
-            "designed expansion; the one WIDE shuffle is semdedup_marks "
-            "(~200 B rows) — its within-cell pair verify carries the "
-            "embedding vectors themselves, the documented cost of exact "
-            "cosine verification (norm scalars ride along so each pair "
-            "costs one fold; at 100 TB the verify joins only within-cell "
-            "candidates, never the corpus).\n"
+        )
+        # narrative derived from the JSON, never hand-frozen next to a
+        # regenerable table (they WILL drift otherwise — r04 session review)
+        ok = {k: v for k, v in rec["queries"].items() if "error" not in v}
+        zero = sorted(k for k, v in ok.items() if v["shuffle_write_records"] == 0)
+        widths = {
+            k: v["avg_shuffled_row_bytes"]
+            for k, v in ok.items()
+            if v["avg_shuffled_row_bytes"] is not None
+            and v["shuffle_write_records"] > 1000  # final tiny-agg rows excluded
+        }
+        wide = {k: w for k, w in widths.items() if w > 60}
+        narrow_max = max((w for k, w in widths.items() if k not in wide), default=0)
+        out += (
+            f"Derived reading: {len(zero)} map-only queries shuffle zero rows "
+            f"({', '.join(zero)}); every other bulk shuffle moves rows of ≤"
+            f"{narrow_max:.0f} B"
+            + (
+                "; wide-row shuffles (>60 B): "
+                + ", ".join(f"{k} ({w:.0f} B)" for k, w in sorted(wide.items()))
+                + (
+                    " — semdedup's within-cell pair verify carries the "
+                    "embedding vectors themselves, the documented cost of "
+                    "exact cosine verification (bounded to within-cell "
+                    "candidates, never the corpus)."
+                    if "semdedup_marks" in wide
+                    else "."
+                )
+                if wide
+                else "."
+            )
+            + " Queries shuffling <1000 rows (final aggregates) are excluded "
+            "from the width reading.\n"
         )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(out)

@@ -111,38 +111,49 @@ def parse_event_log(log_dir: str) -> dict[str, dict]:
         for name in files
         if not name.startswith("appstatus")
     ]
-    for path in sorted(paths):
-        with open(path) as f:
-            for line in f:
-                try:
-                    e = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                ev = e.get("Event")
-                if ev == "SparkListenerJobStart":
-                    group = (e.get("Properties") or {}).get("spark.jobGroup.id")
-                    if group:
-                        for si in e.get("Stage Infos", []):
-                            # first group wins: a reused shuffle stage stays
-                            # attributed to the query that computed it
-                            stage_group.setdefault(si["Stage ID"], group)
-                elif ev == "SparkListenerTaskEnd":
-                    group = stage_group.get(e.get("Stage ID"))
-                    tm = e.get("Task Metrics")
-                    if group is None or tm is None:
+
+    def events():
+        for path in sorted(paths):
+            with open(path) as f:
+                for line in f:
+                    try:
+                        yield json.loads(line)
+                    except json.JSONDecodeError:
                         continue
-                    b = bucket(group)
-                    b["n_tasks"] += 1
-                    im = tm.get("Input Metrics") or {}
-                    b["input_bytes"] += im.get("Bytes Read", 0)
-                    b["input_records"] += im.get("Records Read", 0)
-                    sw = tm.get("Shuffle Write Metrics") or {}
-                    b["shuffle_write_bytes"] += sw.get("Shuffle Bytes Written", 0)
-                    b["shuffle_write_records"] += sw.get("Shuffle Records Written", 0)
-                    sr = tm.get("Shuffle Read Metrics") or {}
-                    b["shuffle_read_bytes"] += sr.get("Remote Bytes Read", 0) + sr.get(
-                        "Local Bytes Read", 0
-                    )
+
+    # TWO passes: all JobStarts populate stage_group before any TaskEnd is
+    # attributed. Rolling logs split at arbitrary points and lexicographic
+    # file order misorders events_10_ before events_2_ — a single ordered
+    # pass would drop (or misattribute) every task whose JobStart lives in
+    # a later-sorted file (r04 session review).
+    for e in events():
+        if e.get("Event") == "SparkListenerJobStart":
+            group = (e.get("Properties") or {}).get("spark.jobGroup.id")
+            if group:
+                for si in e.get("Stage Infos", []):
+                    # first-listed group wins; only a stage REUSED across
+                    # two grouped jobs is ambiguous, and each query here
+                    # builds a fresh plan, so reuse doesn't arise
+                    stage_group.setdefault(si["Stage ID"], group)
+    for e in events():
+        if e.get("Event") != "SparkListenerTaskEnd":
+            continue
+        group = stage_group.get(e.get("Stage ID"))
+        tm = e.get("Task Metrics")
+        if group is None or tm is None:
+            continue
+        b = bucket(group)
+        b["n_tasks"] += 1
+        im = tm.get("Input Metrics") or {}
+        b["input_bytes"] += im.get("Bytes Read", 0)
+        b["input_records"] += im.get("Records Read", 0)
+        sw = tm.get("Shuffle Write Metrics") or {}
+        b["shuffle_write_bytes"] += sw.get("Shuffle Bytes Written", 0)
+        b["shuffle_write_records"] += sw.get("Shuffle Records Written", 0)
+        sr = tm.get("Shuffle Read Metrics") or {}
+        b["shuffle_read_bytes"] += sr.get("Remote Bytes Read", 0) + sr.get(
+            "Local Bytes Read", 0
+        )
     return agg
 
 

@@ -38,7 +38,11 @@ def cluster_partition_count(
     10^12-doc pipeline computes approx_total_mb from the write manifest's
     per-partition row counts × sampled row width (io/catalog.py records
     both), never from a second full scan."""
-    return max(1, -(-int(approx_total_mb) // target_file_mb))
+    import math
+
+    # true ceiling on the float (int-truncating first undercounts any
+    # fractional total just above a target multiple — r04 session review)
+    return max(1, math.ceil(approx_total_mb / target_file_mb))
 
 
 def cluster_for_skipping(

@@ -60,8 +60,9 @@ WARC_SCHEMA = T.StructType(
 _GZIP_MAGIC = b"\x1f\x8b"
 
 # the one shared error-label convention (160-char bound, TypeName: msg) —
-# imported, not copied, so the contract can't drift between modules
-from wikidataquality_spark.operators.multimodal import _err_str  # noqa: E402
+# imported from the layer-neutral errors module, so io never depends on the
+# operators package
+from wikidataquality_spark.errors import err_str as _err_str  # noqa: E402
 
 # gzip members are fed to the decompressor in bounded chunks: feeding the
 # whole remaining buffer per member makes d.unused_data re-materialize the

@@ -68,7 +68,6 @@ def chunk_documents(
     return (
         base.select(
             id_col,
-            F.col("_n"),
             F.col("_k").alias("n_chunks"),
             F.explode(F.sequence(F.lit(0), (F.col("_k") - 1).cast("int"))).alias(
                 "chunk_idx"

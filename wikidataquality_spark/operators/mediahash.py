@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from wikidataquality_spark.operators.multimodal import _err_str, decode_ppm
+from wikidataquality_spark.errors import err_str as _err_str
+from wikidataquality_spark.operators.multimodal import decode_ppm
 
 DHASH_GRID_H = 8
 DHASH_GRID_W = 9  # 9 columns → 8 horizontal gradients per row → 64 bits
@@ -97,12 +98,17 @@ def dhash64(luma: np.ndarray) -> tuple[int, int]:
     return _pack_bits(bits), int(block.mean())
 
 
-def dhash_features(media: DataFrame) -> DataFrame:
-    """(media_id, blob) → (media_id, dhash, grid_luma, err): one iterator
-    mapInPandas decode pass, total in the multimodal sense. NULL blobs are
-    dropped (nothing to hash); corrupt blobs yield error rows with NULL
-    hash, which every downstream banding step exempts (a constant error
-    hash would otherwise hub-bucket exactly like xxhash64(NULL))."""
+def _fingerprint_features(media: DataFrame, schema, compute) -> DataFrame:
+    """The ONE total decode→fingerprint loop behind the image and audio
+    feature passes: (media_id, blob) → schema rows, where compute(blob)
+    returns the schema's value fields. NULL blobs are dropped (metadata-only
+    rows, nothing to hash); a raising compute yields an error row with every
+    value field NULL — which every downstream banding step exempts (a
+    constant error hash would otherwise hub-bucket exactly like
+    xxhash64(NULL)). The frame-level loop (frame_dhash_features) stays
+    separate ON PURPOSE: its NULL blobs are demux ERROR rows whose
+    accounting must pass through, the opposite NULL policy."""
+    value_fields = [f.name for f in schema.fields if f.name not in ("media_id", "err")]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,18 +117,29 @@ def dhash_features(media: DataFrame) -> DataFrame:
             for mid, blob in zip(keep["media_id"], keep["blob"]):
                 base = {"media_id": int(mid)}
                 try:
-                    px = decode_ppm(bytes(blob))
-                    luma = (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
-                    sig, gl = dhash64(luma)
+                    vals = compute(bytes(blob))
                 except Exception as e:  # noqa: BLE001 — totality on purpose
                     rows.append(
-                        {**base, "dhash": None, "grid_luma": None, "err": _err_str(e)}
+                        {**base, **dict.fromkeys(value_fields), "err": _err_str(e)}
                     )
                     continue
-                rows.append({**base, "dhash": sig, "grid_luma": gl, "err": None})
-            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+                rows.append({**base, **vals, "err": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.select("media_id", "blob").mapInPandas(process, DHASH_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(process, schema)
+
+
+def _dhash_of_blob(blob: bytes) -> dict:
+    px = decode_ppm(blob)
+    luma = (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    sig, gl = dhash64(luma)
+    return {"dhash": sig, "grid_luma": gl}
+
+
+def dhash_features(media: DataFrame) -> DataFrame:
+    """(media_id, blob) → (media_id, dhash, grid_luma, err): one iterator
+    mapInPandas decode pass, total in the multimodal sense."""
+    return _fingerprint_features(media, DHASH_SCHEMA, _dhash_of_blob)
 
 
 def dhash_band_keys(sig_col: str | Column = "dhash") -> Column:
@@ -254,27 +271,19 @@ def audio_sig64(samples: np.ndarray) -> tuple[int, int]:
     return sig, int(100 * np.log10(1.0 + rms))
 
 
-def audio_fingerprints(media: DataFrame) -> DataFrame:
-    """(media_id, blob) → (media_id, afp, log_rms, err): one total
-    mapInPandas decode pass (decode_wav handles mono/stereo, 8/16-bit)."""
+def _audio_fp_of_blob(blob: bytes) -> dict:
     from wikidataquality_spark.operators.multimodal import decode_wav
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keep = pdf[pdf["blob"].notna()]
-            rows = []
-            for mid, blob in zip(keep["media_id"], keep["blob"]):
-                base = {"media_id": int(mid)}
-                try:
-                    samples, _sr = decode_wav(bytes(blob))
-                    sig, gl = audio_sig64(samples)
-                except Exception as e:  # noqa: BLE001 — totality on purpose
-                    rows.append({**base, "afp": None, "log_rms": None, "err": _err_str(e)})
-                    continue
-                rows.append({**base, "afp": sig, "log_rms": gl, "err": None})
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+    samples, _sr = decode_wav(blob)
+    sig, gl = audio_sig64(samples)
+    return {"afp": sig, "log_rms": gl}
 
-    return media.select("media_id", "blob").mapInPandas(process, AUDIO_FP_SCHEMA)
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, blob) → (media_id, afp, log_rms, err): one total
+    mapInPandas decode pass (decode_wav handles mono/stereo, 8/16-bit) —
+    the shared _fingerprint_features loop with the audio codec plugged in."""
+    return _fingerprint_features(media, AUDIO_FP_SCHEMA, _audio_fp_of_blob)
 
 
 def audio_neardup_marks(

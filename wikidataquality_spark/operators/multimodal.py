@@ -90,12 +90,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _err_str(e: Exception) -> str:
-    """Stable, bounded error label for a failed decode. The decoders raise
-    their OWN ValueErrors on every corruption class they detect, so the
-    strings pinned in oracle anchors are this repo's constants, not stdlib
-    message text that could drift across Python versions."""
-    return f"{type(e).__name__}: {e}"[:160]
+# the shared error-label convention (wikidataquality_spark/errors.py) under
+# this module's historical private name — the decoders raise their OWN
+# ValueErrors on every corruption class, so oracle-pinned strings are this
+# repo's constants
+from wikidataquality_spark.errors import err_str as _err_str  # noqa: E402
 
 
 def _fake_pixels(blob: bytes, w: int, h: int) -> np.ndarray:

@@ -47,7 +47,10 @@ def snapshot_diff(
     """(id, status ∈ {added, removed, changed, unchanged}) for every id in
     either snapshot. NULL text is a value: NULL → NULL is unchanged
     (null-safe hash comparison), NULL → text is changed — xxhash64(NULL) is
-    NULL, so plain equality would misread every NULL-text pair as changed."""
+    NULL, so plain equality would misread every NULL-text pair as changed.
+    NULL ids never join (SQL equi-join semantics), so each NULL-id row
+    surfaces individually: 'removed' from old, 'added' from new —
+    changed_slice carries the same rows, keeping report and slice equal."""
     o = _hashed(old, id_col, text_col, "_o")
     n = _hashed(new, id_col, text_col, "_n")
     # presence flags, not hash nullness, mark which side a row came from:
@@ -79,9 +82,16 @@ def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
 def changed_slice(new: DataFrame, diff: DataFrame, id_col: str = "url") -> DataFrame:
     """The added+changed rows of the new snapshot — the exact input
     incremental validation re-processes (a broadcast-friendly semi-join
-    when the change set is small, the common recrawl case)."""
+    when the change set is small, the common recrawl case).
+
+    NULL-id rows: the diff's full-outer join never matches NULL keys, so
+    every NULL-id row of the new snapshot is status 'added' — and a plain
+    semi-join would silently DROP those very rows here (NULL never
+    semi-matches), making the slice disagree with the diff report. They are
+    unioned back explicitly so diff and slice stay consistent."""
     ids = diff.filter(F.col("status").isin(STATUS_ADDED, STATUS_CHANGED)).select(id_col)
-    return new.join(ids, id_col, "left_semi")
+    matched = new.filter(F.col(id_col).isNotNull()).join(ids, id_col, "left_semi")
+    return matched.unionByName(new.filter(F.col(id_col).isNull()))
 
 
 def snapshot_diff_sql(id_col: str = "url", text_col: str = "text") -> str:
