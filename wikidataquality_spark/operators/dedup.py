@@ -760,6 +760,7 @@ def repartition_by_host_salted(
     url_col: str = "url",
     hot_fraction: float = 0.05,
     n_salts: int = 16,
+    use_sketch: bool = False,
 ) -> DataFrame:
     """Hash-partition by url-host, salting hosts that exceed hot_fraction of
     rows so no partition is dominated by one domain (explicit-salting mandate
@@ -767,18 +768,30 @@ def repartition_by_host_salted(
 
     The hot-host set comes from ONE cheap pre-aggregation (count per host;
     the total derives from the same result, so the upstream lineage computes
-    once) — at production scale that is a sample-based sketch; the set is
-    tiny and is broadcast inside the `isin` literal."""
+    once). use_sketch=True swaps in the Misra–Gries heavy-hitter pass
+    (operators/heavyhitters.py) — the production-scale path: its shuffle is
+    ≤ P·k rows regardless of how many DISTINCT hosts the crawl has (the
+    exact groupBy shuffles one row per distinct host, ~10⁹ on a full
+    crawl), and its guarantee is one-sided the safe way: every truly hot
+    host is salted, warm hosts may be over-salted harmlessly. Either way
+    the set is tiny and broadcast inside the `isin` literal."""
     host = host_of(url_col)
-    per_host = df.groupBy(host.alias("host")).count().persist()
-    try:
-        total = per_host.agg(F.sum("count")).first()[0] or 0
-        hot = [
-            r["host"]
-            for r in per_host.filter(F.col("count") > hot_fraction * total).collect()
-        ]  # only the (tiny) hot set ever reaches the driver
-    finally:
-        per_host.unpersist()
+    if use_sketch:
+        from wikidataquality_spark.operators.heavyhitters import hot_keys
+
+        hot = hot_keys(df.select(host.alias("host")), "host", hot_fraction)
+    else:
+        per_host = df.groupBy(host.alias("host")).count().persist()
+        try:
+            total = per_host.agg(F.sum("count")).first()[0] or 0
+            hot = [
+                r["host"]
+                for r in per_host.filter(
+                    F.col("count") > hot_fraction * total
+                ).collect()
+            ]  # only the (tiny) hot set ever reaches the driver
+        finally:
+            per_host.unpersist()
     # NULL host (unparseable URL — host_of's own defence case) can itself be
     # the hottest "host": a crawl with 10% malformed URLs puts them ALL in
     # one (NULL, 0) partition unless salted. isin() is NULL for NULL input
