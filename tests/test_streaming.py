@@ -74,6 +74,32 @@ def test_session_windows_complete_mode(spark, events_stream, events_batch):
     assert out.agg(F.sum("n_events")).collect()[0][0] == events_batch.count()
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events_batch, tmp_path):
+    """Stream-stream inner interval join (purchase attribution): the
+    streaming run over both sides as file streams equals the identical
+    plan on batch inputs — which IS the oracle twin."""
+    from wikidataquality_spark.streaming.windows import attribute_purchases
+
+    clicks_b = events_batch.filter(F.col("event_type") == "click")
+    purch_b = events_batch.filter(F.col("event_type") == "purchase")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks_b.write.parquet(cdir)
+    purch_b.write.parquet(pdir)
+    cs = spark.readStream.schema(clicks_b.schema).parquet(cdir)
+    ps = spark.readStream.schema(purch_b.schema).parquet(pdir)
+    streamed = run_stream_to_memory(
+        spark, attribute_purchases(cs, ps), output_mode="append"
+    )
+    batch = attribute_purchases(clicks_b, purch_b)
+    s = {(r["purchase_id"], r["click_id"]) for r in streamed.collect()}
+    b = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert s == b and len(s) > 0
+    # every attributed click truly precedes its purchase within the horizon
+    for r in batch.collect():
+        dt = (r["purchase_ts"] - r["click_ts"]).total_seconds()
+        assert 0 <= dt <= 30 * 60
+
+
 def test_incremental_validate_foreachbatch(spark, tmp_path):
     from wikidataquality_spark.datagen import write_pages_parquet
     from wikidataquality_spark.streaming.windows import incremental_validate

@@ -69,6 +69,53 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the attribution shape: each purchase
+    joins every same-user click in the preceding `horizon`. The missing
+    member of the streaming surface next to windows/dedup/session/stateful.
+
+    State stays bounded because the join condition is time-RANGE-bound on
+    watermarked columns: Spark retains click-side state only back to
+    (purchase watermark − horizon) and purchase-side state only `watermark`
+    deep, then reclaims — without the range bound a stream-stream join's
+    state grows forever, the failure mode that matters at 10⁹ events/hour.
+    Batch inputs take the identical plan minus watermarks, so the batch
+    call IS the oracle twin (tests assert set equality)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
