@@ -54,6 +54,67 @@ def test_compact_reduces_files_preserves_rows_and_manifest(spark, tmp_path):
     assert compact_dataset(spark, out, target_file_mb=64) == {}
 
 
+def test_concurrent_write_aborts_commit_and_loses_nothing(spark, tmp_path, monkeypatch):
+    """Optimistic commit: a writer landing between staging and the locked
+    swap changes the partition's listing token — the commit aborts, the
+    writer's rows win, the scratch is discarded."""
+    import wikidataquality_spark.io.compaction as comp
+
+    out = str(tmp_path / "t3")
+    _fragmented_dataset(spark, out)
+    real_lock = comp.exclusive_lock
+    raced = {}
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def racing_lock(path):
+        if not raced:  # first commit only: a writer replaces 2025-01-01
+            raced["done"] = True
+            late = spark.createDataFrame(
+                [("w-late", "2025-01-01", 999, "late writer")],
+                "url string, partition string, x long, text string",
+            )
+            write_partitioned(late, out, run_id="late", input_snapshot="snapC")
+        with real_lock(path):
+            yield
+
+    monkeypatch.setattr(comp, "exclusive_lock", racing_lock)
+    done = comp.compact_dataset(spark, out, target_file_mb=64)
+    assert done["2025-01-01"] == "skipped_concurrent_write"
+    assert done["2025-01-02"][1] == 1  # the unraced partition compacted
+    df = spark.read.parquet(out)
+    # dynamic overwrite replaced partition 01 with the single late row —
+    # exactly what the table must show; nothing of the writer's was lost
+    assert df.filter(F.col("url") == "w-late").count() == 1
+    assert df.filter(F.col("partition") == "2025-01-01").count() == 1
+    assert df.filter(F.col("partition") == "2025-01-02").count() == 200
+    # the aborted scratch is gone
+    assert not [d for d in os.listdir(out) if d.startswith("_compact_")]
+
+
+def test_heal_restores_vanished_partition_and_reaps_orphans(spark, tmp_path):
+    """Crash recovery: a swap that died between its renames leaves the live
+    dir missing and an .old orphan — the next run renames it back; dead-pid
+    scratch dirs are reaped."""
+    import subprocess
+
+    out = str(tmp_path / "t4")
+    _fragmented_dataset(spark, out)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+    part = os.path.join(out, "partition=2025-01-01")
+    os.rename(part, os.path.join(out, f"_compact_{dead_pid}_2025-01-01.old"))
+    assert spark.read.parquet(out).count() == 200  # partition vanished
+    scratch = os.path.join(out, f"_compact_{dead_pid}_2025-01-02")
+    os.makedirs(scratch)
+    compact_dataset(spark, out, target_file_mb=64)
+    assert spark.read.parquet(out).count() == 400  # healed, then compacted
+    assert not [d for d in os.listdir(out) if d.startswith("_compact_")]
+    assert partition_file_stats(out)["2025-01-01"][0] == 1
+
+
 def test_compact_spares_already_compact_partitions(spark, tmp_path):
     out = str(tmp_path / "t2")
     _fragmented_dataset(spark, out)

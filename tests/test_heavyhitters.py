@@ -139,3 +139,8 @@ def test_empty_and_tiny_inputs(spark):
     assert len(rows) == 1
     assert rows[0]["key"] == "x" and rows[0]["count_lb"] == 1
     assert rows[0]["count_ub"] == 1 and rows[0]["max_undercount"] == 0
+    # numeric key columns work at the front door (cast to string keys —
+    # previously died in the Arrow serializer mid-stage)
+    nums = spark.createDataFrame([(7,), (7,), (9,)], "doc_id long")
+    got = {r["key"]: r["count_lb"] for r in heavy_hitters(nums, "doc_id", k=4).collect()}
+    assert got == {"7": 2, "9": 1}

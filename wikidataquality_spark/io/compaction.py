@@ -11,14 +11,29 @@ target-size file count → atomic swap. coalesce, never repartition — the
 rewrite is the one operation that must NOT shuffle (it narrows existing
 partitions in place).
 
-The swap is check-stage-publish under the repo's single locking seam
-(io/locking.py): the staged rewrite becomes live via two renames under the
-exclusive lock. Same documented single-host semantics as every other
-publish in the repo — an object-store/Iceberg deployment replaces the swap
-with a rewrite-files commit (Iceberg's RewriteDataFiles), which this
-module's per-partition planning maps onto directly. Manifests are
-untouched: compaction changes file layout, never rows, so resume state and
-row counts stay valid.
+Concurrency model — OPTIMISTIC, the Iceberg RewriteDataFiles shape: the
+expensive stage (read → coalesce → write scratch) runs without any lock;
+at commit time, under the partition lock, the partition's file listing
+(names + sizes + mtimes) is re-checked against the snapshot taken before
+staging. A concurrent writer (write_partitioned's dynamic overwrite takes
+no partition lock, by design) changes that listing, the commit ABORTS, the
+scratch is discarded, and the partition is reported skipped — compaction
+retries on its next run; writer data is never lost. Crash safety: the
+two-rename swap has a window where the live dir is absent; every
+compact_dataset run begins by HEALING — an orphaned `*.old` whose live
+partition is missing renames back into place, and scratch/`*.old` dirs
+whose owning pid is dead are reaped. Same single-host semantics as the
+rest of io/locking.py; an object-store/Iceberg deployment replaces
+stage+validate+swap with a RewriteDataFiles commit, which validates
+exactly the same way. Manifests are untouched: compaction changes file
+layout, never rows, so resume state and row counts stay valid.
+
+Units note: target_file_mb here measures ON-DISK (parquet-compressed)
+bytes — that is what the directory listing can know. io/layout.py's
+cluster_partition_count is fed UNCOMPRESSED row-width estimates by its
+callers; the same knob value therefore yields larger logical files here
+(~the compression ratio). Choose per use: ~128 on-disk MB is the standard
+lake file size either way.
 """
 
 from __future__ import annotations
@@ -84,16 +99,65 @@ def plan_compaction(
     return plans
 
 
+def _listing_snapshot(d: str) -> list[tuple[str, int, int]]:
+    """(name, size, mtime_ns) per data file — the optimistic-commit token:
+    any concurrent rewrite of the partition changes it."""
+    return sorted(
+        (os.path.basename(f), os.path.getsize(f), os.stat(f).st_mtime_ns)
+        for f in _data_files(d)
+    )
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _heal(table_dir: str, partition_col: str) -> None:
+    """Crash recovery, run before every compaction pass:
+      - `_compact_<pid>_<part>.old` with NO live partition dir = a swap that
+        died between its two renames → rename the old data back into place
+        (the partition becomes visible again; nothing was lost);
+      - scratch/`.old` dirs whose owning pid is dead → reaped (a successful
+        swap rmtree's its own `.old`; leftovers are crash orphans)."""
+    if not os.path.isdir(table_dir):
+        return
+    for name in os.listdir(table_dir):
+        if not name.startswith("_compact_"):
+            continue
+        full = os.path.join(table_dir, name)
+        base = name.removesuffix(".old")
+        try:
+            pid = int(base.split("_")[2])
+            part = base.split("_", 3)[3]
+        except (IndexError, ValueError):
+            continue
+        live = os.path.join(table_dir, f"{partition_col}={part}")
+        if name.endswith(".old") and not os.path.exists(live):
+            os.rename(full, live)  # heal the vanished partition
+        elif not _pid_alive(pid):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def compact_dataset(
     spark: SparkSession,
     table_dir: str,
     partition_col: str = "partition",
     target_file_mb: int = DEFAULT_TARGET_FILE_MB,
 ) -> dict:
-    """Execute the plan: per over-fragmented partition, read → coalesce to
-    target_files (narrowing, zero shuffle) → staged rewrite → locked
-    rename swap. Returns {partition: (files_before, files_after)}."""
-    done = {}
+    """Execute the plan: heal crash orphans, then per over-fragmented
+    partition read → coalesce to target_files (narrowing, zero shuffle) →
+    staged rewrite → VALIDATED locked swap (see module docstring: a
+    concurrent writer aborts the commit, never loses data). Returns
+    {partition: (files_before, files_after)}; a partition skipped because
+    a writer raced it maps to the string 'skipped_concurrent_write'."""
+    _heal(table_dir, partition_col)
+    done: dict = {}
     for p in plan_compaction(table_dir, partition_col, target_file_mb):
         part_dir = os.path.join(table_dir, f"{partition_col}={p['partition']}")
         # staging/lock/old names are "_"-prefixed: Spark's file listing and
@@ -102,6 +166,7 @@ def compact_dataset(
         # `partition=X.lock` sibling was read as a data file and failed
         # footer parsing)
         scratch = os.path.join(table_dir, f"_compact_{os.getpid()}_{p['partition']}")
+        token = _listing_snapshot(part_dir)
         (
             spark.read.parquet(part_dir)
             .coalesce(p["target_files"])
@@ -109,6 +174,12 @@ def compact_dataset(
             .parquet(scratch)
         )
         with exclusive_lock(os.path.join(table_dir, f"_lock_{p['partition']}")):
+            if _listing_snapshot(part_dir) != token:
+                # a writer replaced the partition while we staged — their
+                # rows win, our stale rewrite is garbage
+                shutil.rmtree(scratch, ignore_errors=True)
+                done[p["partition"]] = "skipped_concurrent_write"
+                continue
             old = f"{scratch}.old"
             os.rename(part_dir, old)
             os.rename(scratch, part_dir)

@@ -81,7 +81,10 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = DEFAULT_K) -> DataFrame:
         is present — so k > 1/f guarantees every key above frequency
         fraction f is found.
     A key missing from one partition's summary contributes ≥ 0 there, so
-    the cross-partition sum of retained counts stays a lower bound."""
+    the cross-partition sum of retained counts stays a lower bound.
+    Keys are returned as STRINGS (numeric key columns are cast at the
+    select — frequency semantics are unchanged; distinct values stay
+    distinct under the cast)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -105,7 +108,10 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = DEFAULT_K) -> DataFrame:
         )
         yield pd.DataFrame(rows, columns=[f.name for f in _MG_SCHEMA.fields])
 
-    parts = df.select(F.col(key_col).alias(key_col)).mapInPandas(
+    # keys are summarized AS STRINGS (the declared summary schema): the cast
+    # makes any key column — host strings, numeric ids, n-grams — work at
+    # the front door instead of dying in the Arrow serializer mid-stage
+    parts = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
         summarize, _MG_SCHEMA
     )
     # ≤ P·(k+1) rows from here on: per-(key, is_meta) partial-agg sums, then
@@ -148,7 +154,9 @@ def hot_keys(
     driver collect is bounded by the candidate set (≤ P·k), filtered to
     the hot few."""
     if k is None:
-        k = max(1, int(-(-2.0 // hot_fraction)))
+        import math
+
+        k = max(1, math.ceil(2.0 / hot_fraction))
     cands = heavy_hitters(df, key_col, k=k)
     rows = cands.filter(
         F.col("count_ub").cast("double") > hot_fraction * F.col("total_rows")
