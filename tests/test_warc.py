@@ -182,6 +182,44 @@ def test_read_warc_and_projection(spark, tmp_path):
     warc.unpersist()
 
 
+def test_property_arbitrary_payloads_and_urls_round_trip():
+    """Hypothesis: ANY payload bytes and any printable-ish url survive the
+    encode→parse cycle — payload byte-identical, url identical up to the
+    CR/LF percent-encoding the header-injection guard applies."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        payload=st.binary(max_size=2048),
+        url=st.text(min_size=1, max_size=80).map(lambda s: "http://e.x/" + s),
+        gz=st.booleans(),
+        chunked=st.integers(min_value=0, max_value=9),
+    )
+    def prop(payload, url, gz, chunked):
+        rec = build_warc_record(url, TS1, payload, gzip_payload=gz, chunked=chunked)
+        rows = list(iter_warc_records(build_warc([rec], per_record_gzip=True)))
+        assert len(rows) == 1 and rows[0]["err"] is None
+        assert rows[0]["html"] == payload
+        import re
+
+        expect = re.sub(
+            r"[ \t\r\n\x0b\x0c]", lambda m: f"%{ord(m.group(0)):02X}", url
+        )
+        assert rows[0]["url"] == expect
+
+    prop()
+
+
+def test_header_injection_is_neutralized():
+    evil = "http://e.x/a\r\nWARC-Type: warcinfo\r\nX-Smuggled: yes"
+    rows = _rows(build_warc([build_warc_record(evil, TS1, b"body")]))
+    assert len(rows) == 1 and rows[0]["err"] is None
+    assert rows[0]["warc_type"] == "response"  # nothing smuggled
+    assert "%0D%0AWARC-Type" in rows[0]["url"]
+    assert rows[0]["html"] == b"body"
+
+
 def test_pipeline_from_warc_matches_parquet(spark, tmp_path):
     """--input-format warc runs the IDENTICAL validation DAG: same corpus
     fed once as parquet pages and once as a gzip WARC segment produces the

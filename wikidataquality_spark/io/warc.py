@@ -30,6 +30,7 @@ Design for 100 TB of crawl:
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -58,6 +59,8 @@ WARC_SCHEMA = T.StructType(
 )
 
 _GZIP_MAGIC = b"\x1f\x8b"
+
+_WS_RE = re.compile(r"[ \t\r\n\x0b\x0c]")
 
 # the one shared error-label convention (160-char bound, TypeName: msg) —
 # imported from the layer-neutral errors module, so io never depends on the
@@ -362,6 +365,15 @@ def build_warc_record(
     yields url NULL and warc_to_documents filters it — never the literal
     string 'None'), and an unusable timestamp (None OR pandas NaT, whose
     strftime raises) falls back to the epoch instead of killing the task."""
+    # header-injection/round-trip guard: CR/LF inside an interpolated header
+    # VALUE would terminate the line early, smuggle arbitrary headers, and
+    # desync the framing; any other whitespace at the value's edges is
+    # trimmed by standard header parsing. Crawl urls can carry anything —
+    # percent-encode ALL whitespace (lossless, standard URI escaping; a
+    # spec-clean url never contains literal whitespace anyway).
+    if url is not None:
+        url = _WS_RE.sub(lambda m: f"%{ord(m.group(0)):02X}", url)
+    content_type = content_type.replace("\r", " ").replace("\n", " ")
     body = payload
     http_headers = [f"HTTP/1.1 {status} X", f"Content-Type: {content_type}"]
     if gzip_payload:
