@@ -157,3 +157,64 @@ def test_neardup_clusters_over_minhash_pairs(spark, sf001_dir):
         assert row["mn"] == row["component"]
         assert row["sz"] == row["n"]
     clusters.unpersist()
+
+
+def test_best_copy_survivors_argmax_with_ties_and_nulls(spark):
+    from wikidataquality_spark.operators.components import best_copy_survivors
+
+    # clusters: {1,2,3} (scores 0.2, 0.9, NULL), {10,11} (tied 0.5),
+    # {20,21} (both unscored)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (10, 0.5), (11, 0.5)], "doc_id long, score double"
+    )
+    rows = {r["node"]: r for r in best_copy_survivors(pairs, scores).collect()}
+    assert rows[2]["is_survivor"] is True  # highest score wins
+    assert rows[1]["survivor"] == 2 and rows[3]["survivor"] == 2
+    assert rows[3]["is_survivor"] is False  # NULL score never beats a scored copy
+    assert rows[10]["is_survivor"] is True  # tie -> smallest id
+    assert rows[11]["survivor"] == 10
+    assert rows[20]["is_survivor"] is True  # all-unscored -> min id (house order)
+    assert rows[21]["survivor"] == 20
+    assert all(r["cluster_size"] in (2, 3) for r in rows.values())
+    # exactly one survivor per component
+    by_comp: dict = {}
+    for r in rows.values():
+        by_comp.setdefault(r["component"], []).append(r["is_survivor"])
+    assert all(sum(v) == 1 for v in by_comp.values())
+
+
+def test_best_copy_survivors_python_mirror_on_random_clusters(spark):
+    import random as rnd
+
+    from wikidataquality_spark.operators.components import best_copy_survivors
+
+    rng = rnd.Random(5)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    score_rows = [(i, round(rng.random(), 6)) for i in range(60) if rng.random() < 0.8]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    scores = spark.createDataFrame(score_rows, "doc_id long, score double")
+    got = {r["node"]: r["survivor"] for r in best_copy_survivors(pairs, scores).collect()}
+
+    # mirror: union-find + argmax(score, then -id)
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    sdict = dict(score_rows)
+    comps: dict = {}
+    for n in got:
+        comps.setdefault(find(n), []).append(n)
+    for members in comps.values():
+        best = max(members, key=lambda n: (sdict.get(n, float("-inf")), -n))
+        for n in members:
+            assert got[n] == best

@@ -158,6 +158,56 @@ def neardup_clusters(
     )
 
 
+def best_copy_survivors(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware cluster survivors: keep each duplicate cluster's
+    HIGHEST-scoring copy instead of its smallest id. Min-id survivors are
+    deterministic but arbitrary; with a quality signal on hand
+    (quality_score_docs' logit, a CCNet bucket, negative perplexity) the
+    curation team wants the BEST copy kept — this is the standard refinement
+    over transitive near-dup clusters.
+
+    Semantics: survivor = argmax(score) per component, ties and unscored
+    nodes resolved by the engine's deterministic total order (smallest id;
+    a NULL/missing score never beats any scored copy). Returns
+    (node, component, cluster_size, survivor, is_survivor). Plan shape: the
+    components contraction plus one broadcast-friendly score join and one
+    per-component max(struct) partial agg — scores never shuffle wide."""
+    cc = neardup_clusters(pairs, id_a, id_b)
+    sc = scores.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(score_col).cast("double").alias("_score"),
+    )
+    joined = cc.join(sc, "node", "left")
+    # argmax with min-id tie-break in ONE agg: max(struct(score, -node)) —
+    # struct ordering compares score first, then -node (max of -node = min
+    # node). NULL scores coalesce to -inf so they never beat a scored copy.
+    best = joined.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.coalesce("_score", F.lit(float("-inf"))).alias("s"),
+                (-F.col("node")).alias("negid"),
+            )
+        ).alias("_b")
+    ).select("component", (-F.col("_b")["negid"]).alias("survivor"))
+    return (
+        joined.join(best, "component")
+        .select(
+            "node",
+            "component",
+            "cluster_size",
+            "survivor",
+            (F.col("node") == F.col("survivor")).alias("is_survivor"),
+        )
+    )
+
+
 def connected_components_sql(
     pairs_table: str, id_a: str = "id_a", id_b: str = "id_b"
 ) -> str:
