@@ -44,6 +44,45 @@ def test_cross_run_union_equals_whole_and_is_idempotent(spark, tmp_path):
     assert est_doubled == est_union
 
 
+def test_pipeline_url_sketches_accumulate_across_runs(spark, tmp_path):
+    """--url-sketches writes one run-scoped artifact dir per run; unioning
+    every stored sketch answers distinct-urls-across-all-runs without
+    re-reading either corpus."""
+    import json
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_pipeline
+
+    from wikidataquality_spark.datagen import generate_pages
+
+    met = str(tmp_path / "met")
+    all_urls = set()
+    for run, (lo, hi) in enumerate([(0, 60), (40, 100)]):  # overlapping crawls
+        pdf = generate_pages(100, seed=17).iloc[lo:hi]
+        all_urls |= set(pdf["url"])
+        src = str(tmp_path / f"pages{run}")
+        spark.createDataFrame(pdf).write.parquet(src)
+        buf, old = StringIO(), sys.stdout
+        sys.stdout = buf
+        try:
+            rc = run_pipeline.main(
+                ["--input", src, "--output", str(tmp_path / f"out{run}"),
+                 "--metrics", met, "--url-sketches", "--run-id", f"r{run}"]
+            )
+        finally:
+            sys.stdout = old
+        assert rc == 0
+        assert json.loads(buf.getvalue().splitlines()[-1])["status"] == "ok"
+
+    stored = spark.read.parquet(f"{met}_url_sketches/r0", f"{met}_url_sketches/r1")
+    est = union_estimate(stored).first()["distinct_estimate"]
+    # 100 distinct urls across both runs (overlap not double-counted);
+    # HLL at this cardinality is essentially exact
+    assert est == len(all_urls) == 100
+
+
 def test_grouped_sketches_merge_per_group(spark, sf0001_dir):
     docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
     half_a = docs.filter(F.col("doc_id") % 2 == 0)

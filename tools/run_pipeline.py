@@ -58,6 +58,14 @@ def main(argv: list[str] | None = None) -> int:
         "rows — BASELINE's explicit-skew mandate; 0 = off)",
     )
     ap.add_argument(
+        "--url-sketches",
+        action="store_true",
+        help="also write per-partition mergeable distinct-url HLL sketches "
+        "(~4 KB/partition) under <metrics>_url_sketches/<run_id>/ — "
+        "cross-run cardinality questions union the stored artifacts "
+        "instead of re-scanning any corpus (operators/distinct_sketch.py)",
+    )
+    ap.add_argument(
         "--normalize",
         action="store_true",
         help="ftfy-class pre-clean (mojibake repair / NFC / control strip) "
@@ -187,6 +195,15 @@ def main(argv: list[str] | None = None) -> int:
         metrics, args.metrics, partition_col="partition", run_id=entry["run_id"],
         input_snapshot=args.input,
     )
+    if args.url_sketches:
+        from wikidataquality_spark.metrics import distinct_url_sketches
+
+        # run-scoped plain append (one dir per run): sketches ACCUMULATE —
+        # the whole point is unioning many runs' artifacts later, so a
+        # partition-overwriting writer would be wrong here
+        distinct_url_sketches(validated, by=args.partition_by).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(f"{args.metrics}_url_sketches", entry["run_id"]))
     dt = time.perf_counter() - t0
     print(
         json.dumps(

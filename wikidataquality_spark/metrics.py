@@ -74,3 +74,17 @@ def keep_metrics(validated: DataFrame, by: str = "date") -> DataFrame:
         F.count(F.when(~F.col("keep"), 1)).alias("dropped"),
         F.count("*").alias("total"),
     )
+
+
+def distinct_url_sketches(validated: DataFrame, by: str = "date") -> DataFrame:
+    """Per-partition mergeable distinct-url sketches (~4 KB binary each,
+    operators/distinct_sketch): the metrics-table artifact that answers
+    "distinct urls so far, across every run" by UNIONING stored sketches
+    instead of re-scanning any corpus — the violation-statistics recast
+    that still works at 100 crawls (union_estimate folds them per
+    partition or globally)."""
+    from wikidataquality_spark.operators.distinct_sketch import distinct_sketches
+
+    return distinct_sketches(
+        partition_column(validated, by), "url", ["partition"]
+    )
