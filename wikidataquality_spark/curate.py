@@ -81,6 +81,34 @@ class CurateConfig:
     extra: dict = field(default_factory=dict)
 
 
+def results_to_documents(results: DataFrame) -> DataFrame:
+    """Bridge the two DAGs: validated pipeline output (pipeline.results
+    shape) → the curation funnel's documents contract. Kept docs only;
+    text = the scrubbed bytes (what training should ever see), lang = the
+    DETECTED language (the claimed one failed validation often enough to
+    be a rule), source = url host (the natural mixture stratum for web
+    text), url kept for the blocklist stage.
+
+    doc_id = xxhash64(url) — deterministic under retry/repartition, which
+    the funnel's sampling/dedup ids require. Collision note: ~n²/2⁶⁴
+    birthday conflations (≈0.03 expected at 10⁹ docs — fine; at 10¹²,
+    ~27k pairs would conflate funnel attribution rows, so a deployment at
+    that scale passes a true unique id instead: the WARC (segment, offset)
+    lineage pair io/warc.py records is the natural one). Text-level dedup
+    is unaffected either way — it keys on double text hashes, never on
+    doc_id."""
+    from wikidataquality_spark.operators.dedup import host_of
+
+    return results.filter(F.col("keep")).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.col("scrubbed_text").alias("text"),
+        F.col("lang_pred").alias("lang"),
+        host_of("url").alias("source"),
+        "url",
+        "warc_ts",
+    )
+
+
 def curate(
     docs: DataFrame,
     cfg: CurateConfig | None = None,
