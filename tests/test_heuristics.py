@@ -191,3 +191,37 @@ def test_dup_line_char_ratio(spark):
             assert want[k] is None
         else:
             assert want[k] == pytest.approx(got[k])
+
+
+def test_stopword_ratio_for_dispatches_per_language(spark):
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.operators.heuristics import stopword_ratio_for
+
+    rows = [
+        (1, "en", "the cat and the dog"),          # 3 stops / 5 tokens
+        (2, "fr", "le chat et la souris"),         # le, et, la -> 3/5
+        (3, "de", "der Hund und die Katze"),       # der, und, die -> 3/5
+        (4, "es", "el perro y la casa"),           # el, y, la -> 3/5... ('y' yes, 'la' yes)
+        (5, "zh", "我的书在这里"),                  # chars 我,的,在,这 -> 4/6
+        (6, "xx", "the cat and the dog"),          # unknown lang -> NULL
+        (7, None, "the cat"),                      # NULL lang -> NULL
+        (8, "en", ""),  # empty text: one empty token (house tokenizer) -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    out = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id",
+            F.round(
+                stopword_ratio_for(F.col("text"), F.col("lang")), 4
+            ).alias("r"),
+        ).collect()
+    }
+    assert out[1] == 0.6
+    assert out[2] == 0.6
+    assert out[3] == 0.6
+    assert out[4] == 0.6
+    assert out[5] == round(4 / 6, 4)
+    assert out[6] is None and out[7] is None
+    assert out[8] == 0.0

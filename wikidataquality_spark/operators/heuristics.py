@@ -44,6 +44,43 @@ def stopword_ratio(words: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Col
     return hits / F.nullif(F.size(words).cast("double"), F.lit(0.0))
 
 
+# Per-language stop-word lists for the multilingual variant below. Frozen
+# like STOPWORDS (versioned data, additive — the original English-only stat
+# keeps feeding the golden-pinned rules unchanged). zh entries are function
+# CHARACTERS, not whitespace tokens: Chinese has no space boundaries, so the
+# zh arm measures a character fraction (see stopword_ratio_for).
+STOPWORDS_BY_LANG = {
+    "en": STOPWORDS,
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "en"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def stopword_ratio_for(text: Column, lang: Column) -> Column:
+    """Language-aware stop-word ratio — the Gopher signal done right for a
+    multilingual corpus (the frozen `stopword_ratio` stat is English-only
+    by golden contract; this one dispatches on the DETECTED language).
+    Alphabetic languages: stop TOKENS / tokens (lower-cased). zh: function
+    CHARACTERS / characters (no whitespace word boundaries). Unknown or
+    NULL language → NULL: a ratio against the wrong list reads as a quality
+    judgment and silently penalizes every language outside the table —
+    NULL routes the doc to the rule layer's `exception` arm instead."""
+    words = words_col(F.lower(text))
+    expr: Column = F.lit(None).cast("double")
+    for code, sw in STOPWORDS_BY_LANG.items():
+        if code == "zh":
+            chars = F.split(text, "")
+            arm = F.size(F.filter(chars, lambda c: c.isin(*sw))) / F.nullif(
+                F.length(text).cast("double"), F.lit(0.0)
+            )
+        else:
+            arm = stopword_ratio(words, sw)
+        expr = F.when(lang == code, arm).otherwise(expr)
+    return expr
+
+
 def symbol_ratio(text: Column) -> Column:
     """Fraction of characters that are not letters (any script), digits, or
     whitespace. Unicode classes so CJK text isn't counted as symbols; \\p{L}
