@@ -6,6 +6,9 @@ from pathlib import Path
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+# tools CLIs (run_pipeline, curate_corpus, ...) import as top-level
+# modules in tests — resolved from the checkout, never a hardcoded path
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from wikidataquality_spark.session import get_spark  # noqa: E402
 

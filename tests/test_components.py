@@ -168,9 +168,13 @@ def test_best_copy_survivors_argmax_with_ties_and_nulls(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
     )
     scores = spark.createDataFrame(
-        [(1, 0.2), (2, 0.9), (10, 0.5), (11, 0.5)], "doc_id long, score double"
+        # 3 carries NaN (Spark orders NaN above every double — it must NOT
+        # win); 10 appears twice (duplicate score rows collapse to the max)
+        [(1, 0.2), (2, 0.9), (3, float("nan")), (10, 0.5), (10, 0.1), (11, 0.5)],
+        "doc_id long, score double",
     )
     rows = {r["node"]: r for r in best_copy_survivors(pairs, scores).collect()}
+    assert len(rows) == 7  # one row per node despite the duplicate score row
     assert rows[2]["is_survivor"] is True  # highest score wins
     assert rows[1]["survivor"] == 2 and rows[3]["survivor"] == 2
     assert rows[3]["is_survivor"] is False  # NULL score never beats a scored copy

@@ -93,7 +93,7 @@ def test_cli_end_to_end(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import curate_corpus
 
     out_dir = str(tmp_path / "curated")
@@ -133,7 +133,7 @@ def test_cli_temperature_mixture(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import curate_corpus
 
     out_dir = str(tmp_path / "curated_temp")
@@ -200,7 +200,7 @@ def test_funnel_by_dimension(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import curate_corpus
 
     out_dir = str(tmp_path / "curated_by")

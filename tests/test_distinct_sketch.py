@@ -52,7 +52,7 @@ def test_pipeline_url_sketches_accumulate_across_runs(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import generate_pages
@@ -81,6 +81,22 @@ def test_pipeline_url_sketches_accumulate_across_runs(spark, tmp_path):
     # 100 distinct urls across both runs (overlap not double-counted);
     # HLL at this cardinality is essentially exact
     assert est == len(all_urls) == 100
+
+    # a reused run-id fails LOUDLY: sketch artifacts accumulate one-per-run
+    # and are never overwritten (clobbering would shrink later unions)
+    import pytest
+
+    buf, old = StringIO(), sys.stdout
+    sys.stdout = buf
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            run_pipeline.main(
+                ["--input", str(tmp_path / "pages0"),
+                 "--output", str(tmp_path / "out_reuse"),
+                 "--metrics", met, "--url-sketches", "--run-id", "r0"]
+            )
+    finally:
+        sys.stdout = old
 
 
 def test_grouped_sketches_merge_per_group(spark, sf0001_dir):

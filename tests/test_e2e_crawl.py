@@ -15,7 +15,7 @@ from wikidataquality_spark.io.warc import build_warc, build_warc_record
 
 
 def test_crawl_segment_to_training_blocks(spark, tmp_path):
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import generate_pages

@@ -105,7 +105,7 @@ def test_run_pipeline_cli_end_to_end(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import write_pages_parquet
@@ -190,7 +190,7 @@ def test_resume_dedups_against_completed_partitions(spark, tmp_path):
 
     import pandas as pd
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import generate_pages
@@ -327,7 +327,7 @@ def test_resume_normalize_fingerprints_normalized_bytes(spark, tmp_path):
     import sys
     from datetime import datetime
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     clean = (
@@ -376,7 +376,7 @@ def test_resume_refuses_normalize_mismatch(spark, tmp_path):
     downstream (r04 review)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import write_pages_parquet

@@ -69,7 +69,7 @@ def test_trainer_uses_serving_featurizer():
 
     import numpy as np
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import train_langid
 
     from wikidataquality_spark.operators.langid_ngram import trigram_hashes

@@ -204,7 +204,7 @@ def test_property_arbitrary_payloads_and_urls_round_trip():
         import re
 
         expect = re.sub(
-            r"[ \t\r\n\x0b\x0c]", lambda m: f"%{ord(m.group(0)):02X}", url
+            r"[% \t\r\n\x0b\x0c]", lambda m: f"%{ord(m.group(0)):02X}", url
         )
         assert rows[0]["url"] == expect
 
@@ -228,7 +228,7 @@ def test_pipeline_from_warc_matches_parquet(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import generate_pages
@@ -284,7 +284,7 @@ def test_pipeline_warc_dedups_recrawl_captures(spark, tmp_path):
     import sys
     from io import StringIO
 
-    sys.path.insert(0, "/root/repo/tools")
+    # tools dir is on sys.path via conftest
     import run_pipeline
 
     from wikidataquality_spark.datagen import generate_pages

@@ -198,12 +198,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.url_sketches:
         from wikidataquality_spark.metrics import distinct_url_sketches
 
-        # run-scoped plain append (one dir per run): sketches ACCUMULATE —
-        # the whole point is unioning many runs' artifacts later, so a
-        # partition-overwriting writer would be wrong here
+        # run-scoped append (one NEW dir per run): sketches ACCUMULATE — the
+        # whole point is unioning many runs' artifacts later. A reused
+        # run-id therefore fails LOUDLY instead of clobbering a prior run's
+        # artifact (which would silently shrink every later union estimate)
+        sketch_dir = os.path.join(f"{args.metrics}_url_sketches", entry["run_id"])
+        if os.path.exists(sketch_dir):
+            raise ValueError(
+                f"url-sketch artifact {sketch_dir} already exists — sketch "
+                "dirs accumulate one-per-run and are never overwritten; "
+                "pass a fresh --run-id"
+            )
         distinct_url_sketches(validated, by=args.partition_by).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(f"{args.metrics}_url_sketches", entry["run_id"]))
+            "errorifexists"
+        ).parquet(sketch_dir)
     dt = time.perf_counter() - t0
     print(
         json.dumps(

@@ -60,7 +60,10 @@ WARC_SCHEMA = T.StructType(
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
-_WS_RE = re.compile(r"[ \t\r\n\x0b\x0c]")
+# '%' is in the class so the escaping is INJECTIVE ('a b' vs 'a%20b' must
+# stay distinct urls — without it both serialize identically and re-ingest
+# would merge two documents)
+_WS_RE = re.compile(r"[% \t\r\n\x0b\x0c]")
 
 # the one shared error-label convention (160-char bound, TypeName: msg) —
 # imported from the layer-neutral errors module, so io never depends on the
@@ -369,8 +372,9 @@ def build_warc_record(
     # VALUE would terminate the line early, smuggle arbitrary headers, and
     # desync the framing; any other whitespace at the value's edges is
     # trimmed by standard header parsing. Crawl urls can carry anything —
-    # percent-encode ALL whitespace (lossless, standard URI escaping; a
-    # spec-clean url never contains literal whitespace anyway).
+    # percent-encode '%' and ALL whitespace (escaping '%' too makes the map
+    # injective, hence lossless; a spec-clean url never contains literal
+    # whitespace anyway).
     if url is not None:
         url = _WS_RE.sub(lambda m: f"%{ord(m.group(0)):02X}", url)
     content_type = content_type.replace("\r", " ").replace("\n", " ")

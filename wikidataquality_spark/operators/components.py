@@ -180,22 +180,37 @@ def best_copy_survivors(
     components contraction plus one broadcast-friendly score join and one
     per-component max(struct) partial agg — scores never shuffle wide."""
     cc = neardup_clusters(pairs, id_a, id_b)
-    sc = scores.select(
-        F.col(id_col).cast("long").alias("node"),
-        F.col(score_col).cast("double").alias("_score"),
+    # defective scores (NULL or NaN) must never beat a real score: Spark
+    # orders NaN ABOVE every double, so an un-normalized NaN would win the
+    # argmax (r04 session review). Duplicate score rows per id are collapsed
+    # to the id's best known score pre-join — the same one-row-per-id guard
+    # curate.py applies to its marks joins (conservation invariant).
+    raw = F.col(score_col).cast("double")
+    sc = (
+        scores.select(
+            F.col(id_col).cast("long").alias("node"),
+            F.when(F.isnan(raw) | raw.isNull(), F.lit(None)).otherwise(raw).alias(
+                "_score"
+            ),
+        )
+        .groupBy("node")
+        .agg(F.max("_score").alias("_score"))
     )
     joined = cc.join(sc, "node", "left")
-    # argmax with min-id tie-break in ONE agg: max(struct(score, -node)) —
-    # struct ordering compares score first, then -node (max of -node = min
-    # node). NULL scores coalesce to -inf so they never beat a scored copy.
+    # argmax with min-id tie-break in ONE agg: max(struct(score, -1-node)) —
+    # struct ordering compares score first, then (-1-node), whose max is the
+    # min node ((-1 - x) is the ANSI-safe decreasing bijection on longs:
+    # plain negation overflows on Long.MIN_VALUE, a value xxhash64 ids can
+    # take, and aborts the job under default ANSI mode). NULL scores
+    # coalesce to -inf so they never beat a scored copy.
     best = joined.groupBy("component").agg(
         F.max(
             F.struct(
                 F.coalesce("_score", F.lit(float("-inf"))).alias("s"),
-                (-F.col("node")).alias("negid"),
+                (F.lit(-1) - F.col("node")).alias("negid"),
             )
         ).alias("_b")
-    ).select("component", (-F.col("_b")["negid"]).alias("survivor"))
+    ).select("component", (F.lit(-1) - F.col("_b")["negid"]).alias("survivor"))
     return (
         joined.join(best, "component")
         .select(
