@@ -300,7 +300,14 @@ def read_warc(spark: SparkSession, path: str, glob: str | None = "*.warc*") -> D
     """`*.warc` / `*.warc.gz` directory → one row per WARC record
     (WARC_SCHEMA). binaryFile scan → immediate parse in one iterator
     mapInPandas stage; the fat decompressed payloads are born AFTER the
-    scan and the caller projects them away before any shuffle."""
+    scan and the caller projects them away before any shuffle.
+
+    Parallelism note: binaryFile PACKS small files up to
+    spark.sql.files.maxPartitionBytes per input partition. Production
+    segments (~1 GB) each exceed the 128 MB default and get their own
+    task; a corpus of miniature segments needs the knob lowered to the
+    segment size or the parse runs nearly serially (tools/ingest_bench.py
+    measures with the knob sized for exactly this reason)."""
     from wikidataquality_spark.io.formats import read_binary_files
 
     files = read_binary_files(spark, path, glob)
