@@ -36,11 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--input-format",
         default="parquet",
-        choices=["parquet", "warc"],
+        choices=["parquet", "warc", "wet"],
         help="'warc' ingests raw *.warc/*.warc.gz crawl segments (io/warc.py): "
         "clean 2xx response records are projected to the pages shape "
         "(text/lang NULL — both are produced by the DAG itself) so the engine "
-        "runs straight off a crawl with no pre-conversion step",
+        "runs straight off a crawl with no pre-conversion step; 'wet' ingests "
+        "Common Crawl's extracted-text sidecars (conversion records) — the "
+        "payload is re-wrapped in the extractor's canonical grammar so the "
+        "DAG's text_extracted equals the WET text byte-for-byte",
     )
     ap.add_argument("--output", required=True, help="validated-results table dir")
     ap.add_argument("--metrics", required=True, help="metrics table dir")
@@ -84,13 +87,18 @@ def main(argv: list[str] | None = None) -> int:
     ensure_shipped(spark)
 
     t0 = time.perf_counter()
-    if args.input_format == "warc":
+    if args.input_format in ("warc", "wet"):
         from pyspark.sql import functions as F
 
-        from wikidataquality_spark.io.warc import read_warc, warc_to_documents
+        from wikidataquality_spark.io.warc import (
+            read_warc,
+            warc_to_documents,
+            wet_to_documents,
+        )
         from wikidataquality_spark.operators.dedup import url_dup_marks
 
-        pages = warc_to_documents(read_warc(spark, args.input))
+        project = warc_to_documents if args.input_format == "warc" else wet_to_documents
+        pages = project(read_warc(spark, args.input))
         # a real crawl captures the same url repeatedly (recrawls, http/https
         # and www variants) — but the DAG's dedup anchors key on url, so two
         # rows SHARING one url can never flag each other, and the per-url

@@ -348,6 +348,39 @@ def warc_to_documents(warc: DataFrame) -> DataFrame:
     )
 
 
+def wet_to_documents(warc: DataFrame) -> DataFrame:
+    """WET ingest: Common Crawl's extracted-text sidecar files are WARC
+    files of `conversion` records whose block IS the text. The DAG's
+    byte-identity contract flows through extract(html), so each payload is
+    re-wrapped in the extractor's canonical grammar — `<main>` + entity-
+    escaped body — which extract() provably inverts (unescape ∘ escape is
+    the identity on &/</>): the pipeline's text_extracted comes out
+    byte-equal to the WET payload, and every downstream stage (stats,
+    models, dedup, scrub) runs unchanged. Malformed-UTF-8 payloads are
+    excluded via is_valid_utf8 (decode raises under ANSI — one bad record
+    would otherwise kill the job; a caller wanting those rows reads them
+    raw from read_warc instead). The `text` column carries the decoded
+    payload for reference; `lang` stays NULL (a DAG product)."""
+    txt = F.decode(F.col("html"), "UTF-8")
+    esc = F.replace(txt, F.lit("&"), F.lit("&amp;"))  # & FIRST, then <, >
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    wrapped = F.encode(F.concat(F.lit("<main>"), esc, F.lit("</main>")), "UTF-8")
+    return warc.filter(
+        (F.lower(F.col("warc_type")) == "conversion")
+        & F.col("err").isNull()
+        & F.col("url").isNotNull()
+        & F.col("html").isNotNull()
+        & F.is_valid_utf8("html")
+    ).select(
+        "url",
+        "warc_ts",
+        wrapped.alias("html"),
+        txt.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encode side: deterministic WARC writer (fixture builder + distributed sink
 # building block). No RNG anywhere — record ids are sha256(url), dates are
@@ -414,6 +447,31 @@ def build_warc_record(
         f"Content-Length: {len(block)}\r\n\r\n"
     ).encode("utf-8")
     return warc_headers + block + b"\r\n\r\n"
+
+
+def build_wet_record(url: str | None, ts: datetime | None, text: str) -> bytes:
+    """One WET-style `conversion` record: the block is the UTF-8 text
+    itself (no HTTP framing). Same determinism and header-sanitization
+    contract as build_warc_record."""
+    if url is not None:
+        url = _WS_RE.sub(lambda m: f"%{ord(m.group(0)):02X}", url)
+    block = text.encode("utf-8")
+    try:
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    except (AttributeError, ValueError):
+        date = "1970-01-01T00:00:00Z"
+    rid = hashlib.sha256((url or "").encode("utf-8")).hexdigest()[:32]
+    uri_line = f"WARC-Target-URI: {url}\r\n" if url is not None else ""
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"{uri_line}"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode("utf-8")
+    return headers + block + b"\r\n\r\n"
 
 
 def _gzip_member(record: bytes) -> bytes:
