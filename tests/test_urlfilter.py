@@ -140,3 +140,87 @@ def test_deep_host_and_trailing_dot_cannot_evade(spark):
     assert rows[1] == (True, "example.com")
     assert rows[2] == (True, "example.com")
     assert rows[None] == (None, None)
+
+
+def test_path_blocklist_robots_semantics(spark):
+    from wikidataquality_spark.operators.urlfilter import path_blocklist_marks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example/private/x"),   # mid-segment prefix hit
+            (2, "https://a.example/public/x"),    # unlisted path
+            (3, "https://sub.a.example/private/x"),  # robots is per-host: clean
+            (4, "https://b.example/anything"),    # Disallow: / blocks all
+            (5, "https://b.example"),             # bare authority = root path
+            (6, "not a url"),                     # unverifiable
+            (7, None),                            # NULL url
+            (8, "https://a.example/private/deeper/y"),  # longest prefix wins
+            (None, "https://b.example/x"),        # NULL id -> unverifiable
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/priv"),
+            ("a.example", "/private/deeper"),
+            ("b.example", "/"),
+            ("B.EXAMPLE", "/"),  # host casing normalized, dup rule harmless
+        ],
+        "host string, path_prefix string",
+    )
+    out = {r["doc_id"]: r for r in path_blocklist_marks(docs, rules).collect()}
+    assert out[1]["path_blocked"] is True and out[1]["matched_prefix"] == "/priv"
+    assert out[2]["path_blocked"] is False and out[2]["matched_prefix"] is None
+    assert out[3]["path_blocked"] is False  # exact host, never suffix
+    assert out[4]["path_blocked"] is True and out[4]["matched_prefix"] == "/"
+    assert out[5]["path_blocked"] is True  # root path
+    assert out[6]["path_blocked"] is None and out[7]["path_blocked"] is None
+    assert out[8]["matched_prefix"] == "/private/deeper"  # most specific
+    assert out[None]["path_blocked"] is None  # NULL id unverifiable
+
+
+def test_path_blocklist_duckdb_twin_and_plan(spark):
+    import duckdb
+
+    from wikidataquality_spark.operators.urlfilter import path_blocklist_marks
+
+    rows = [
+        (i, f"https://h{i % 5}.example/p{i % 7}/x{i}") for i in range(200)
+    ] + [(900, "https://h1.example")]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("h1.example", "/p1"), ("h1.example", "/"), ("h3.example", "/p3/x10")],
+        "host string, path_prefix string",
+    )
+    marks = path_blocklist_marks(docs, rules)
+    got = {(r["doc_id"]): (r["matched_prefix"], r["path_blocked"]) for r in marks.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{u}')" for i, u in rows)
+                + ") t(doc_id, url)")
+    con.execute("CREATE TABLE rules AS SELECT * FROM (VALUES "
+                "('h1.example', '/p1'), ('h1.example', '/'), ('h3.example', '/p3/x10')"
+                ") t(host, path_prefix)")
+    duck = con.execute("""
+        WITH d AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS h,
+                 COALESCE(NULLIF(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), ''), '/') AS p
+          FROM docs
+        ),
+        hits AS (
+          SELECT doc_id, max_by(path_prefix, length(path_prefix)) AS mp
+          FROM d JOIN rules ON d.h = lower(rules.host)
+          WHERE starts_with(d.p, rules.path_prefix)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, hits.mp, hits.mp IS NOT NULL AS blocked
+        FROM d LEFT JOIN hits USING (doc_id)
+    """).fetchall()
+    for doc_id, mp, blocked in duck:
+        assert got[doc_id] == (mp, blocked), (doc_id, got[doc_id], (mp, blocked))
+
+    plan = marks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

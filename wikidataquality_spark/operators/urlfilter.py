@@ -102,3 +102,62 @@ def domain_blocklist_marks(
             F.when(known, F.col("matched_domain").isNotNull()).alias("blocked"),
         )
     )
+
+
+def path_blocklist_marks(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    prefix_col: str = "path_prefix",
+) -> DataFrame:
+    """robots.txt-style path filtering: (id, matched_prefix, path_blocked)
+    per id, where `rules` is a (host, path_prefix) Disallow table — the
+    dominant robots rule form, and the granularity the domain blocklist
+    can't express (block /private/ on a host you otherwise keep; a
+    'Disallow: /' row blocks the whole host).
+
+    Semantics (deliberately the robots subset curation pipelines honor):
+      - EXACT host match — robots is per-host, never suffix (rules for
+        example.com say nothing about sub.example.com);
+      - literal prefix on the raw path, so mid-segment prefixes work
+        ('/priv' blocks '/private'); no wildcards/Allow precedence —
+        documented out of scope, normalize rules upstream;
+      - matched_prefix is the LONGEST (most specific) hit;
+      - NULL id / unparseable host / NULL path → NULL verdict
+        (unverifiable, the domain_blocklist_marks convention).
+
+    Plan shape: broadcast equi-join on host with the startswith predicate
+    riding the SAME BroadcastHashJoin (never a nested loop); per-host
+    fanout is bounded by that host's rule count, and only hits enter the
+    max_by aggregation. Same unique-id precondition as
+    domain_blocklist_marks."""
+    url = F.col(url_col)
+    path = F.try_parse_url(url, F.lit("PATH"))
+    # parse_url yields '' for a bare authority — robots semantics treat
+    # that as the root path
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    d = docs.select(
+        F.col(id_col),
+        F.lower(host_of(url)).alias("_h"),
+        path.alias("_p"),
+    )
+    r = F.broadcast(
+        rules.select(
+            F.lower(F.col(host_col)).alias("_h"),
+            F.col(prefix_col).alias("_pref"),
+        ).distinct()
+    )
+    hits = (
+        d.join(r, "_h")
+        .filter(F.col("_p").startswith(F.col("_pref")))
+        .groupBy(id_col)
+        .agg(F.expr("max_by(_pref, length(_pref))").alias("matched_prefix"))
+    )
+    known = F.col("_h").isNotNull() & F.col("_p").isNotNull() & F.col(id_col).isNotNull()
+    return d.join(hits, id_col, "left").select(
+        id_col,
+        F.when(known, F.col("matched_prefix")).alias("matched_prefix"),
+        F.when(known, F.col("matched_prefix").isNotNull()).alias("path_blocked"),
+    )
