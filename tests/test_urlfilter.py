@@ -156,6 +156,9 @@ def test_path_blocklist_robots_semantics(spark):
             (7, None),                            # NULL url
             (8, "https://a.example/private/deeper/y"),  # longest prefix wins
             (None, "https://b.example/x"),        # NULL id -> unverifiable
+            (9, "https://b.example./evade"),      # FQDN trailing dot stripped
+            (10, "https://c.example/anything"),   # empty-prefix rule dropped
+            (11, "https://a.example/private?q=1"),  # prefix applies to PATH only
         ],
         "doc_id long, url string",
     )
@@ -165,6 +168,7 @@ def test_path_blocklist_robots_semantics(spark):
             ("a.example", "/private/deeper"),
             ("b.example", "/"),
             ("B.EXAMPLE", "/"),  # host casing normalized, dup rule harmless
+            ("c.example", ""),  # bare 'Disallow:' = allow-all, must be DROPPED
         ],
         "host string, path_prefix string",
     )
@@ -177,6 +181,9 @@ def test_path_blocklist_robots_semantics(spark):
     assert out[6]["path_blocked"] is None and out[7]["path_blocked"] is None
     assert out[8]["matched_prefix"] == "/private/deeper"  # most specific
     assert out[None]["path_blocked"] is None  # NULL id unverifiable
+    assert out[9]["path_blocked"] is True  # 'b.example.' cannot evade
+    assert out[10]["path_blocked"] is False  # allow-all rule did NOT block
+    assert out[11]["path_blocked"] is True  # '/private?q=1' path is '/private'
 
 
 def test_path_blocklist_duckdb_twin_and_plan(spark):
@@ -186,7 +193,12 @@ def test_path_blocklist_duckdb_twin_and_plan(spark):
 
     rows = [
         (i, f"https://h{i % 5}.example/p{i % 7}/x{i}") for i in range(200)
-    ] + [(900, "https://h1.example")]
+    ] + [
+        (900, "https://h1.example"),
+        (901, "https://h1.example/p1?q=2"),    # query excluded from PATH
+        (902, "https://h1.example./p1/x"),     # trailing-dot host
+        (903, "https://h3.example:8443/p3/x10/y"),  # port stripped from HOST
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     rules = spark.createDataFrame(
         [("h1.example", "/p1"), ("h1.example", "/"), ("h3.example", "/p3/x10")],
@@ -204,9 +216,12 @@ def test_path_blocklist_duckdb_twin_and_plan(spark):
                 ") t(host, path_prefix)")
     duck = con.execute("""
         WITH d AS (
+          -- mirror parse_url semantics: HOST excludes the port and strips
+          -- FQDN trailing dots (normalized like the operator); PATH
+          -- excludes query string and fragment
           SELECT doc_id,
-                 lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS h,
-                 COALESCE(NULLIF(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), ''), '/') AS p
+                 regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)), '\.+$', '') AS h,
+                 COALESCE(NULLIF(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), ''), '/') AS p
           FROM docs
         ),
         hits AS (

@@ -30,20 +30,29 @@ for p in (REPO, os.path.dirname(os.path.abspath(__file__))):
         sys.path.insert(0, p)
 
 
+N_SEGMENTS = 32  # pinned: parse parallelism = segment count for the warc arm
+
+
 def build_warc_corpus(parquet_dir: str, n_pages: int) -> str:
-    """One .warc.gz segment per parquet partition, cached like the parquet
-    corpus (same per-uid lock-published discipline)."""
+    """Exactly N_SEGMENTS .warc.gz segments, cached like the parquet corpus
+    (same per-uid lock-published discipline). An explicit repartition pins
+    the count — the parquet SCAN bin-packs small files by maxPartitionBytes,
+    so "one segment per scan partition" would be host/conf-dependent (r04
+    session review). Segments stream to disk one at a time
+    (toLocalIterator), so driver memory holds one blob, not the corpus."""
     from wikidataquality_spark.datagen import DATAGEN_VERSION
     from wikidataquality_spark.io.locking import publish_dir, user_cache_root
     from wikidataquality_spark.io.warc import encode_warc_partitions
     from wikidataquality_spark.session import get_spark
 
     root = user_cache_root("wdq_scaling")
-    path = os.path.join(root, f"warc_{n_pages}_42_v{DATAGEN_VERSION}")
+    path = os.path.join(root, f"warc_{n_pages}_42_s{N_SEGMENTS}_v{DATAGEN_VERSION}")
 
     def write(staging: str) -> None:
         spark = get_spark(app_name="warc_corpus_build")
-        blobs = encode_warc_partitions(spark.read.parquet(parquet_dir)).collect()
+        blobs = encode_warc_partitions(
+            spark.read.parquet(parquet_dir).repartition(N_SEGMENTS)
+        ).toLocalIterator()
         os.makedirs(staging, exist_ok=True)
         for i, row in enumerate(blobs):
             with open(os.path.join(staging, f"seg-{i:05d}.warc.gz"), "wb") as f:
@@ -67,20 +76,14 @@ def timed_run(run_pipeline, argv: list[str]) -> float:
 
 
 def main() -> int:
-    n_pages = 50000
-    rounds = 3
-    write = False
-    args = sys.argv[1:]
-    i = 0
-    while i < len(args):
-        if args[i] == "--write":
-            write = True
-        elif args[i] == "--rounds":
-            i += 1
-            rounds = int(args[i])
-        else:
-            n_pages = int(args[i])
-        i += 1
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("n_pages", nargs="?", type=int, default=50000)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--write", action="store_true")
+    ns = ap.parse_args()
+    n_pages, rounds, write = ns.n_pages, ns.rounds, ns.write
 
     import run_pipeline
     from scaling_bench import copy_bandwidth, gen_corpus, replace_section
@@ -127,7 +130,9 @@ def main() -> int:
         spark.conf.set("spark.sql.files.maxPartitionBytes", default_mpb)
         shutil.rmtree(scratch, ignore_errors=True)
 
-    med = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
+    import statistics
+
+    med = {k: statistics.median(v) for k, v in times.items()}
     result = {
         "n_pages": n_pages,
         "rounds": rounds,
@@ -144,7 +149,7 @@ def main() -> int:
         section = (
             "## Measured (ingest path)\n\n"
             f"Same {n_pages}-page corpus through the identical full DAG "
-            "(tools/run_pipeline.py), fed as 32-file parquet vs 32 "
+            f"(tools/run_pipeline.py), fed as 32-file parquet vs {N_SEGMENTS} "
             "per-record-gzip .warc.gz segments (io/warc.py). Medians of "
             f"{rounds} alternating timed runs after one warm-up per arm, "
             f"in a {membw} GB/s memory-bandwidth window:\n\n"

@@ -431,6 +431,19 @@ def build_warc_record(
     else:
         http_headers.append(f"Content-Length: {len(body)}")
     block = "\r\n".join(http_headers).encode("utf-8") + b"\r\n\r\n" + body
+    return _warc_record_bytes(
+        "response", url, ts, "application/http; msgtype=response", block
+    )
+
+
+def _warc_record_bytes(
+    wtype: str, url: str | None, ts: datetime | None, content_type: str, block: bytes
+) -> bytes:
+    """The ONE WARC header pipeline behind every record builder (response
+    and conversion): epoch fallback for None/NaT timestamps, sha256(url)
+    record ids, conditional WARC-Target-URI, UTF-8 headers. The injection
+    guard runs in the callers (they sanitize BEFORE hashing, so the record
+    id matches the serialized url)."""
     try:
         date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     except (AttributeError, ValueError):  # None, or NaT (strftime raises)
@@ -439,11 +452,11 @@ def build_warc_record(
     uri_line = f"WARC-Target-URI: {url}\r\n" if url is not None else ""
     warc_headers = (
         f"WARC/1.0\r\n"
-        f"WARC-Type: response\r\n"
+        f"WARC-Type: {wtype}\r\n"
         f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
         f"WARC-Date: {date}\r\n"
         f"{uri_line}"
-        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
     ).encode("utf-8")
     return warc_headers + block + b"\r\n\r\n"
@@ -452,26 +465,10 @@ def build_warc_record(
 def build_wet_record(url: str | None, ts: datetime | None, text: str) -> bytes:
     """One WET-style `conversion` record: the block is the UTF-8 text
     itself (no HTTP framing). Same determinism and header-sanitization
-    contract as build_warc_record."""
+    contract as build_warc_record — both share _warc_record_bytes."""
     if url is not None:
         url = _WS_RE.sub(lambda m: f"%{ord(m.group(0)):02X}", url)
-    block = text.encode("utf-8")
-    try:
-        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-    except (AttributeError, ValueError):
-        date = "1970-01-01T00:00:00Z"
-    rid = hashlib.sha256((url or "").encode("utf-8")).hexdigest()[:32]
-    uri_line = f"WARC-Target-URI: {url}\r\n" if url is not None else ""
-    headers = (
-        f"WARC/1.0\r\n"
-        f"WARC-Type: conversion\r\n"
-        f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
-        f"WARC-Date: {date}\r\n"
-        f"{uri_line}"
-        f"Content-Type: text/plain\r\n"
-        f"Content-Length: {len(block)}\r\n\r\n"
-    ).encode("utf-8")
-    return headers + block + b"\r\n\r\n"
+    return _warc_record_bytes("conversion", url, ts, "text/plain", text.encode("utf-8"))
 
 
 def _gzip_member(record: bytes) -> bytes:

@@ -120,10 +120,17 @@ def path_blocklist_marks(
 
     Semantics (deliberately the robots subset curation pipelines honor):
       - EXACT host match — robots is per-host, never suffix (rules for
-        example.com say nothing about sub.example.com);
-      - literal prefix on the raw path, so mid-segment prefixes work
+        example.com say nothing about sub.example.com); hosts are
+        lowercased and FQDN trailing dots stripped on BOTH sides, closing
+        the 'b.example.' evasion spelling exactly as domain_chain does;
+      - literal prefix on the PATH ONLY (parse_url PATH excludes query
+        string and fragment — '/search?q=' style rules can never match
+        and must be normalized upstream), so mid-segment prefixes work
         ('/priv' blocks '/private'); no wildcards/Allow precedence —
-        documented out of scope, normalize rules upstream;
+        documented out of scope;
+      - EMPTY prefixes are dropped: a bare 'Disallow:' line means
+        allow-everything in robots.txt, while startswith('') is true for
+        every path — keeping them would invert the rule into block-all;
       - matched_prefix is the LONGEST (most specific) hit;
       - NULL id / unparseable host / NULL path → NULL verdict
         (unverifiable, the domain_blocklist_marks convention).
@@ -138,16 +145,19 @@ def path_blocklist_marks(
     # parse_url yields '' for a bare authority — robots semantics treat
     # that as the root path
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    norm_host = lambda c: F.regexp_replace(F.lower(c), r"\.+$", "")  # noqa: E731
     d = docs.select(
         F.col(id_col),
-        F.lower(host_of(url)).alias("_h"),
+        norm_host(host_of(url)).alias("_h"),
         path.alias("_p"),
     )
     r = F.broadcast(
-        rules.select(
-            F.lower(F.col(host_col)).alias("_h"),
+        rules.filter(F.length(prefix_col) > 0)
+        .select(
+            norm_host(F.col(host_col)).alias("_h"),
             F.col(prefix_col).alias("_pref"),
-        ).distinct()
+        )
+        .distinct()
     )
     hits = (
         d.join(r, "_h")
