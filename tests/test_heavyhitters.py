@@ -144,3 +144,40 @@ def test_empty_and_tiny_inputs(spark):
     nums = spark.createDataFrame([(7,), (7,), (9,)], "doc_id long")
     got = {r["key"]: r["count_lb"] for r in heavy_hitters(nums, "doc_id", k=4).collect()}
     assert got == {"7": 2, "9": 1}
+
+def test_mg_merge_guarantee_property():
+    """Hypothesis: for ANY sequence of batches and any k, folding through
+    mg_merge keeps the textbook invariants — ≤ k counters, exact total
+    undercount d bounds every key's error, and no key with true count > d
+    is ever lost."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        batches=st.lists(
+            st.lists(st.integers(min_value=0, max_value=30), max_size=60),
+            max_size=8,
+        ),
+        k=st.integers(min_value=1, max_value=12),
+    )
+    def prop(batches, k):
+        counters: dict = {}
+        d = 0
+        truth: Counter = Counter()
+        for batch in batches:
+            truth.update(batch)
+            counters, dec = mg_merge(counters, Counter(batch), k)
+            d += dec
+            assert len(counters) <= k
+        n = sum(truth.values())
+        assert d <= n // (k + 1) if n else d == 0
+        for key, true in truth.items():
+            lb = counters.get(key, 0)
+            assert lb <= true <= lb + d
+            if true > d:
+                assert key in counters
+
+    prop()

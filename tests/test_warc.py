@@ -426,3 +426,30 @@ def test_encode_warc_partitions_round_trips(spark):
     # the NULL-url/NaT row survives as an anonymous epoch-dated record
     assert by_url[None]["html"] == HTML_B
     assert by_url[None]["warc_ts"] == datetime(1970, 1, 1)
+
+
+def test_wet_wrap_inversion_property():
+    """Hypothesis: the extractor-canonical wrap is inverted by the REAL
+    extractor for arbitrary unicode text — entities, angle brackets,
+    embedded </main>, anything st.text generates."""
+    import html as html_mod
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wikidataquality_spark.operators.extract import extract_text_series
+
+    @settings(max_examples=120, deadline=None)
+    @given(text=st.text(max_size=300))
+    def prop(text):
+        # the same wrap wet_to_documents builds in Column space, mirrored
+        # in python (& first, then < and >) over one hypothesis example
+        esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        wrapped = ("<main>" + esc + "</main>").encode("utf-8")
+        out = extract_text_series(pd.Series([wrapped]))
+        assert out.iloc[0] == text
+        # sanity on the mirror itself
+        assert html_mod.unescape(esc) == text
+
+    prop()
