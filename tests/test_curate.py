@@ -176,6 +176,34 @@ def test_blocklist_stage_first_and_fail_closed(spark):
     assert sum(f.values()) == 3
 
 
+def test_path_rules_stage_shares_urlfilter_attribution(spark):
+    """robots-style path rules run inside the same urlfilter stage: a
+    path-blocked doc is attributed 'urlfilter', domain and path arms
+    compose, and conservation holds (fail-closed on unverifiable urls)."""
+    rows = [
+        (1, "https://ok.org/private/x", "the quick brown fox jumps over the lazy dog " * 6, "en", "src1"),
+        (2, "https://ok.org/public/y", "a committee reviewed the harbor dredging proposal at noon " * 6, "en", "src1"),
+        (3, "https://spam.example.com/public/z", "fresh content about rivers and ferries in autumn " * 6, "en", "src1"),
+        (4, "not a url", "perfectly fine text that parses nowhere " * 8, "en", "src1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    pr = spark.createDataFrame([("ok.org", "/private")], "host string, path_prefix string")
+    c, f = _run(docs, CurateConfig(pack=False, dedup=False, blocklist=bl, path_rules=pr))
+    ids = {r["doc_id"] for r in c}
+    assert ids == {2}  # path-blocked, domain-blocked, unverifiable all out
+    assert f.get("urlfilter", 0) == 3
+    assert sum(f.values()) == 4
+    # path rules alone (no domain list) take the same stage
+    c2, f2 = _run(docs, CurateConfig(pack=False, dedup=False, path_rules=pr))
+    ids2 = {r["doc_id"] for r in c2}
+    assert 1 not in ids2 and 3 in ids2  # domain arm off: spam host survives
+    assert f2.get("urlfilter", 0) == 2  # doc 1 (path) + doc 4 (fail closed)
+    assert sum(f2.values()) == 4
+
+
 def test_conservation_under_duplicate_ids(spark):
     """Duplicate doc_ids must not multiply through the marks joins — the
     funnel still sums to docs_in (r04 review)."""

@@ -31,6 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--benchmark", default=None, help="eval-set parquet (text col) to decontaminate against")
     ap.add_argument("--blocklist", default=None, help="domain blocklist parquet (domain col); needs a url column on the input")
+    ap.add_argument("--path-rules", default=None, help="robots-style Disallow parquet (host, path_prefix cols); same urlfilter stage, fail-closed")
     ap.add_argument("--rates", default=None, help='JSON per-source keep rates, e.g. \'{"src1": 0.5}\'')
     ap.add_argument("--default-rate", type=float, default=1.0,
                     help="keep rate for sources not listed in --rates (1.0 = keep; 0.0 = allowlist)")
@@ -78,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup=not args.no_dedup,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         blocklist=spark.read.parquet(args.blocklist) if args.blocklist else None,
+        path_rules=spark.read.parquet(args.path_rules) if args.path_rules else None,
         rates=rates,
         default_rate=args.default_rate,
         dsir_k=args.dsir_k,

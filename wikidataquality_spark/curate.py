@@ -58,6 +58,10 @@ class CurateConfig:
     # FIRST after eligibility — metadata-only, so blocked docs never pay
     # for scoring/hashing attribution-wise. Requires a url column on docs.
     blocklist: DataFrame | None = None
+    # robots.txt-style (host, path_prefix) Disallow rules — the path-level
+    # granularity the domain list can't express; runs in the SAME urlfilter
+    # stage (one funnel attribution), fail-closed on unverifiable rows
+    path_rules: DataFrame | None = None
     url_col: str = "url"
     drop_buckets: tuple[str, ...] = ("tail",)  # CCNet buckets to drop
     dedup: bool = True
@@ -152,26 +156,45 @@ def curate(
         & (F.length(text_c) > 0),
     )
 
-    if cfg.blocklist is not None:
-        from wikidataquality_spark.operators.urlfilter import domain_blocklist_marks
-
-        # dropDuplicates: the marks operator emits one row per input row;
-        # duplicate input ids would otherwise MULTIPLY through this left
-        # join and break the funnel's conservation invariant (r04 review —
-        # ids sharing a value then share one verdict, the operator's
-        # documented id-keyed contract)
-        marks = (
-            domain_blocklist_marks(
-                flagged, cfg.blocklist, url_col=cfg.url_col, id_col=id_c
+    if cfg.blocklist is not None or cfg.path_rules is not None:
+        url_drop = F.lit(False)
+        if cfg.blocklist is not None:
+            from wikidataquality_spark.operators.urlfilter import (
+                domain_blocklist_marks,
             )
-            .select(id_c, "blocked")
-            .dropDuplicates([id_c])
-        )
-        flagged = flagged.join(marks, id_c, "left")
-        # NULL blocked = unparseable host → fail closed, like contamination
-        flagged = flagged.withColumn(
-            "_url_drop", F.coalesce(F.col("blocked"), F.lit(True))
-        )
+
+            # dropDuplicates: the marks operator emits one row per input
+            # row; duplicate input ids would otherwise MULTIPLY through
+            # this left join and break the funnel's conservation invariant
+            # (r04 review — ids sharing a value then share one verdict,
+            # the operator's documented id-keyed contract)
+            marks = (
+                domain_blocklist_marks(
+                    flagged, cfg.blocklist, url_col=cfg.url_col, id_col=id_c
+                )
+                .select(id_c, "blocked")
+                .dropDuplicates([id_c])
+            )
+            flagged = flagged.join(marks, id_c, "left")
+            # NULL blocked = unparseable host → fail closed
+            url_drop = url_drop | F.coalesce(F.col("blocked"), F.lit(True))
+        if cfg.path_rules is not None:
+            from wikidataquality_spark.operators.urlfilter import (
+                path_blocklist_marks,
+            )
+
+            pmarks = (
+                path_blocklist_marks(
+                    flagged, cfg.path_rules, url_col=cfg.url_col, id_col=id_c
+                )
+                .select(id_c, "path_blocked")
+                .dropDuplicates([id_c])
+            )
+            flagged = flagged.join(pmarks, id_c, "left")
+            # NULL path verdict (unparseable/NULL url or id) → fail closed,
+            # same convention as the domain arm
+            url_drop = url_drop | F.coalesce(F.col("path_blocked"), F.lit(True))
+        flagged = flagged.withColumn("_url_drop", url_drop)
     else:
         flagged = flagged.withColumn("_url_drop", F.lit(False))
 
