@@ -68,11 +68,11 @@ def test_duckdb_twin_parity(spark):
     con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
     want = {
         r[0]: (r[1], r[2])
-        for r in con.execute("""
+        for r in con.execute(r"""
 WITH hosts AS (
   SELECT doc_id,
          CASE WHEN regexp_matches(url, '^https?://') THEN
-           regexp_replace(lower(regexp_replace(regexp_replace(url, '^https?://', ''), '[:/].*$', '')), '\.$', '')
+           regexp_replace(lower(regexp_replace(regexp_replace(url, '^https?://', ''), '[:/].*$', '')), '\.+$', '')
          END AS host
   FROM docs
 ), chains AS (
@@ -131,7 +131,9 @@ def test_deep_host_and_trailing_dot_cannot_evade(spark):
     clean FALSE."""
     deep = "https://" + ".".join(["a"] * 10) + ".example.com/x"
     docs = spark.createDataFrame(
-        [(1, deep), (2, "https://example.com./page"), (None, "https://example.com/z")],
+        [(1, deep), (2, "https://example.com./page"),
+         (3, "https://example.com../page"),  # multi-dot evasion variant
+         (None, "https://example.com/z")],
         "doc_id long, url string",
     )
     bl = spark.createDataFrame([("example.com",)], "domain string")
@@ -139,6 +141,11 @@ def test_deep_host_and_trailing_dot_cannot_evade(spark):
             for r in domain_blocklist_marks(docs, bl).collect()}
     assert rows[1] == (True, "example.com")
     assert rows[2] == (True, "example.com")
+    # the multi-dot spelling doesn't even parse as a host (try_parse_url
+    # rejects it) → NULL-unverifiable, which fail-closed callers DROP —
+    # never a silent clean FALSE; the \.+$ normalization covers any parser
+    # that does accept it
+    assert rows[3] == (None, None)
     assert rows[None] == (None, None)
 
 
@@ -198,10 +205,12 @@ def test_path_blocklist_duckdb_twin_and_plan(spark):
         (901, "https://h1.example/p1?q=2"),    # query excluded from PATH
         (902, "https://h1.example./p1/x"),     # trailing-dot host
         (903, "https://h3.example:8443/p3/x10/y"),  # port stripped from HOST
+        (904, "https://h4.example/p4/z"),       # blocked by the dotted rule
     ]
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     rules = spark.createDataFrame(
-        [("h1.example", "/p1"), ("h1.example", "/"), ("h3.example", "/p3/x10")],
+        [("h1.example", "/p1"), ("h1.example", "/"), ("h3.example", "/p3/x10"),
+         ("h4.example.", "/p4")],  # dotted RULE host normalizes too
         "host string, path_prefix string",
     )
     marks = path_blocklist_marks(docs, rules)
@@ -212,9 +221,10 @@ def test_path_blocklist_duckdb_twin_and_plan(spark):
                 + ",".join(f"({i}, '{u}')" for i, u in rows)
                 + ") t(doc_id, url)")
     con.execute("CREATE TABLE rules AS SELECT * FROM (VALUES "
-                "('h1.example', '/p1'), ('h1.example', '/'), ('h3.example', '/p3/x10')"
+                "('h1.example', '/p1'), ('h1.example', '/'), "
+                "('h3.example', '/p3/x10'), ('h4.example.', '/p4')"
                 ") t(host, path_prefix)")
-    duck = con.execute("""
+    duck = con.execute(r"""
         WITH d AS (
           -- mirror parse_url semantics: HOST excludes the port and strips
           -- FQDN trailing dots (normalized like the operator); PATH
@@ -226,7 +236,7 @@ def test_path_blocklist_duckdb_twin_and_plan(spark):
         ),
         hits AS (
           SELECT doc_id, max_by(path_prefix, length(path_prefix)) AS mp
-          FROM d JOIN rules ON d.h = lower(rules.host)
+          FROM d JOIN rules ON d.h = regexp_replace(lower(rules.host), '\.+$', '')
           WHERE starts_with(d.p, rules.path_prefix)
           GROUP BY doc_id
         )

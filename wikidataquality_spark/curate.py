@@ -158,6 +158,11 @@ def curate(
 
     if cfg.blocklist is not None or cfg.path_rules is not None:
         url_drop = F.lit(False)
+        # both marks read only (id, url) from the PRE-join frame: deriving
+        # the second arm from the first arm's joined lineage would drag the
+        # domain explode+join into the path marks' DAG and pay that pass
+        # twice before the persist seal (r04 session review)
+        url_base = flagged
         if cfg.blocklist is not None:
             from wikidataquality_spark.operators.urlfilter import (
                 domain_blocklist_marks,
@@ -185,7 +190,7 @@ def curate(
 
             pmarks = (
                 path_blocklist_marks(
-                    flagged, cfg.path_rules, url_col=cfg.url_col, id_col=id_c
+                    url_base, cfg.path_rules, url_col=cfg.url_col, id_col=id_c
                 )
                 .select(id_c, "path_blocked")
                 .dropDuplicates([id_c])

@@ -43,9 +43,11 @@ def domain_chain(url_col: str | Column = "url") -> Column:
     MAX_LABELS labels): blocklists name registrable domains, so the
     registrable suffix must survive no matter how deep the host is — a cap
     from the long end let a 12-label spam chain walk past its own blocked
-    domain (r04 review). A trailing FQDN dot is stripped first for the
-    same reason ('example.com.' is the classic evasion spelling)."""
-    host = F.regexp_replace(F.lower(host_of(url_col)), r"\.$", "")
+    domain (r04 review). Trailing FQDN dots — ALL of them, not one — are
+    stripped first for the same reason ('example.com.' is the classic
+    evasion spelling and 'example.com..' its multi-dot variant; both arms
+    of the urlfilter stage share this normalization, r04 session review)."""
+    host = F.regexp_replace(F.lower(host_of(url_col)), r"\.+$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # suffix i covers labels[i..n) and has n-i labels: keep 2 ≤ n-i ≤ MAX
