@@ -4,7 +4,6 @@ cross-operator contract with pack_sequences (same stream, block for block)."""
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 from wikidataquality_spark.operators.shards import (
@@ -50,9 +49,13 @@ def test_export_matches_python_mirror_and_pack_table(spark):
     # distinct piece per (doc, pos) so every stream position is identifiable
     rows = []
     for d in range(9):
-        n = (d * 7) % 5 + (0 if d != 4 else 0)  # varied lengths incl. short
+        n = (d * 7) % 5  # varied lengths incl. zero-length docs
         rows.append((d, "s1" if d < 6 else "s2", [f"p{d}_{j}" for j in range(n)]))
     rows.append((9, "s2", None))  # zero-width doc stays in the stream
+    # exactly-full stream followed by a zero-width doc: the trailing doc's
+    # pack_id (=1) must be MATERIALIZED as an all-PAD block
+    rows.append((20, "s3", [f"q{j}" for j in range(4)]))
+    rows.append((21, "s3", None))
     docs = _docs(spark, rows)
     vocab = {r["piece"]: r["token_id"] for r in vocab_table(docs).collect()}
     encoded = encode_token_ids(docs, vocab)
@@ -72,14 +75,28 @@ def test_export_matches_python_mirror_and_pack_table(spark):
             list(r["token_ids"]),
             r["n_real_tokens"],
         )
+    # mirror the operator's block-count rule: cover ceil(len/L) AND every
+    # doc's cum_before // L (the trailing zero-width-doc block)
+    doc_blocks: dict = {}
+    cums: dict = {}
+    for doc_id, src, ids in enc_rows:
+        key = (src, doc_id // 10_000)
+        c = cums.get(key, 0)
+        doc_blocks[key] = max(doc_blocks.get(key, 0), c // seq_len)
+        cums[key] = c + len(ids)
     for key, stream in streams.items():
-        n_blocks = max(-(-len(stream) // seq_len), 1)
+        n_blocks = max(-(-len(stream) // seq_len), 1, doc_blocks[key] + 1)
         for b in range(n_blocks):
             block = stream[b * seq_len : (b + 1) * seq_len]
             n_real = len(block)
             block = block + [PAD_ID] * (seq_len - n_real)
             assert got[(key[0], key[1], b)] == (block, n_real), (key, b)
-    assert len(got) == sum(max(-(-len(s) // seq_len), 1) for s in streams.values())
+    assert len(got) == sum(
+        max(-(-len(s) // seq_len), 1, doc_blocks[k] + 1)
+        for k, s in streams.items()
+    )
+    # the trailing-zero-width block exists, all PAD, zero real tokens
+    assert got[("s3", 0, 1)] == ([PAD_ID] * seq_len, 0)
 
     # cross-operator contract: pack_sequences driven by the SAME id counts
     # lands each doc's first token at pack_id*seq_len + pack_offset

@@ -8,7 +8,9 @@ concatenated in stream order, and seq_len-sized id arrays with the final
 partial block padded. The cross-operator contract is exact and gated:
 each document's first token lands at absolute stream position
 pack_id·seq_len + pack_offset — the packing table and the materialized
-shards describe the same stream.
+shards describe the same stream (when pack_sequences is driven by the
+SAME counter, n_tokens_col = F.size(token_ids); its default text
+estimate diverges from real BPE id counts).
 
 Scale design:
   - the vocabulary is VOCABULARY-bounded (Heaps' law: ~10⁶-10⁷ pieces at
@@ -29,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -102,32 +104,54 @@ def export_token_shards(
     id arrays concatenate in id order and slice into seq_len blocks,
     pack_id counting from 0 within the (source, shard) stream — exactly
     pack_sequences' stream definition, so the two tables agree block for
-    block (gated). The final partial block pads with PAD_ID and reports
-    its real-token count."""
+    block (gated). PRECONDITION for that agreement: drive pack_sequences
+    with n_tokens_col = F.size(<ids_col>) — its DEFAULT counter is the
+    bpe_ish TEXT estimate, which diverges from real BPE id counts and
+    would shift every downstream assignment. The final partial block pads
+    with PAD_ID and reports its real-token count, and every pack_id the
+    pack table can assign is materialized: a zero-width (NULL-text) doc
+    sitting after an exactly-full stream owns block k with zero real
+    tokens, so an all-PAD block row exists for it (a consumer seeking any
+    pack-table pack_id always finds its shard row)."""
     shard = F.floor(F.col(id_col) / shard_docs).cast("long")
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values("_sid")
-        stream: list[int] = []
+        arrays = [
+            np.asarray(ids, dtype=np.int32)
+            for ids in pdf["_ids"]
+            if ids is not None and len(ids)
+        ]
+        stream = (
+            np.concatenate(arrays) if arrays else np.empty(0, dtype=np.int32)
+        )
+        n = len(stream)
+        # block count harmonized with the pack table: each doc's block is
+        # cum_before // seq_len; a trailing zero-width doc after an
+        # exactly-full stream claims one block past ceil(n/L)
+        cum = 0
+        max_doc_block = 0
         for ids in pdf["_ids"]:
-            if ids is not None:
-                stream.extend(int(i) for i in ids)
-        rows = []
+            max_doc_block = max(max_doc_block, cum // seq_len)
+            cum += 0 if ids is None else len(ids)
+        n_blocks = max(1, -(-n // seq_len), max_doc_block + 1)
+        padded = np.full(n_blocks * seq_len, PAD_ID, dtype=np.int32)
+        padded[:n] = stream
+        blocks = padded.reshape(n_blocks, seq_len)
         src = pdf["_src"].iloc[0]
         shd = int(pdf["_shard"].iloc[0])
-        for b in range(0, max(len(stream), 1), seq_len):
-            block = stream[b : b + seq_len]
-            n_real = len(block)
-            block = block + [PAD_ID] * (seq_len - n_real)
-            rows.append(
-                {
-                    "source": src,
-                    "shard": shd,
-                    "pack_id": b // seq_len,
-                    "token_ids": block,
-                    "n_real_tokens": n_real,
-                }
-            )
+        rows = [
+            {
+                "source": src,
+                "shard": shd,
+                "pack_id": b,
+                "token_ids": blocks[b].tolist(),
+                "n_real_tokens": max(0, min(seq_len, n - b * seq_len)),
+            }
+            for b in range(n_blocks)
+        ]
         return pd.DataFrame(rows, columns=[f.name for f in SHARD_SCHEMA.fields])
 
     return (
