@@ -102,7 +102,7 @@ def test_cli_end_to_end(spark, tmp_path):
     try:
         rc = curate_corpus.main(
             ["--input", "/root/testdata/sf0.001/documents.parquet",
-             "--output", out_dir, "--seq-len", "128"]
+             "--output", out_dir, "--seq-len", "128", "--export-shards"]
         )
     finally:
         sys.stdout = old
@@ -114,6 +114,14 @@ def test_cli_end_to_end(spark, tmp_path):
     assert back.count() == res["docs_kept"]
     for col in ("quality_bucket", "bpe_token_count", "pack_id", "pack_offset"):
         assert col in back.columns
+    # --export-shards: dataloader-ready blocks + vocab next to the output,
+    # every curated token landing exactly once
+    shards = spark.read.parquet(out_dir + "_shards")
+    assert res["shard_blocks"] == shards.count() > 0
+    assert shards.filter(F.size("token_ids") != 128).count() == 0
+    total_real = shards.agg(F.sum("n_real_tokens")).first()[0]
+    assert total_real == back.agg(F.sum(F.size("bpe_tokens"))).first()[0]
+    assert spark.read.parquet(out_dir + "_vocab").count() > 0
 
 
 def test_unlisted_sources_kept_by_default(docs):

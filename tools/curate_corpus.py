@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--drop-buckets", default="tail", help="comma-joined CCNet buckets to drop ('' = none)")
     ap.add_argument("--funnel-by", default=None, help="extra lineage dimension for the funnel (e.g. source, lang)")
+    ap.add_argument(
+        "--export-shards",
+        action="store_true",
+        help="also materialize dataloader-ready token shards (operators/"
+        "shards.py): corpus-derived dense vocab to <output>_vocab, "
+        "seq_len-sized integer blocks to <output>_shards (requires packing)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -87,10 +94,31 @@ def main(argv: list[str] | None = None) -> int:
         seq_len=args.seq_len,
         extra={"funnel_by": args.funnel_by} if args.funnel_by else {},
     )
+    if args.export_shards and args.no_pack:
+        raise ValueError("--export-shards needs the packing stage (drop --no-pack)")
     t0 = time.perf_counter()
     registry: list = []
     curated, funnel = curate(docs, cfg, persist_registry=registry)
     curated.write.mode("overwrite").parquet(args.output)
+    n_shard_blocks = None
+    if args.export_shards:
+        from wikidataquality_spark.operators.shards import (
+            encode_token_ids,
+            export_token_shards,
+            vocab_table,
+        )
+
+        # read the just-written curated parquet back (cheap, already
+        # materialized) instead of recomputing the funnel lineage
+        cur = spark.read.parquet(args.output)
+        vt = vocab_table(cur)
+        vt.write.mode("overwrite").parquet(f"{args.output}_vocab")
+        vocab = {r["piece"]: r["token_id"] for r in vt.collect()}
+        shards = export_token_shards(
+            encode_token_ids(cur, vocab), seq_len=args.seq_len
+        )
+        shards.write.mode("overwrite").parquet(f"{args.output}_shards")
+        n_shard_blocks = spark.read.parquet(f"{args.output}_shards").count()
     rows = funnel.collect()
     for df in registry:
         df.unpersist()
@@ -112,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
         "docs_kept": stages.get("kept", 0),
         "wall_s": round(time.perf_counter() - t0, 2),
     }
+    if n_shard_blocks is not None:
+        out["shard_blocks"] = n_shard_blocks
     if detail is not None:
         out["funnel_by"] = {args.funnel_by: detail}
     # underscore prefix: Spark/Hadoop readers ignore _-prefixed files, so
