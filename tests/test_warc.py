@@ -185,7 +185,11 @@ def test_read_warc_and_projection(spark, tmp_path):
 def test_property_arbitrary_payloads_and_urls_round_trip():
     """Hypothesis: ANY payload bytes and any printable-ish url survive the
     encode→parse cycle — payload byte-identical, url identical up to the
-    CR/LF percent-encoding the header-injection guard applies."""
+    whitespace/CR-LF percent-encoding the header-injection guard applies.
+    For urls with NO literal whitespace (every spec-clean RFC 3986 url,
+    percent-encodings included) encode∘decode must be the IDENTITY — '%' is
+    deliberately not escaped (r04 ADVICE: escaping it rewrote 'a%20b' to
+    'a%2520b' on export, mutating url values on a write→read cycle)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -204,11 +208,70 @@ def test_property_arbitrary_payloads_and_urls_round_trip():
         import re
 
         expect = re.sub(
-            r"[% \t\r\n\x0b\x0c]", lambda m: f"%{ord(m.group(0)):02X}", url
+            r"[ \t\r\n\x0b\x0c]", lambda m: f"%{ord(m.group(0)):02X}", url
         )
         assert rows[0]["url"] == expect
+        if not re.search(r"[ \t\r\n\x0b\x0c]", url):
+            assert rows[0]["url"] == url  # identity on spec-clean urls
 
     prop()
+
+
+def test_percent_encoded_urls_round_trip_verbatim():
+    """The re-ingest value-identity contract: urls already carrying percent
+    escapes (ubiquitous in real crawls) must come back byte-identical — the
+    old '%'-escaping turned 'a%20b' into 'a%2520b' and shifted every
+    url-keyed artifact (doc ids, url dedup, blocklist verdicts)."""
+    urls = [
+        "http://e.x/a%20b",
+        "http://e.x/p?q=100%25+done",
+        "http://e.x/%E4%B8%AD%E6%96%87/path",
+    ]
+    recs = [build_warc_record(u, TS1, b"x") for u in urls]
+    rows = _rows(build_warc(recs, per_record_gzip=True))
+    assert [r["err"] for r in rows] == [None] * 3
+    assert [r["url"] for r in rows] == urls
+    # documented residual collision: a spec-INVALID literal-space url
+    # serializes identically to its pre-encoded twin
+    r_ws = _rows(build_warc([build_warc_record("http://e.x/a b", TS1, b"x")]))
+    assert r_ws[0]["url"] == "http://e.x/a%20b"
+
+
+def test_empty_and_recordless_files_yield_one_error_row(spark, tmp_path):
+    """Per-file totality: a zero-byte or record-less WARC costs exactly one
+    error row instead of silently vanishing from the output (r04 ADVICE)."""
+    assert [r["err"] for r in _rows(b"")] == ["warc: empty file"]
+    assert [r["err"] for r in _rows(b"\r\n\r\n")] == ["warc: no records"]
+    import zlib as _z
+
+    comp = _z.compressobj(9, _z.DEFLATED, 31)
+    empty_gz = comp.compress(b"") + comp.flush()
+    assert [r["err"] for r in _rows(empty_gz)] == ["warc: no records"]
+
+    # Spark-level: binaryFile DROPS zero-byte files before the parser ever
+    # sees them (verified live; documented in read_warc), so the spark-side
+    # totality gate uses a record-less-but-nonempty file
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "good.warc").write_bytes(build_warc(_three_records()))
+    (d / "padding.warc").write_bytes(b"\r\n\r\n")
+    out = read_warc(spark, str(d)).collect()
+    errs = [r for r in out if r["err"] is not None]
+    assert len(errs) == 1 and errs[0]["warc_file"].endswith("padding.warc")
+    assert errs[0]["err"] == "warc: no records"
+    assert len([r for r in out if r["err"] is None]) == 3
+
+
+def test_gunzip_many_small_members_feed_forward():
+    """50 small per-record gzip members through the feed-forward decompressor
+    (members ≪ _GZ_CHUNK, so every member boundary lands mid-feed and the
+    unused_data carry path is exercised member-to-member)."""
+    urls = [f"http://m.example/{i}" for i in range(50)]
+    recs = [build_warc_record(u, TS1, f"payload-{u}".encode()) for u in urls]
+    rows = _rows(build_warc(recs, per_record_gzip=True))
+    assert [r["err"] for r in rows] == [None] * 50
+    assert [r["url"] for r in rows] == urls
+    assert rows[37]["html"] == b"payload-http://m.example/37"
 
 
 def test_header_injection_is_neutralized():

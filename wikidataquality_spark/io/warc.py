@@ -60,21 +60,35 @@ WARC_SCHEMA = T.StructType(
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
-# '%' is in the class so the escaping is INJECTIVE ('a b' vs 'a%20b' must
-# stay distinct urls — without it both serialize identically and re-ingest
-# would merge two documents)
-_WS_RE = re.compile(r"[% \t\r\n\x0b\x0c]")
+# ONLY header-breaking bytes (CR/LF + literal whitespace) are escaped, and
+# '%' deliberately is NOT: the reader never percent-decodes, so escaping '%'
+# would rewrite every already-percent-encoded crawl url ('a%20b' → 'a%2520b')
+# on export and a write→read cycle would mutate url VALUES — shifting every
+# url-keyed artifact (xxhash64 doc ids, url dedup, blocklist verdicts).
+# encode∘decode is therefore the IDENTITY for every url with no literal
+# whitespace (all spec-clean RFC 3986 urls — literal whitespace is not a
+# legal URI byte). The documented residual: a spec-INVALID url containing
+# literal whitespace serializes identically to its pre-encoded twin
+# ('a b' and 'a%20b' both emit 'a%20b'), so re-ingest merges that pair —
+# value-identity for the ubiquitous case was judged worth the rare,
+# already-out-of-spec collision (r04 ADVICE).
+_WS_RE = re.compile(r"[ \t\r\n\x0b\x0c]")
 
 # the one shared error-label convention (160-char bound, TypeName: msg) —
 # imported from the layer-neutral errors module, so io never depends on the
 # operators package
 from wikidataquality_spark.errors import err_str as _err_str  # noqa: E402
 
-# gzip members are fed to the decompressor in bounded chunks: feeding the
-# whole remaining buffer per member makes d.unused_data re-materialize the
-# tail each iteration — O(members × bytes), hours on a ~1 GB 50k-member
-# Common Crawl segment (r04 session review). Chunked feeding is O(bytes).
-_GZ_CHUNK = 1 << 20
+# gzip members are fed to the decompressor in bounded chunks, and each
+# member's unused_data tail is FED FORWARD to the next member instead of
+# being re-sliced from the source buffer. zlib memcpys the unconsumed tail
+# of the current feed into unused_data at every member boundary, so the
+# per-member overhead is ≤ one feed-granularity copy: total work is
+# O(bytes + members × _GZ_CHUNK). At 64 KiB granularity a ~1 GB 50k-member
+# Common Crawl segment pays ≤ ~3 GB of tail copies — vs ~50 GB at the old
+# 1 MiB granularity with buffer re-slicing (r04 ADVICE: the loop was
+# O(members × chunk), not O(bytes) as claimed).
+_GZ_CHUNK = 1 << 16
 
 
 def _gunzip_members(blob: bytes) -> bytes:
@@ -86,20 +100,30 @@ def _gunzip_members(blob: bytes) -> bytes:
     out = []
     buf = memoryview(blob)
     pos, n = 0, len(buf)
-    while pos < n:
-        if bytes(buf[pos : pos + 2]) != _GZIP_MAGIC:
+    # bytes already sliced from buf but unconsumed by the previous member's
+    # decompressor (its unused_data) — the front of the remaining stream
+    tail = memoryview(b"")
+    while len(tail) or pos < n:
+        magic = bytes(tail[:2])
+        if len(magic) < 2:
+            magic += bytes(buf[pos : pos + 2 - len(magic)])
+        if magic != _GZIP_MAGIC:
             raise ValueError("warc: trailing non-gzip bytes after gzip members")
         d = zlib.decompressobj(wbits=31)
         while not d.eof:
-            chunk = buf[pos : pos + _GZ_CHUNK]
-            if len(chunk) == 0:
-                raise ValueError("warc: truncated gzip member")
+            if len(tail):
+                chunk = tail[:_GZ_CHUNK]
+                tail = tail[len(chunk) :]
+            else:
+                chunk = buf[pos : pos + _GZ_CHUNK]
+                if len(chunk) == 0:
+                    raise ValueError("warc: truncated gzip member")
+                pos += len(chunk)
             try:
                 out.append(d.decompress(chunk))
             except zlib.error:
                 raise ValueError("warc: corrupt gzip member") from None
-            pos += len(chunk)
-        pos -= len(d.unused_data)  # unread tail of the final chunk (≤ _GZ_CHUNK)
+        tail = memoryview(d.unused_data)
     return b"".join(out)
 
 
@@ -211,7 +235,12 @@ def iter_warc_records(blob: bytes, warc_file: str | None = None) -> Iterator[dic
     """Tolerant WARC record iterator: yields one dict per record in
     WARC_SCHEMA's column order. Corruption yields an error row (err set,
     html NULL, whatever header fields DID parse preserved) and resyncs to
-    the next 'WARC/' line; an unreadable file yields exactly one error row."""
+    the next 'WARC/' line; an unreadable file yields exactly one error row.
+    A file that parses but contains NO records (zero bytes, pure CRLF
+    padding, a gzip of nothing) also yields one error row — per-file
+    totality means no input file ever silently vanishes from the output
+    accounting (r04 ADVICE)."""
+    yielded = False
     try:
         stream = _gunzip_members(blob) if bytes(blob[:2]) == _GZIP_MAGIC else bytes(blob)
     except Exception as e:  # noqa: BLE001 — totality on purpose
@@ -293,7 +322,22 @@ def iter_warc_records(blob: bytes, warc_file: str | None = None) -> Iterator[dic
             row["err"] = _err_str(e)
             resync = stream.find(b"\r\nWARC/", max(pos, offset + 1))
             pos = n if resync < 0 else resync + 2
+        yielded = True
         yield row
+
+    if not yielded:
+        yield {
+            "warc_file": warc_file,
+            "record_offset": None,
+            "record_id": None,
+            "warc_type": None,
+            "url": None,
+            "warc_ts": None,
+            "http_status": None,
+            "content_type": None,
+            "html": None,
+            "err": "warc: empty file" if len(blob) == 0 else "warc: no records",
+        }
 
 
 def read_warc(spark: SparkSession, path: str, glob: str | None = "*.warc*") -> DataFrame:
@@ -301,6 +345,12 @@ def read_warc(spark: SparkSession, path: str, glob: str | None = "*.warc*") -> D
     (WARC_SCHEMA). binaryFile scan → immediate parse in one iterator
     mapInPandas stage; the fat decompressed payloads are born AFTER the
     scan and the caller projects them away before any shuffle.
+
+    Totality caveat: Spark's binaryFile source silently DROPS zero-byte
+    files (verified live — they never reach the parser), so the one-error-
+    row-per-unreadable-file accounting covers every file of ≥1 byte; a
+    truly empty segment is invisible to any binaryFile consumer, not just
+    this one (compare file counts upstream if that matters).
 
     Parallelism note: binaryFile PACKS small files up to
     spark.sql.files.maxPartitionBytes per input partition. Production
@@ -411,10 +461,10 @@ def build_warc_record(
     # header-injection/round-trip guard: CR/LF inside an interpolated header
     # VALUE would terminate the line early, smuggle arbitrary headers, and
     # desync the framing; any other whitespace at the value's edges is
-    # trimmed by standard header parsing. Crawl urls can carry anything —
-    # percent-encode '%' and ALL whitespace (escaping '%' too makes the map
-    # injective, hence lossless; a spec-clean url never contains literal
-    # whitespace anyway).
+    # trimmed by standard header parsing. Percent-encode ONLY those
+    # header-breaking bytes — '%' itself passes through untouched so
+    # already-percent-encoded urls serialize verbatim and write→read is the
+    # identity on every spec-clean url (see _WS_RE's contract note).
     if url is not None:
         url = _WS_RE.sub(lambda m: f"%{ord(m.group(0)):02X}", url)
     content_type = content_type.replace("\r", " ").replace("\n", " ")
