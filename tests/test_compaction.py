@@ -115,6 +115,31 @@ def test_heal_restores_vanished_partition_and_reaps_orphans(spark, tmp_path):
     assert partition_file_stats(out)["2025-01-01"][0] == 1
 
 
+def test_heal_never_touches_a_live_owners_dirs(spark, tmp_path):
+    """A LIVE compactor is mid-swap whenever its .old exists: healing it
+    would rename the old data back under the owner and crash its
+    os.rename(scratch, part_dir) with ENOTEMPTY (r04 ADVICE). _heal must
+    leave every live-pid dir alone — .old (even with the live partition
+    missing, i.e. exactly the mid-swap window) AND scratch."""
+    from wikidataquality_spark.io.compaction import _heal
+
+    out = str(tmp_path / "t5")
+    _fragmented_dataset(spark, out)
+    live_pid = os.getpid()  # provably alive: us
+    part = os.path.join(out, "partition=2025-01-01")
+    old = os.path.join(out, f"_compact_{live_pid}_2025-01-01.old")
+    os.rename(part, old)  # simulate: owner is between its two renames
+    scratch = os.path.join(out, f"_compact_{live_pid}_2025-01-02")
+    os.makedirs(scratch)
+    _heal(out, "partition")
+    assert os.path.isdir(old) and not os.path.exists(part)  # not resurrected
+    assert os.path.isdir(scratch)  # not reaped
+    # finish the owner's swap by hand — dataset is whole again
+    os.rename(old, part)
+    os.rmdir(scratch)
+    assert spark.read.parquet(out).count() == 400
+
+
 def test_compact_spares_already_compact_partitions(spark, tmp_path):
     out = str(tmp_path / "t2")
     _fragmented_dataset(spark, out)

@@ -145,7 +145,48 @@ def test_repeated_www_strips_in_one_pass(spark):
     assert want == got
 
 
-def test_url_dup_marks_null_ts_never_beats_dated_crawl(spark):
+def test_drop_url_dups_narrow_matches_marks_and_keeps_payloads_out_of_exchange(spark):
+    """The ingest-path recrawl dedup (r04 ADVICE): drop_url_dups_narrow must
+    (a) drop exactly the rows url_dup_marks flags on a non-tied corpus,
+    (b) keep fully-(canonical,ts,url)-tied groups WHOLE (over-keep, never
+    document loss), (c) drop an undated dup via eqNullSafe, and (d) carry
+    NO html payload column through any Exchange in its physical plan."""
+    from wikidataquality_spark.operators.dedup import drop_url_dups_narrow
+
+    t0 = datetime.datetime(2025, 1, 1)
+    t1 = datetime.datetime(2025, 2, 1)
+    rows = [
+        ("https://www.site.com/a?utm_source=feed", t1, b"<html>a-recrawl</html>"),
+        ("https://site.com/a", t0, b"<html>a-first</html>"),
+        ("https://site.com/a/", t1, b"<html>a-recrawl2</html>"),
+        ("https://site.com/b", t0, b"<html>b</html>"),
+        ("https://site.com/undated", None, b"<html>u-undated</html>"),
+        ("https://www.site.com/undated", t0, b"<html>u-dated</html>"),
+        # fully-tied pair: same url, same ts, twice — kept whole
+        ("https://site.com/tied", t0, b"<html>t1</html>"),
+        ("https://site.com/tied", t0, b"<html>t2</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = drop_url_dups_narrow(df)
+    kept = sorted((r["url"], bytes(r["html"])) for r in out.collect())
+    assert kept == [
+        ("https://site.com/a", b"<html>a-first</html>"),
+        ("https://site.com/b", b"<html>b</html>"),
+        ("https://site.com/tied", b"<html>t1</html>"),
+        ("https://site.com/tied", b"<html>t2</html>"),
+        ("https://www.site.com/undated", b"<html>u-dated</html>"),
+    ]
+    # formatted explain lists each Exchange node's Input attributes — no
+    # exchange may carry the payload column (marks run on a projection; the
+    # fat side anti-joins the drop keys, broadcast under AQE)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    lines = fmt.splitlines()
+    for i, line in enumerate(lines):
+        if ") Exchange" in line:
+            block = "\n".join(lines[i : i + 3])
+            assert "html" not in block, f"payload in exchange:\n{block}"
     """An undated capture (NULL warc_ts) must not survive over the earliest
     DATED crawl: ascending sort puts NULL first unless NULLS LAST (r04
     review)."""

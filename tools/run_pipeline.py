@@ -88,14 +88,12 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     if args.input_format in ("warc", "wet"):
-        from pyspark.sql import functions as F
-
         from wikidataquality_spark.io.warc import (
             read_warc,
             warc_to_documents,
             wet_to_documents,
         )
-        from wikidataquality_spark.operators.dedup import url_dup_marks
+        from wikidataquality_spark.operators.dedup import drop_url_dups_narrow
 
         project = warc_to_documents if args.input_format == "warc" else wet_to_documents
         pages = project(read_warc(spark, args.input))
@@ -103,14 +101,13 @@ def main(argv: list[str] | None = None) -> int:
         # and www variants) — but the DAG's dedup anchors key on url, so two
         # rows SHARING one url can never flag each other, and the per-url
         # byte-identity invariant (B:15) breaks. Earliest capture per
-        # canonical url survives (url_dup_marks' first-crawl-wins order);
-        # parquet inputs are assumed already url-unique (the datagen/Iceberg
-        # contract), which is why this lives on the ingest path only.
-        pages = (
-            url_dup_marks(pages)
-            .filter(~F.col("url_dup"))
-            .drop("url_canonical", "url_dup")
-        )
+        # canonical url survives (first-crawl-wins); the NARROW variant keeps
+        # the decoded html payloads out of the dedup exchange — marks run on
+        # a (url, ts) projection and the fat frame anti-joins the (small,
+        # broadcastable) drop-key set (r04 ADVICE). Parquet inputs are
+        # assumed already url-unique (the datagen/Iceberg contract), which
+        # is why this lives on the ingest path only.
+        pages = drop_url_dups_narrow(pages)
     else:
         pages = spark.read.parquet(args.input)
     pages = partition_column(pages, by=args.partition_by)

@@ -120,11 +120,20 @@ def _pid_alive(pid: int) -> bool:
 
 def _heal(table_dir: str, partition_col: str) -> None:
     """Crash recovery, run before every compaction pass:
-      - `_compact_<pid>_<part>.old` with NO live partition dir = a swap that
-        died between its two renames → rename the old data back into place
-        (the partition becomes visible again; nothing was lost);
-      - scratch/`.old` dirs whose owning pid is dead → reaped (a successful
-        swap rmtree's its own `.old`; leftovers are crash orphans)."""
+      - `_compact_<pid>_<part>.old` from a DEAD owner with NO live partition
+        dir = a swap that died between its two renames → rename the old data
+        back into place (the partition becomes visible again; nothing lost);
+      - other scratch/`.old` dirs whose owning pid is dead → reaped (a
+        successful swap rmtree's its own `.old`; leftovers are crash orphans).
+
+    A LIVE owner's dirs are never touched: a concurrent compactor is ALWAYS
+    inside its two-rename swap window at some instant, and healing its `.old`
+    mid-swap would rename the old data back under it, making its
+    os.rename(scratch, part_dir) fail ENOTEMPTY and crash the run mid-commit
+    (r04 ADVICE). The dead-owner branches additionally run under the same
+    per-partition `_lock_<part>` the swap holds, so a heal can never
+    interleave with a racing swap that took the lock between our liveness
+    check and our rename."""
     if not os.path.isdir(table_dir):
         return
     for name in os.listdir(table_dir):
@@ -137,11 +146,16 @@ def _heal(table_dir: str, partition_col: str) -> None:
             part = base.split("_", 3)[3]
         except (IndexError, ValueError):
             continue
+        if _pid_alive(pid):
+            continue  # live owner — mid-operation, not an orphan
         live = os.path.join(table_dir, f"{partition_col}={part}")
-        if name.endswith(".old") and not os.path.exists(live):
-            os.rename(full, live)  # heal the vanished partition
-        elif not _pid_alive(pid):
-            shutil.rmtree(full, ignore_errors=True)
+        with exclusive_lock(os.path.join(table_dir, f"_lock_{part}")):
+            if not os.path.exists(full):
+                continue  # another healer won the race under its lock turn
+            if name.endswith(".old") and not os.path.exists(live):
+                os.rename(full, live)  # heal the vanished partition
+            else:
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def compact_dataset(

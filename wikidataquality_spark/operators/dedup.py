@@ -745,6 +745,54 @@ def url_dup_marks(
     return flagged.unionByName(exempt)
 
 
+def drop_url_dups_narrow(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    broadcast_drop_keys: bool = True,
+) -> DataFrame:
+    """Recrawl-dedup for FAT frames (rows carrying html payloads): drop the
+    rows url_dup_marks would flag, without the payloads ever entering the
+    dedup exchange. Running url_dup_marks directly on an ingest frame puts
+    every decoded html blob through the row_number window's shuffle —
+    contradicting io/warc.py's contract that fat payloads never shuffle and
+    making the ingest path's first exchange corpus-sized (r04 ADVICE).
+
+    Shape: marks are computed on a ~24 B (url, ts) projection; the fat frame
+    then LEFT-ANTI joins the DROP-key set, broadcast by default (the hint is
+    needed: a fresh aggregate has no stats, so the planner picks a
+    sort-merge join that would shuffle the fat side — verified live). The
+    drop side is recrawl duplicates only, a small fraction of any real
+    crawl batch, so the fat side never exchanges at all. For a pathological
+    corpus whose dup-key set exceeds executor memory, pass
+    broadcast_drop_keys=False: the fallback sort-merge anti join costs one
+    fat shuffle — exactly what the old direct-window formulation always
+    cost, never more.
+
+    Tie semantics (vs url_dup_marks' arbitrary-survivor caveat): a key whose
+    captures are FULLY tied on (canonical, ts, url) appears as both survivor
+    and dup, and an anti join on the key would drop the whole group — losing
+    the document. Those keys are therefore excluded from the drop set
+    (min(url_dup) over the key must be true): tied groups are KEPT WHOLE
+    (over-keep, recoverable by text dedup downstream) rather than lost
+    (unrecoverable). eqNullSafe on ts so an undated dup still matches its
+    drop key."""
+    narrow = df.select(url_col, ts_col)
+    marks = url_dup_marks(narrow, url_col=url_col, ts_col=ts_col)
+    drop_keys = (
+        marks.groupBy(url_col, ts_col)
+        .agg(F.min(F.col("url_dup").cast("int")).alias("_all_dup"))
+        .filter(F.col("_all_dup") == 1)
+        .select(F.col(url_col).alias("_du"), F.col(ts_col).alias("_dt"))
+    )
+    if broadcast_drop_keys:
+        drop_keys = F.broadcast(drop_keys)
+    cond = F.col(url_col).eqNullSafe(F.col("_du")) & F.col(ts_col).eqNullSafe(
+        F.col("_dt")
+    )
+    return df.join(drop_keys, cond, "left_anti")
+
+
 def host_of(url_col: str | Column = "url") -> Column:
     """Host of a crawl URL, NULL when unparseable. try_parse_url, not
     parse_url: under Spark 4's default ANSI mode a single malformed URL in
