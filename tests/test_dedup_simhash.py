@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -180,6 +183,116 @@ def test_short_doc_word_order_distinguishes(spark):
     kept = {r["url"] for r in out.collect()}
     assert "u2" in kept  # permuted doc survives
     assert kept == {"u1", "u2"}  # identical short doc still deduped
+
+
+def test_minhash_verify_rejects_planted_low_jaccard_collision(spark):
+    """r04 VERDICT #2: bucket collision alone admitted J 0.3–0.5 pairs
+    (~2.5% in the measured planted sweep) — and a drop is unrecoverable.
+    This pair was FOUND by deterministic search over the library's own
+    hashing (60 synthetic tokens, 7 replaced): true shingle Jaccard 0.487,
+    yet one full band collides, and only 61/128 signature components agree.
+    Collision-only dedup (verify=False) wrongly drops the twin; the
+    default-on component-agreement verify (matches ≥ 80) keeps it. A
+    genuine near-dup in the same frame must still drop either way."""
+    import numpy as np
+
+    from wikidataquality_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        MINHASH_VERIFY_MIN_EQ,
+        _minhash_sig,
+        _shingle_hashes,
+        minhash_dedup,
+        minhash_params,
+    )
+
+    base_toks = [f"w54_{i}" for i in range(60)]
+    twin_toks = list(base_toks)
+    for p in (1, 4, 24, 30, 39, 48, 55):
+        twin_toks[p] = f"x54_{p}"
+    # premise guards: if hashing/geometry ever changes, fail HERE (premise
+    # dead) rather than silently passing the behavioral asserts below
+    a, b = minhash_params()
+    vocab: dict = {}
+    s0 = _shingle_hashes(base_toks, vocab)
+    s1 = _shingle_hashes(twin_toks, vocab)
+    set0, set1 = frozenset(s0.tolist()), frozenset(s1.tolist())
+    jac = len(set0 & set1) / len(set0 | set1)
+    assert jac < 0.5, f"premise: planted pair drifted to J={jac}"
+    g0, g1 = _minhash_sig(s0, a, b), _minhash_sig(s1, a, b)
+    collided = any(
+        tuple(g0[bd * MINHASH_ROWS : (bd + 1) * MINHASH_ROWS])
+        == tuple(g1[bd * MINHASH_ROWS : (bd + 1) * MINHASH_ROWS])
+        for bd in range(MINHASH_BANDS)
+    )
+    assert collided, "premise: planted pair no longer band-collides"
+    matches = int(np.sum(g0 == g1))
+    assert matches < MINHASH_VERIFY_MIN_EQ
+
+    near_a = "the quick brown fox jumps over the lazy dog again " * 3
+    near_b = near_a.replace("lazy", "idle", 1)  # true near-dup (J ≈ 0.9)
+    rows = [
+        ("u1", " ".join(base_toks)),
+        ("u2", " ".join(twin_toks)),
+        ("u3", near_a),
+        ("u4", near_b),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    kept_verified = {r["url"] for r in minhash_dedup(df).collect()}
+    assert kept_verified == {"u1", "u2", "u3"}  # low-J twin SAVED, real dup dropped
+    kept_collision = {r["url"] for r in minhash_dedup(df, verify=False).collect()}
+    assert kept_collision == {"u1", "u3"}  # the old semantics wrongly dropped u2
+
+
+def test_minhash_verify_plan_shape(spark):
+    """The verify pass's scale contract (and the plan_audit ARROW_EXEMPT
+    premise): the signature UDF evaluates the CORPUS exactly once — the
+    static plan duplicates the candidate lineage across consumers, but
+    runtime exchange reuse collapses it (asserted via ReusedExchange in the
+    final adaptive plan AND an accumulator counting actual UDF rows: corpus
+    + ≤2× the candidate set, never a second corpus pass). The candidate-id
+    restriction is a broadcast LeftSemi join preceding the re-sign.
+    (Iterator/pd are module-level imports: `from __future__ import
+    annotations` stringifies the UDF type hints and PySpark resolves them
+    in the module globals.)"""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    import wikidataquality_spark.operators.dedup as D
+
+    acc = spark.sparkContext.accumulator(0)
+    minhash_params, sig_series = D.minhash_params, D.minhash_sig_series
+
+    @SF.pandas_udf(ST.ArrayType(ST.LongType()))
+    def counting_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        a, b = minhash_params()
+        vocab: dict = {}
+        for texts in batches:
+            acc.add(len(texts))
+            yield sig_series(texts, a, b, vocab)
+
+    real = D.minhash_udf
+    try:
+        D.minhash_udf = counting_udf
+        # 60 distinct docs + 6 near-dup twins → candidates are the dup pairs
+        rows = [(f"u{i:02d}", f"alpha{i} beta{i} gamma{i} " * 8) for i in range(60)]
+        rows += [(f"v{i:02d}", f"alpha{i} beta{i} gamma{i} " * 8) for i in range(6)]
+        df = spark.createDataFrame(rows, "url string, text string")
+        out = D.minhash_dedup(df)
+        got = out.collect()
+    finally:
+        D.minhash_udf = real
+    assert len(got) == 60  # the 6 twins dropped (verified true dups)
+    # corpus pass (66) + both sides of ≤6 candidate pairs re-signed —
+    # a second corpus pass would show ≥ 132
+    assert 66 <= acc.value <= 66 + 4 * 6, acc.value
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in fmt
+    assert "ReusedExchange" in fmt  # the collapse the row-count proves
+    assert "LeftSemi" in fmt  # candidate-id restriction before the re-sign
+    assert "CartesianProduct" not in fmt and "BatchEvalPython" not in fmt
 
 
 def test_null_host_population_is_salted(spark):

@@ -65,6 +65,15 @@ def freeze_signature_fixtures(spark) -> None:
         sigs.select("doc_id", F.explode(band_keys("_sig")).alias("band_key")),
         "minhash_bands_sf001.parquet",
     )
+    # full signatures for the verify stage's oracle (component agreement —
+    # r04 VERDICT #2): DuckDB recomputes matches >= MINHASH_VERIFY_MIN_EQ
+    # over these frozen lists
+    _freeze(
+        sigs.filter(F.col("_sig").isNotNull()).select(
+            "doc_id", F.col("_sig").alias("sig")
+        ),
+        "minhash_sigs_sf001.parquet",
+    )
     sh = docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
     _freeze(
         sh.select("doc_id", "simhash", F.explode(simhash_band_keys("simhash")).alias("band_key")),

@@ -2,14 +2,17 @@
 
 Companion evidence to tools/ivf_recall.py and tools/pq_recall.py for the
 lexical near-dup path (operators/dedup.py): the banding (16 bands × 8 rows
-over 128 minhashes of k=3 word shingles) marks duplicates on BUCKET
-COLLISION — there is no exact verify stage (classic MinHash dedup, Broder
-'97), so candidate recall IS the operator's recall. This tool replays the
-SAME signature code the Spark UDF runs (_shingle_hashes/_minhash_sig —
-bit-identical by construction, and parity-gated against the frozen fixtures
-in tests), computes exact Jaccard over the true shingle SETS for every doc
-pair of a bounded corpus slice, and reports per-similarity-bin empirical
-collision rates next to the theoretical S-curve 1-(1-s^r)^b.
+over 128 minhashes of k=3 word shingles) CANDIDATES duplicates on bucket
+collision, then the default-on verify stage (r04 VERDICT #2) confirms each
+candidate pair by signature component agreement (matches ≥
+MINHASH_VERIFY_MIN_EQ of 128 — the unbiased Jaccard estimator). This tool
+replays the SAME signature code the Spark UDF runs (_shingle_hashes/
+_minhash_sig — bit-identical by construction, and parity-gated against the
+frozen fixtures in tests), computes exact Jaccard over the true shingle
+SETS for every doc pair of a bounded corpus slice, and reports BOTH
+per-similarity-bin collision rates (candidate recall, vs the theoretical
+S-curve 1-(1-s^r)^b) and post-verify admission rates — the evidence that
+verify kills the J<0.5 admissions without touching recall at J≥0.8.
 
 Ground truth is Jaccard over the signature's OWN shingle universe
 (lowercased whitespace tokens, k=3 rolling-mix shingles) — measuring
@@ -49,6 +52,7 @@ def main() -> int:
     from wikidataquality_spark.operators.dedup import (
         MINHASH_BANDS,
         MINHASH_ROWS,
+        MINHASH_VERIFY_MIN_EQ,
         _minhash_sig,
         _shingle_hashes,
         minhash_params,
@@ -88,7 +92,9 @@ def main() -> int:
     # exact Jaccard for every pair (bounded N keeps this a few seconds)
     bin_tot = [0] * len(BINS)
     bin_hit = [0] * len(BINS)
+    bin_ver = [0] * len(BINS)  # collided AND verified (the operator's drop set)
     cand_true = 0  # candidates with J ≥ 0.7 (the banding's design point)
+    ver_true = 0
     for i in range(n):
         si = shingle_sets[i]
         for j in range(i + 1, n):
@@ -98,12 +104,15 @@ def main() -> int:
                 continue
             jac = inter / (len(si) + len(sj) - inter)
             is_cand = (i, j) in cand
-            if is_cand and jac >= 0.7:
-                cand_true += 1
+            verified = is_cand and int((sigs[i] == sigs[j]).sum()) >= MINHASH_VERIFY_MIN_EQ
+            if jac >= 0.7:
+                cand_true += is_cand
+                ver_true += verified
             for k, (lo, hi) in enumerate(BINS):
                 if lo <= jac < hi:
                     bin_tot[k] += 1
                     bin_hit[k] += is_cand
+                    bin_ver[k] += verified
                     break
 
     # --- planted-perturbation sweep -------------------------------------
@@ -117,6 +126,7 @@ def main() -> int:
     rates = (0.01, 0.02, 0.04, 0.06, 0.09, 0.13, 0.18, 0.25)
     p_tot = [0] * len(BINS)
     p_hit = [0] * len(BINS)
+    p_ver = [0] * len(BINS)
     texts = [x for x in t["text"] if x and len(x.split()) >= 30][:400]
     for di, text in enumerate(texts):
         tokens = text.lower().split()
@@ -136,10 +146,12 @@ def main() -> int:
             == tuple(sig_twin[bd * MINHASH_ROWS : (bd + 1) * MINHASH_ROWS])
             for bd in range(MINHASH_BANDS)
         )
+        verified = collide and int((sig_base == sig_twin).sum()) >= MINHASH_VERIFY_MIN_EQ
         for k, (lo, hi) in enumerate(BINS):
             if lo <= jac < hi:
                 p_tot[k] += 1
                 p_hit[k] += collide
+                p_ver[k] += verified
                 break
 
     r, nb = MINHASH_ROWS, MINHASH_BANDS
@@ -150,13 +162,18 @@ def main() -> int:
         "bands": nb,
         "rows": r,
         "n_candidate_pairs": len(cand),
+        "verify_min_eq": MINHASH_VERIFY_MIN_EQ,
         "precision_at_070": round(cand_true / len(cand), 3) if cand else None,
+        "verified_true_at_070": ver_true,
+        "candidate_true_at_070": cand_true,
         "bins": {
             f"{lo:.1f}-{min(hi, 1.0):.1f}": {
                 "pairs": bin_tot[k],
                 "recall": round(bin_hit[k] / bin_tot[k], 3) if bin_tot[k] else None,
+                "verified_recall": round(bin_ver[k] / bin_tot[k], 3) if bin_tot[k] else None,
                 "planted_pairs": p_tot[k],
                 "planted_recall": round(p_hit[k] / p_tot[k], 3) if p_tot[k] else None,
+                "planted_verified": round(p_ver[k] / p_tot[k], 3) if p_tot[k] else None,
                 "theory": round(1.0 - (1.0 - ((lo + min(hi, 1.0)) / 2) ** r) ** nb, 3),
             }
             for k, (lo, hi) in enumerate(BINS)

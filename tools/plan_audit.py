@@ -44,6 +44,11 @@ ARROW_EXEMPT = {
     # minhash/simhash queries lost their second signature-UDF subtree when
     # the groupBy+verify-join-back became a single min(struct) window
     # (operators/dedup.py) — all three are now ENFORCED (r04 review).
+    "minhash_neardup_docs": "verify stage (r04 VERDICT #2): the second UDF "
+    "pass re-signs CANDIDATE rows only — the broadcast LeftSemi join on "
+    "candidate ids precedes the UDF in the plan (gated by "
+    "test_minhash_verify_plan_shape), so the extra Arrow stage touches the "
+    "dup-candidate fraction, never the corpus",
 }
 
 # query → signals that MUST hold for the plan to be accepted

@@ -56,6 +56,21 @@ MINHASH_BANDS = 16
 MINHASH_ROWS = 8
 SHINGLE_K = 3
 
+# Verify stage (r04 VERDICT #2): a bucket-collided candidate pair is only
+# dropped when ≥ this many of its H=128 signature components agree. The
+# component-agreement fraction is the standard unbiased Jaccard estimator
+# (each minhash component matches with probability exactly J), conditioned
+# here on the collided band's R=8 forced-equal components, so
+# E[matches] ≈ R + (H−R)·J with σ = √(J(1−J)(H−R)) ≈ 5.6 components.
+# 80/128 = 0.625 sits between the low-J admissions the r04 planted sweep
+# measured and the banding's design point ≈0.71:
+#   J=0.45 → E≈62, 3.1σ below 80  (the 0.3–0.5 bin's 2.5% admissions → ≈0)
+#   J=0.50 → E≈68, 2.0σ below 80  (~2% of collided pairs still admitted)
+#   J=0.80 → E≈104, 4.5σ above 80 (recall at the design point unchanged)
+# Integer-count comparison (not a fraction) so the DuckDB oracle twin is
+# decision-identical with no float-literal parity concerns.
+MINHASH_VERIFY_MIN_EQ = 80
+
 _MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
@@ -239,18 +254,54 @@ def band_keys_sql(sig_name: str) -> str:
     return f"array({keys})"
 
 
-def minhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "url"
-) -> DataFrame:
-    """Drop near-duplicates: a row is dropped when any LSH band bucket contains
-    a row with a smaller id (deterministic min-id survivor per bucket).
+def sig_match_count(a: Column, b: Column) -> Column:
+    """Number of equal components between two minhash signatures — pure JVM
+    higher-order functions, no Python stage. matches/H is the classic
+    unbiased Jaccard estimator (Broder '97)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
-    Plan shape: one pandas-UDF projection (signatures), one explode (B rows/doc,
-    key+id only), min(id) OVER (PARTITION BY band_key) — ONE exchange, no
-    groupBy+join-back (r04 review: the old two-consumer shape put the UDF
-    lineage under two different exchanges, so the signature UDF recomputed
-    over the full corpus twice; the window form has a single consumer) —
-    then one left_anti against the dropped-id set.
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    verify: bool = True,
+    verify_min_eq: int = MINHASH_VERIFY_MIN_EQ,
+) -> DataFrame:
+    """Drop near-duplicates: a row is dropped when an LSH band bucket
+    contains a row with a smaller id (deterministic min-id survivor per
+    bucket) AND — with verify=True, the default — the pair's signature
+    component agreement confirms the similarity (≥ verify_min_eq of H=128
+    components equal; see MINHASH_VERIFY_MIN_EQ's derivation).
+
+    Why verify is default-ON for THIS operator (r04 VERDICT #2): dropping is
+    unrecoverable, and the measured planted sweep showed band collisions at
+    J 0.3–0.5 admitting ~2.5% of pairs — at 10¹² docs that is wrongly
+    deleted documents. SimHash (simhash_dedup) and the media hashes already
+    verify inline; this closes the one dedup family that marked on bucket
+    collision alone. The non-destructive flag variant (dup_marks) keeps
+    collision semantics: its flags feed the rule layer (scrub-not-drop,
+    recoverable) and its incremental state rows (STATE_BAND_KIND) carry
+    band keys only — verified flags against state would need a
+    signature-bearing state kind, the documented v3 upgrade path.
+
+    Plan shape: one pandas-UDF projection (signatures), one explode (B
+    rows/doc, key+id only), min(id) OVER (PARTITION BY band_key) — ONE
+    narrow exchange, single UDF consumer (r04 review) — then, for verify,
+    candidate PAIRS (id, keep_id) re-fetch their signatures through a
+    broadcast-semi-joined re-run of the UDF over candidate rows only
+    (candidates are the dup-ish fraction of the corpus, so the second UDF
+    pass touches few docs and both sig joins broadcast; a corpus that is
+    MOSTLY duplicates should pass verify=False — collision-only semantics,
+    zero extra cost — or budget for candidate-scale shuffles). Greedy
+    min-anchor caveat shared with simhash_dedup: verification is against
+    the bucket's anchor specifically, so a chain A<B<C where C resembles B
+    but not A keeps C when A anchors every shared bucket — collision-only
+    dedup dropped C on B's bucket alone.
     """
     # contentless docs (NULL or token-less text) are exempt: the rlike is a
     # cheap sound pre-filter, the NULL-signature filter is the tokenizer-
@@ -268,9 +319,44 @@ def minhash_dedup(
             F.when(F.col("_sig").isNotNull(), band_keys(F.col("_sig")))
         ).alias("_band_key"),
     )
-    dropped = (
+    cand = (
         bands.withColumn("_keep_id", F.min(id_col).over(W.partitionBy("_band_key")))
         .filter(F.col(id_col) != F.col("_keep_id"))
+        .select(id_col, "_keep_id")
+        .distinct()
+    )
+    if not verify:
+        dropped = cand.select(id_col).distinct()
+        return df.join(dropped, id_col, "left_anti")
+    # candidate ids (both pair sides) → second, candidate-only UDF pass.
+    # All verify frames are candidate-scale and broadcast: the fat corpus
+    # frame never shuffles for verification.
+    cand_ids = (
+        cand.select(id_col)
+        .unionByName(cand.select(F.col("_keep_id").alias(id_col)))
+        .distinct()
+    )
+    vsigs = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .filter(has_dedupable_content(text_col))
+        .select(F.col(id_col), minhash_udf(F.col(text_col)).alias("_vsig"))
+    )
+    dropped = (
+        cand.join(
+            F.broadcast(vsigs.select(F.col(id_col), F.col("_vsig").alias("_sig_a"))),
+            id_col,
+        )
+        .join(
+            F.broadcast(
+                vsigs.select(
+                    F.col(id_col).alias("_keep_id"), F.col("_vsig").alias("_sig_b")
+                )
+            ),
+            "_keep_id",
+        )
+        .filter(
+            sig_match_count(F.col("_sig_a"), F.col("_sig_b")) >= F.lit(verify_min_eq)
+        )
         .select(id_col)
         .distinct()
     )

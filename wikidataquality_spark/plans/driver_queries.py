@@ -1218,22 +1218,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_neardup_docs",
     """
 WITH bands AS (SELECT * FROM read_parquet('/root/repo/tests/fixtures/minhash_bands_sf001.parquet')),
+sigs AS (SELECT * FROM read_parquet('/root/repo/tests/fixtures/minhash_sigs_sf001.parquet')),
 k AS (SELECT band_key, MIN(doc_id) AS keep_id FROM bands GROUP BY 1),
-dropped AS (SELECT DISTINCT b.doc_id FROM bands b JOIN k USING (band_key)
-            WHERE b.doc_id <> k.keep_id)
+cand AS (SELECT DISTINCT b.doc_id, k.keep_id FROM bands b JOIN k USING (band_key)
+         WHERE b.doc_id <> k.keep_id),
+dropped AS (SELECT DISTINCT c.doc_id FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.doc_id
+            JOIN sigs sb ON sb.doc_id = c.keep_id
+            WHERE list_sum(list_transform(range(1, 129),
+                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 80)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """,
 )
 def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup survivors over documents (the corpus-scale dedup
-    operator). Oracle (r01 VERDICT #4 pattern): the pandas-UDF signature
-    stage is frozen as a committed band-key fixture at sf0.01
+    operator), WITH the default-on component-agreement verify stage (r04
+    VERDICT #2: bucket collision alone admitted J 0.3–0.5 pairs). Oracle
+    (r01 VERDICT #4 pattern): the pandas-UDF signature stage is frozen as
+    committed band-key + full-signature fixtures at sf0.01
     (tools/make_goldens.py); the SQL recomputes the DISTRIBUTED algebra —
-    band bucketing, bucket-minimum survivorship, anti-join — from those
-    keys. A change to either the UDF hashing or the shuffle logic flips the
-    hash gate. The final SELECT runs against the live `documents` view, so
-    running at any other SF fails loudly instead of silently passing."""
+    band bucketing, bucket-minimum survivorship, candidate pairing, the
+    matches ≥ MINHASH_VERIFY_MIN_EQ verify filter, anti-join — from those
+    keys. A change to the UDF hashing, the shuffle logic, or the verify
+    threshold flips the hash gate. The final SELECT runs against the live
+    `documents` view, so running at any other SF fails loudly instead of
+    silently passing."""
     from wikidataquality_spark.operators.dedup import minhash_dedup
 
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
