@@ -66,6 +66,21 @@ SEMDEDUP_CENTROIDS_V1 = os.path.join(
     "models",
     "semdedup_centroids_v1.json",
 )
+SEMDEDUP_PQ_V1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models",
+    "semdedup_pq_v1.json",
+)
+
+# Pre-filter admission cut: a pair is exact-verified only when its SDC
+# cosine estimate ≥ threshold − SEMDEDUP_ADC_MARGIN (or either code is
+# NULL — totality bypass). 0.2 is ~3.7σ of the measured m=32/k=16
+# quantization error (σ=0.054 on the near-uniform sf0.01 corpus, the
+# hardest case for PQ): zero true pairs missed there, 8.6% of within-cell
+# pairs admitted (PLANS.md §SemDeDup ADC pre-filter). The screen is
+# probabilistic by nature — its measured recall is the operator's contract,
+# same posture as the IVF nprobe recall floor.
+SEMDEDUP_ADC_MARGIN = 0.2
 
 
 def load_semdedup_centroids(path: str = SEMDEDUP_CENTROIDS_V1) -> list[list[float]]:
@@ -76,6 +91,73 @@ def load_semdedup_centroids(path: str = SEMDEDUP_CENTROIDS_V1) -> list[list[floa
     with open(path) as f:
         art = json.load(f)
     return art["centroids"]
+
+
+def load_semdedup_pq(path: str = SEMDEDUP_PQ_V1) -> dict:
+    """The verify-stage PQ codebook artifact (tools/train_semdedup_pq.py:
+    m=32 subspaces × k=16 centroids over UNIT-normalized embeddings — codes
+    pack 4 bits each into two longs, and Σ_j dot(c_a, c_b) over unit codes
+    estimates cosine directly, no norm column in the pair row)."""
+    with open(path) as f:
+        art = json.load(f)
+    cb = art["codebooks"]
+    if len(cb) != art["m"] or any(len(sub) != art["k"] for sub in cb):
+        raise ValueError("semdedup pq artifact shape mismatch — retrain, never hand-edit")
+    if art["k"] != 16:
+        raise ValueError("4-bit packing requires k=16")
+    return art
+
+
+def pq_dot_tables(art: dict) -> list[list[float]]:
+    """m flattened k×k tables: tab[j][a·k+b] = dot(codebook_j[a],
+    codebook_j[b]), accumulated in python float64 in element order — the ONE
+    numeric source both the Spark literals and the oracle literals are
+    printed from, so the two engines' SDC sums are bit-identical by
+    construction."""
+    k = art["k"]
+    out = []
+    for cbj in art["codebooks"]:
+        row = []
+        for a in range(k):
+            for b in range(k):
+                acc = 0.0
+                for x, y in zip(cbj[a], cbj[b], strict=True):
+                    acc += float(x) * float(y)
+                row.append(acc)
+        out.append(row)
+    return out
+
+
+def _pack_codes(code_col: Column, m: int) -> list[Column]:
+    """array<int> of m 4-bit codes → ceil(m/16) longs (16 codes per long,
+    code j at bit 4·(j mod 16)). NULL code array packs to NULL longs (the
+    arithmetic propagates), which the pre-filter treats as a bypass."""
+    packs = []
+    for g in range(0, m, 16):
+        acc: Column = F.lit(0).cast("long")
+        for j in range(g, min(g + 16, m)):
+            acc = acc + F.shiftleft(
+                F.element_at(code_col, j + 1).cast("long"), 4 * (j - g)
+            )
+        packs.append(acc)
+    return packs
+
+
+def _sdc_cos_packed(
+    pa: list[Column], pb: list[Column], tabs: list[list[float]], k: int
+) -> Column:
+    """SDC cosine estimate from two packed code columns: Σ_j
+    tab_j[code_a·k + code_b], left-to-right in subspace order (the oracle
+    prints the same literals in the same order). Codes address UNIT-vector
+    codebooks, so the sum IS the cosine estimate — no norms involved."""
+    acc: Column = F.lit(0.0)
+    for j, tab in enumerate(tabs):
+        g, off = divmod(j, 16)
+        ia = F.shiftright(pa[g], 4 * off).bitwiseAND(F.lit(15))
+        ib = F.shiftright(pb[g], 4 * off).bitwiseAND(F.lit(15))
+        table = F.array(*[F.lit(float(x)) for x in tab])
+        acc = acc + F.element_at(table, (ia * k + ib + 1).cast("int"))
+    return acc
 
 
 def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
@@ -114,13 +196,41 @@ def semdedup_marks(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_art: dict | None = None,
+    adc_margin: float = SEMDEDUP_ADC_MARGIN,
+    max_cell_rows: int | None = 10_000,
+    cell_count_sample: int = 128,
 ) -> DataFrame:
     """Per-document semantic-duplicate marks: (id, cell, centroid_sim,
     is_semdup). Invalid vectors (NULL/ragged/NaN/zero-norm) are dropped —
     they can't participate in cosine math; upstream quality gates own them.
 
     is_semdup=false rows are the survivors a corpus-pruning pass keeps;
-    filtering `NOT is_semdup` yields the SemDeDup'd corpus."""
+    filtering `NOT is_semdup` yields the SemDeDup'd corpus.
+
+    `pq_art` (load_semdedup_pq) switches the quadratic stage to the NARROW
+    shape (r04 VERDICT #1 — the raw-vector self-join was the engine's one
+    wide shuffle, 199 B/row): pair rows carry (cell, id, csim, two packed
+    4-bit-code longs) ≈ 40 B, pairs are screened by the SDC cosine estimate
+    (≥ threshold − adc_margin, NULL-code bypass for totality), and only the
+    surviving shortlist re-fetches vectors for the exact cosine — candidate
+    ids broadcast-semi-join the embeddings scan, so the vector column never
+    shuffles at all. The screen's recall is measured, not assumed
+    (PLANS.md §SemDeDup ADC pre-filter: zero true pairs missed at sf0.01,
+    8.6% of pairs admitted). Default None keeps the exact all-pairs verify:
+    the artifact is dim-specific (v1 is dim=64), so callers opt in —
+    the registered driver query does.
+
+    `max_cell_rows` is the hard cell-size bound (r04 VERDICT #1): a cell
+    whose ESTIMATED row count (deterministic 1/cell_count_sample id-hash
+    sample, scaled) exceeds the bound is split-salted into
+    ceil(est/max_cell_rows) sub-cells by id hash; pairs across sub-cells
+    are never compared, so an oversized cell UNDER-marks (keeps extra
+    near-dups — the safe direction; dedup efficiency, not correctness,
+    degrades) while the per-cell pair explosion is capped at
+    ~max_cell_rows² instead of the unbounded |cell|². The sf0.01 oracle
+    corpus sits far below any sane bound, so the SQL twin (which does not
+    model the bound) stays decision-identical there."""
     best = _best_cell(F.col(vec_col), centroids)
     nrm = l2_norm(F.col(vec_col))
     # the pairwise verify is the quadratic stage, so per-PAIR work must be
@@ -159,13 +269,87 @@ def semdedup_marks(
         F.col("_best")["cell"].cast("long").alias("cell"),
         (F.col("_best")["score"] / F.col("_nrm")).alias("_csim"),
     )
-    neighbors = base.select(
-        F.col(id_col).alias("_nid"),
-        F.col(vec_col).alias("_nvec"),
-        F.col("_nrm").alias("_nnrm"),
-        "cell",
-        F.col("_csim").alias("_ncsim"),
-    )
+    if pq_art is not None:
+        if pq_art["dim"] != dim:
+            raise ValueError(
+                f"pq artifact dim {pq_art['dim']} != embedding dim {dim}"
+            )
+        from wikidataquality_spark.operators.pq import pq_encode
+
+        m = pq_art["m"]
+        # unit projection referencing the MATERIALIZED _nrm attribute (a
+        # lambda over the norm FOLD would re-evaluate it per element — the
+        # module's documented HOF-inlining hazard), then encode, then pack;
+        # the vector exits the lineage here, before any exchange
+        enc = pq_encode(
+            base.withColumn(
+                "_unit",
+                F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")),
+            ),
+            pq_art,
+            vcol="_unit",
+            out="_code",
+        )
+        packs = _pack_codes(F.col("_code"), m)
+        base = enc.select(
+            F.col(id_col),
+            "cell",
+            "_csim",
+            *[p.alias(f"_pc{i}") for i, p in enumerate(packs)],
+        )
+        n_packs = len(packs)
+        neighbors = base.select(
+            F.col(id_col).alias("_nid"),
+            "cell",
+            F.col("_csim").alias("_ncsim"),
+            *[F.col(f"_pc{i}").alias(f"_npc{i}") for i in range(n_packs)],
+        )
+    else:
+        neighbors = base.select(
+            F.col(id_col).alias("_nid"),
+            F.col(vec_col).alias("_nvec"),
+            F.col("_nrm").alias("_nnrm"),
+            "cell",
+            F.col("_csim").alias("_ncsim"),
+        )
+    # hard cell-size bound: estimated per-cell counts from a deterministic
+    # id-hash sample (the filter pushes below the argmax folds, so the
+    # estimate pass touches ~1/cell_count_sample of the scan); oversized
+    # cells split by id hash on BOTH join sides, capping the pair explosion
+    # at ~max_cell_rows² per sub-cell
+    if max_cell_rows is not None:
+        est = (
+            _valid_vectors(embeddings, vec_col, dim)
+            .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(cell_count_sample)) == 0)
+            .select(_best_cell(F.col(vec_col), centroids)["cell"].cast("long").alias("cell"))
+            .groupBy("cell")
+            .agg((F.count("*") * cell_count_sample).alias("_est"))
+            .withColumn(
+                "_n_splits",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        (F.col("_est") + F.lit(max_cell_rows - 1)) / F.lit(max_cell_rows)
+                    ),
+                ).cast("int"),
+            )
+            .select("cell", "_n_splits")
+        )
+        base = base.join(F.broadcast(est), "cell", "left").withColumn(
+            "_sub",
+            F.pmod(
+                F.xxhash64(F.col(id_col)), F.coalesce(F.col("_n_splits"), F.lit(1))
+            ).cast("int"),
+        ).drop("_n_splits")
+        neighbors = neighbors.join(F.broadcast(est), "cell", "left").withColumn(
+            "_sub",
+            F.pmod(
+                F.xxhash64(F.col("_nid")), F.coalesce(F.col("_n_splits"), F.lit(1))
+            ).cast("int"),
+        ).drop("_n_splits")
+        join_keys = ["cell", "_sub"]
+    else:
+        join_keys = ["cell"]
     # a row loses iff a strictly-higher-priority in-cell neighbor is within
     # the threshold; priority = (centroid_sim ASC, id ASC). The priority
     # filter runs before the cosine fold so most candidate pairs die on two
@@ -191,23 +375,84 @@ def semdedup_marks(
     if s_blocks > 1:
         base_j = base.withColumn(
             "_sd_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s_blocks)).cast("int")
-        ).repartition(par, "cell", "_sd_blk")
+        ).repartition(par, *join_keys, "_sd_blk")
         nbr_j = neighbors.withColumn(
             "_sd_blk", F.explode(F.array(*[F.lit(i) for i in range(s_blocks)]))
-        ).repartition(par, "cell", "_sd_blk")
-        candidates = base_j.join(nbr_j, ["cell", "_sd_blk"])
+        ).repartition(par, *join_keys, "_sd_blk")
+        candidates = base_j.join(nbr_j, [*join_keys, "_sd_blk"])
     else:
-        candidates = base.join(neighbors, "cell")
-    losers = (
-        candidates
-        .filter(
-            (F.col("_ncsim") < F.col("_csim"))
-            | ((F.col("_ncsim") == F.col("_csim")) & (F.col("_nid") < F.col(id_col)))
-        )
-        .filter(cos >= threshold)  # valid vectors: norms > 0, no NaN
-        .select(F.col(id_col).alias("_dup_id"))
-        .distinct()
+        candidates = base.join(neighbors, join_keys)
+    priority = (F.col("_ncsim") < F.col("_csim")) | (
+        (F.col("_ncsim") == F.col("_csim")) & (F.col("_nid") < F.col(id_col))
     )
+    if pq_art is not None:
+        tabs = pq_dot_tables(pq_art)
+        kk = pq_art["k"]
+        cut = threshold - adc_margin
+        sdc = _sdc_cos_packed(
+            [F.col(f"_pc{i}") for i in range(n_packs)],
+            [F.col(f"_npc{i}") for i in range(n_packs)],
+            tabs,
+            kk,
+        )
+        # NULL-code bypass (degenerate-but-valid vectors, e.g. ±Inf
+        # elements, must keep the exact-verify semantics they always had)
+        screen = (
+            F.col("_pc0").isNull() | F.col("_npc0").isNull() | (sdc >= F.lit(cut))
+        )
+        shortlist = candidates.filter(priority).filter(screen).select(id_col, "_nid")
+        # exact verify on the shortlist only: candidate ids broadcast into a
+        # semi join against the embeddings SCAN (point re-read of the vector
+        # column — it never enters an exchange), then both pair sides join
+        # the (small) candidate-vector frame broadcast
+        ver_ids = (
+            shortlist.select(id_col)
+            .unionByName(shortlist.select(F.col("_nid").alias(id_col)))
+            .distinct()
+        )
+        vv = (
+            _valid_vectors(embeddings, vec_col, dim)
+            .join(F.broadcast(ver_ids), id_col, "left_semi")
+            .select(
+                F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vnrm")
+            )
+        )
+        exact_cos = dot(F.col("_nvec"), F.col("_avec")) / (
+            F.col("_nnrm") * F.col("_anrm")
+        )
+        losers = (
+            shortlist.join(
+                F.broadcast(
+                    vv.select(
+                        F.col(id_col),
+                        F.col(vec_col).alias("_avec"),
+                        F.col("_vnrm").alias("_anrm"),
+                    )
+                ),
+                id_col,
+            )
+            .join(
+                F.broadcast(
+                    vv.select(
+                        F.col(id_col).alias("_nid"),
+                        F.col(vec_col).alias("_nvec"),
+                        F.col("_vnrm").alias("_nnrm"),
+                    )
+                ),
+                "_nid",
+            )
+            .filter(exact_cos >= threshold)
+            .select(F.col(id_col).alias("_dup_id"))
+            .distinct()
+        )
+    else:
+        losers = (
+            candidates
+            .filter(priority)
+            .filter(cos >= threshold)  # valid vectors: norms > 0, no NaN
+            .select(F.col(id_col).alias("_dup_id"))
+            .distinct()
+        )
     marks = base.select(id_col, "cell", "_csim")  # vectors exit before join
     return (
         marks.join(losers, marks[id_col] == losers["_dup_id"], "left")
@@ -226,6 +471,8 @@ def semdedup_marks_sql(
     dim: int = 64,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    pq_art: dict | None = None,
+    adc_margin: float = SEMDEDUP_ADC_MARGIN,
 ) -> str:
     """DuckDB twin of semdedup_marks: identical centroid constants inlined as
     E-notation literals (full double round-trip precision), identical
@@ -233,7 +480,12 @@ def semdedup_marks_sql(
     argmax tie-break (score DESC, cell ASC = Spark's strict-> first-max
     fold), identical survivor-priority comparison at FULL precision (the
     ROUND(…,4) happens only on the emitted column, never in a comparison, on
-    both sides)."""
+    both sides). With pq_art, the twin replays the ADC pre-filter too: the
+    same pq_encode_sql codes over the same unit projection, the same
+    pq_dot_tables literals summed in the same subspace order, the same
+    threshold−margin cut and NULL-code bypass — so the screened pair set is
+    decision-identical, not approximately equal. (The max_cell_rows split is
+    NOT modeled: the sf0.01 oracle corpus sits far below any sane bound.)"""
 
     def lit(c: list[float]) -> str:
         return "[" + ", ".join(f"{x:.17e}" for x in c) + "]"
@@ -245,6 +497,33 @@ def semdedup_marks_sql(
         score_exprs.append(f"{dot_sql('embedding', lit(c))} / {cn:.17e}")
     scores = ", ".join(score_exprs)
     cells = ", ".join(str(i + 1) for i in range(len(centroids)))
+    enc_cte = ""
+    pair_src = "asg"
+    screen = ""
+    if pq_art is not None:
+        from wikidataquality_spark.operators.pq import pq_encode_sql
+
+        tabs = pq_dot_tables(pq_art)
+        kk = pq_art["k"]
+        cut = threshold - adc_margin
+        sdc = "0.0"
+        for j, tab in enumerate(tabs):
+            tl = "[" + ",".join(repr(float(x)) for x in tab) + "]"
+            sdc = f"({sdc} + {tl}[r.code[{j + 1}] * {kk} + n.code[{j + 1}] + 1])"
+        enc_cte = f""",
+enc AS (
+  SELECT *, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+  FROM asg
+),
+cod AS (
+  SELECT {id_col}, embedding, nrm, cell, csim,
+         {pq_encode_sql(pq_art, 'unit')} AS code
+  FROM enc
+)"""
+        pair_src = "cod"
+        screen = (
+            f"\n    AND (r.code IS NULL OR n.code IS NULL OR {sdc} >= {cut!r})"
+        )
     return f"""
 WITH v AS (
   SELECT {id_col}, embedding, sqrt({d}) AS nrm
@@ -266,11 +545,11 @@ asg AS (
                                      ORDER BY score DESC, cell) AS rn
         FROM sc)
   WHERE rn = 1
-),
+){enc_cte},
 losers AS (
   SELECT DISTINCT r.{id_col} AS dup_id
-  FROM asg r JOIN asg n ON r.cell = n.cell
-  WHERE (n.csim < r.csim OR (n.csim = r.csim AND n.{id_col} < r.{id_col}))
+  FROM {pair_src} r JOIN {pair_src} n ON r.cell = n.cell
+  WHERE (n.csim < r.csim OR (n.csim = r.csim AND n.{id_col} < r.{id_col})){screen}
     AND ({dot_sql('n.embedding', 'r.embedding')} / (n.nrm * r.nrm)) >= {threshold}
 )
 SELECT a.{id_col}, a.cell, ROUND(a.csim, 4) AS centroid_sim,

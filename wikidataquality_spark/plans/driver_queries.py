@@ -1046,10 +1046,13 @@ from wikidataquality_spark.operators.simsearch import dot_sql  # noqa: E402
 def _semdedup_oracle() -> str:
     from wikidataquality_spark.operators.semdedup import (
         load_semdedup_centroids,
+        load_semdedup_pq,
         semdedup_marks_sql,
     )
 
-    return semdedup_marks_sql(load_semdedup_centroids(), threshold=0.4, dim=64)
+    return semdedup_marks_sql(
+        load_semdedup_centroids(), threshold=0.4, dim=64, pq_art=load_semdedup_pq()
+    )
 
 
 @_register("semdedup_marks", None)  # oracle attached below (built SQL)
@@ -1067,11 +1070,14 @@ def semdedup_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ivf_ann_topk` oracle."""
     from wikidataquality_spark.operators.semdedup import (
         load_semdedup_centroids,
+        load_semdedup_pq,
         semdedup_marks as _marks,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return _marks(e, load_semdedup_centroids(), threshold=0.4, dim=64)
+    return _marks(
+        e, load_semdedup_centroids(), threshold=0.4, dim=64, pq_art=load_semdedup_pq()
+    )
 
 
 ORACLE["semdedup_marks"] = _semdedup_oracle()
