@@ -138,3 +138,67 @@ def test_curated_corpus_exports_end_to_end(spark):
     assert total_real == total_ids > 0  # every token lands exactly once
     assert all(len(r["token_ids"]) == 64 for r in shards)
     assert all(UNK_ID not in r["token_ids"] for r in shards)  # vocab from corpus
+
+
+def test_binary_shards_byte_exact_round_trip(spark):
+    """r04 VERDICT #7: the .bin/.idx memmap sidecar. Blobs must reconstruct
+    the SHARD_SCHEMA blocks byte-exactly through the pure-python decoder
+    (struct/frombuffer — no Spark), the dtype rule must pick uint16 for a
+    16-bit vocab and uint32 beyond, and an understated vocab_size must fail
+    LOUDLY instead of silently truncating ids."""
+    import pytest
+
+    from wikidataquality_spark.operators.shards import (
+        binary_shard_blobs,
+        decode_binary_shard,
+        read_idx,
+        shard_dtype_bytes,
+    )
+
+    rows = []
+    for d in range(7):
+        n = (d * 5) % 7
+        rows.append((d, "s1" if d < 4 else "s2", [f"p{d}_{j}" for j in range(n)]))
+    docs = _docs(spark, rows)
+    vocab = {r["piece"]: r["token_id"] for r in vocab_table(docs).collect()}
+    encoded = encode_token_ids(docs, vocab)
+    seq_len = 4
+    shards_df = export_token_shards(encoded, seq_len=seq_len)
+    shards = shards_df.collect()
+    blobs = binary_shard_blobs(shards_df, seq_len=seq_len, vocab_size=len(vocab)).collect()
+
+    expect = {}
+    for r in shards:
+        expect.setdefault((r["source"], r["shard"]), {})[r["pack_id"]] = (
+            list(r["token_ids"]),
+            r["n_real_tokens"],
+        )
+    assert {(b["source"], b["shard"]) for b in blobs} == set(expect)
+    for b in blobs:
+        key = (b["source"], b["shard"])
+        assert b["dtype_bytes"] == 2  # tiny vocab -> uint16
+        meta = read_idx(bytes(b["idx_blob"]))
+        assert meta["seq_len"] == seq_len
+        assert meta["n_blocks"] == len(expect[key]) == b["n_blocks"]
+        blocks = decode_binary_shard(bytes(b["bin_blob"]), bytes(b["idx_blob"]))
+        for pack_id in range(meta["n_blocks"]):
+            want_ids, want_real = expect[key][pack_id]
+            assert blocks[pack_id] == want_ids, (key, pack_id)
+            assert meta["n_real_tokens"][pack_id] == want_real
+        # byte-level check: little-endian uint16 layout, blocks in pack order
+        import numpy as np
+
+        flat = [t for p in sorted(expect[key]) for t in expect[key][p][0]]
+        assert bytes(b["bin_blob"]) == np.asarray(flat, dtype="<u2").tobytes()
+
+    assert shard_dtype_bytes(60_000) == 2
+    assert shard_dtype_bytes(70_000) == 4
+    with pytest.raises(Exception, match="overflows"):
+        # lie about the vocab: ids up to len(vocab)+1 with dtype for size 0
+        # still fit uint16, so force uint32->uint16 mismatch via a big id
+        big = encoded.withColumn(
+            "token_ids", F.expr("transform(token_ids, x -> x + 70000)")
+        )
+        binary_shard_blobs(
+            export_token_shards(big, seq_len=seq_len), seq_len=seq_len, vocab_size=10
+        ).collect()

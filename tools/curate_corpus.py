@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--benchmark", default=None, help="eval-set parquet (text col) to decontaminate against")
     ap.add_argument("--blocklist", default=None, help="domain blocklist parquet (domain col); needs a url column on the input")
     ap.add_argument("--path-rules", default=None, help="robots-style Disallow parquet (host, path_prefix cols); same urlfilter stage, fail-closed")
+    ap.add_argument("--frozen-corpus", default=None,
+                    help="already-trained corpus parquet (text col): batch docs whose "
+                    "text probably appears there drop at the `frozen` funnel stage "
+                    "via a Bloom filter (zero false negatives, ~--frozen-fp-rate "
+                    "false positives)")
+    ap.add_argument("--frozen-fp-rate", type=float, default=0.01,
+                    help="Bloom false-positive rate for --frozen-corpus")
     ap.add_argument("--rates", default=None, help='JSON per-source keep rates, e.g. \'{"src1": 0.5}\'')
     ap.add_argument("--default-rate", type=float, default=1.0,
                     help="keep rate for sources not listed in --rates (1.0 = keep; 0.0 = allowlist)")
@@ -87,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         blocklist=spark.read.parquet(args.blocklist) if args.blocklist else None,
         path_rules=spark.read.parquet(args.path_rules) if args.path_rules else None,
+        frozen_corpus=(
+            spark.read.parquet(args.frozen_corpus) if args.frozen_corpus else None
+        ),
+        frozen_fp_rate=args.frozen_fp_rate,
         rates=rates,
         default_rate=args.default_rate,
         dsir_k=args.dsir_k,
@@ -119,6 +130,46 @@ def main(argv: list[str] | None = None) -> int:
         )
         shards.write.mode("overwrite").parquet(f"{args.output}_shards")
         n_shard_blocks = spark.read.parquet(f"{args.output}_shards").count()
+        # binary sidecar (r04 VERDICT #7): the memmap .bin/.idx pair a
+        # training dataloader reads directly. Executors serialize one blob
+        # pair per (source, shard) (operators/shards.binary_shard_blobs);
+        # the driver writes files — blob count == shard count, bounded. A
+        # manifest maps raw (source, shard) to the sanitized filenames.
+        import hashlib
+        import re as _re
+
+        from wikidataquality_spark.operators.shards import binary_shard_blobs
+
+        bin_dir = f"{args.output}_shards_bin"
+        os.makedirs(bin_dir, exist_ok=True)
+        manifest = {}
+        for r in binary_shard_blobs(
+            spark.read.parquet(f"{args.output}_shards"),
+            seq_len=args.seq_len,
+            vocab_size=len(vocab),
+        ).toLocalIterator():
+            src = r["source"] if r["source"] is not None else "__null__"
+            stem = (
+                _re.sub(r"[^A-Za-z0-9_.-]", "_", src)[:64]
+                + "-"
+                + hashlib.sha256(src.encode()).hexdigest()[:8]
+                + f"_{r['shard']}"
+            )
+            with open(os.path.join(bin_dir, stem + ".bin"), "wb") as fh:
+                fh.write(bytes(r["bin_blob"]))
+            with open(os.path.join(bin_dir, stem + ".idx"), "wb") as fh:
+                fh.write(bytes(r["idx_blob"]))
+            manifest[f"{src}\t{r['shard']}"] = {
+                "file": stem,
+                "n_blocks": r["n_blocks"],
+                "dtype_bytes": r["dtype_bytes"],
+            }
+        with open(os.path.join(bin_dir, "_manifest.json"), "w") as fh:
+            json.dump(
+                {"seq_len": args.seq_len, "vocab_size": len(vocab), "shards": manifest},
+                fh,
+                indent=1,
+            )
     rows = funnel.collect()
     for df in registry:
         df.unpersist()

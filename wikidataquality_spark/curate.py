@@ -5,7 +5,7 @@ The composition a training-data team actually runs, as ONE DAG:
 
   eligibility → (opt-in) normalize → (opt-in) domain blocklist →
   quality score + CCNet bucket → dedup (exact + MinHash) →
-  benchmark decontamination → selection (stratified rates OR DSIR top-k) →
+  (opt-in) frozen-corpus Bloom dedup → benchmark decontamination → selection (stratified rates OR DSIR top-k) →
   trained-BPE tokenize + pack
 
 Scale shape — flags first, count once, filter once:
@@ -18,7 +18,7 @@ Scale shape — flags first, count once, filter once:
   gram join, selection's literal CASE or top-k).
 
 Attribution is CASCADE-ordered (eligibility ≺ urlfilter ≺ quality ≺
-dedup ≺ decontaminate ≺ select): a doc that is both tail-quality and contaminated
+dedup ≺ frozen ≺ decontaminate ≺ select): a doc that is both tail-quality and contaminated
 counts against quality — each dropped doc appears in EXACTLY one funnel row,
 so the rows sum to docs_in (conservation is gated in tests/test_curate.py).
 
@@ -45,6 +45,7 @@ STAGES = (
     "urlfilter",
     "quality",
     "dedup",
+    "frozen",
     "decontaminate",
     "select",
     "kept",
@@ -65,6 +66,16 @@ class CurateConfig:
     url_col: str = "url"
     drop_buckets: tuple[str, ...] = ("tail",)  # CCNet buckets to drop
     dedup: bool = True
+    # frozen-corpus cross-batch dedup (r04 VERDICT #3 — bloom.py existed but
+    # the funnel never called it): docs whose exact text PROBABLY appears in
+    # this already-trained corpus (text col) drop at the `frozen` stage.
+    # Bloom semantics: zero false negatives (every true re-crawl of frozen
+    # text drops), ~frozen_fp_rate of clean docs drop as false positives —
+    # the deliberate trade that lets a 10¹²-doc frozen corpus participate as
+    # a few-GB bit table instead of a second corpus scan per batch.
+    frozen_corpus: DataFrame | None = None
+    frozen_fp_rate: float = 0.01
+    frozen_n_keys: int | None = None  # corpus-manifest count; None = one count()
     benchmark: DataFrame | None = None  # eval-set docs (text col) to decontaminate against
     # selection: at most one of —
     rates: dict[str, float] | None = None  # stratified per-source keep rates
@@ -226,6 +237,29 @@ def curate(
     else:
         scored = scored.withColumn("_dup_drop", F.lit(False))
 
+    if cfg.frozen_corpus is not None:
+        from wikidataquality_spark.operators.bloom import cross_corpus_dedup_marks
+
+        # dropDuplicates: same conservation guard as the blocklist join
+        fmarks, _bloom = cross_corpus_dedup_marks(
+            scored,
+            cfg.frozen_corpus,
+            text_col=text_c,
+            id_col=id_c,
+            fp_rate=cfg.frozen_fp_rate,
+            n_keys_hint=cfg.frozen_n_keys,
+        )
+        fmarks = fmarks.select(id_c, "in_corpus_maybe").dropDuplicates([id_c])
+        scored = scored.join(fmarks, id_c, "left")
+        # NULL verdict (NULL text/id — membership undefined or hits can't
+        # re-attach) → fail closed, the decontaminate convention; in the
+        # cascade those rows are owned by eligibility anyway
+        scored = scored.withColumn(
+            "_frozen_drop", F.coalesce(F.col("in_corpus_maybe"), F.lit(True))
+        )
+    else:
+        scored = scored.withColumn("_frozen_drop", F.lit(False))
+
     if cfg.benchmark is not None:
         from wikidataquality_spark.operators.decontaminate import contamination_marks
 
@@ -274,6 +308,7 @@ def curate(
             & ~F.col("_url_drop")
             & ~F.col("_quality_drop")
             & ~F.col("_dup_drop")
+            & ~F.col("_frozen_drop")
             & ~F.col("_contam_drop")
         )
         picked = dsir_gumbel_topk(
@@ -292,6 +327,7 @@ def curate(
         .when(F.col("_url_drop"), F.lit("urlfilter"))
         .when(F.col("_quality_drop"), F.lit("quality"))
         .when(F.col("_dup_drop"), F.lit("dedup"))
+        .when(F.col("_frozen_drop"), F.lit("frozen"))
         .when(F.col("_contam_drop"), F.lit("decontaminate"))
         .when(F.col("_select_drop"), F.lit("select"))
         .otherwise(F.lit("kept"))
@@ -310,6 +346,7 @@ def curate(
         "_url_drop",
         "_quality_drop",
         "_dup_drop",
+        "_frozen_drop",
         "_contam_drop",
         "_select_drop",
         "_stage",

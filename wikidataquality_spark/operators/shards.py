@@ -164,3 +164,133 @@ def export_token_shards(
         .groupBy("_src", "_shard")
         .applyInPandas(assemble, SHARD_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary sidecar export (r04 VERDICT #7): the memmap-standard .bin/.idx pair
+# a dataloader mmaps directly — parquet arrays are an analytics format, not
+# a training-loop format.
+# ---------------------------------------------------------------------------
+
+BIN_MAGIC = b"WDQSHARD"
+BIN_VERSION = 1
+
+BINARY_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), True),
+        T.StructField("shard", T.LongType(), False),
+        T.StructField("n_blocks", T.LongType(), False),
+        T.StructField("dtype_bytes", T.IntegerType(), False),
+        T.StructField("bin_blob", T.BinaryType(), False),
+        T.StructField("idx_blob", T.BinaryType(), False),
+    ]
+)
+
+
+def shard_dtype_bytes(vocab_size: int) -> int:
+    """2 (uint16) when every id — PAD/UNK included — fits 16 bits, else 4
+    (uint32): the standard id-width rule memmap dataloaders key on."""
+    return 2 if vocab_size + _ID_BASE <= (1 << 16) else 4
+
+
+def pack_idx(seq_len: int, dtype_bytes: int, n_real: list[int]) -> bytes:
+    """The .idx sidecar, little-endian throughout:
+    magic(8) | version u32 | dtype_bytes u32 | seq_len u64 | n_blocks u64 |
+    n_real_tokens u32 × n_blocks. Everything a loader needs to mmap the
+    .bin as (n_blocks, seq_len) ids and mask padding."""
+    import struct
+
+    return (
+        BIN_MAGIC
+        + struct.pack("<IIQQ", BIN_VERSION, dtype_bytes, seq_len, len(n_real))
+        + struct.pack(f"<{len(n_real)}I", *n_real)
+    )
+
+
+def read_idx(idx: bytes) -> dict:
+    """Python mirror of pack_idx — the reconstruction half the byte-exact
+    gates run (and the reference decoder for any external loader)."""
+    import struct
+
+    if idx[:8] != BIN_MAGIC:
+        raise ValueError("bad shard idx magic")
+    version, dtype_bytes, seq_len, n_blocks = struct.unpack("<IIQQ", idx[8:32])
+    if version != BIN_VERSION:
+        raise ValueError(f"unsupported shard idx version {version}")
+    n_real = list(struct.unpack(f"<{n_blocks}I", idx[32 : 32 + 4 * n_blocks]))
+    return {
+        "version": version,
+        "dtype_bytes": dtype_bytes,
+        "seq_len": seq_len,
+        "n_blocks": n_blocks,
+        "n_real_tokens": n_real,
+    }
+
+
+def binary_shard_blobs(
+    shards: DataFrame, seq_len: int, vocab_size: int
+) -> DataFrame:
+    """SHARD_SCHEMA rows → one (source, shard, bin_blob, idx_blob) row per
+    (source, shard): blocks concatenated in pack_id order as little-endian
+    uint16/uint32 ids (width by shard_dtype_bytes — uint16 halves the
+    training-set bytes whenever the vocab allows). Same bounded
+    per-(source, shard) assembly unit as export_token_shards, and the same
+    sink posture as io/warc.encode_warc_partitions: executors produce
+    blobs, the caller hands them to any binary sink (tools/curate_corpus.py
+    writes <sanitized>_<shard>.bin/.idx files + a path manifest) — no
+    executor-side filesystem coupling, and the blobs are directly
+    gate-able. One (source, shard)'s serialized bytes live in memory at
+    once — shard_docs bounds that at ~10k docs, the pack window's own
+    unit."""
+    dtype_bytes = shard_dtype_bytes(vocab_size)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("pack_id")
+        dt = np.dtype("<u2") if dtype_bytes == 2 else np.dtype("<u4")
+        ids = np.asarray(
+            [np.asarray(b, dtype=np.int64) for b in pdf["token_ids"]],
+            dtype=np.int64,
+        )
+        if ids.size and int(ids.max()) >= (1 << (8 * dtype_bytes)):
+            raise ValueError(
+                f"token id {int(ids.max())} overflows dtype_bytes={dtype_bytes} "
+                "— vocab_size passed to binary_shard_blobs understates the vocab"
+            )
+        blob = ids.astype(dt).tobytes()
+        idx = pack_idx(seq_len, dtype_bytes, [int(x) for x in pdf["n_real_tokens"]])
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "shard": int(pdf["shard"].iloc[0]),
+                    "n_blocks": len(pdf),
+                    "dtype_bytes": dtype_bytes,
+                    "bin_blob": blob,
+                    "idx_blob": idx,
+                }
+            ],
+            columns=[f.name for f in BINARY_SHARD_SCHEMA.fields],
+        )
+
+    return shards.groupBy("source", "shard").applyInPandas(
+        assemble, BINARY_SHARD_SCHEMA
+    )
+
+
+def decode_binary_shard(bin_blob: bytes, idx_blob: bytes) -> list[list[int]]:
+    """Pure-python reconstruction: .bin/.idx pair → the block id lists —
+    the byte-exact round-trip mirror (tests assert equality with the
+    SHARD_SCHEMA rows the blobs were built from)."""
+    import numpy as np
+
+    meta = read_idx(idx_blob)
+    dt = np.dtype("<u2") if meta["dtype_bytes"] == 2 else np.dtype("<u4")
+    flat = np.frombuffer(bin_blob, dtype=dt)
+    if len(flat) != meta["n_blocks"] * meta["seq_len"]:
+        raise ValueError("bin/idx length mismatch")
+    return [
+        [int(x) for x in row]
+        for row in flat.reshape(meta["n_blocks"], meta["seq_len"])
+    ]
