@@ -116,13 +116,43 @@ def attribute_purchases(
     )
 
 
+def state_metrics(query) -> list[dict]:
+    """Per-micro-batch state-store metrics from a streaming query's progress
+    history: [{batch, operator, rows_total, rows_removed, rows_updated}].
+    This is the observable the bounded-state GATES assert on (r04 VERDICT
+    #8): a watermarked stateful operator's `rows_total` must track
+    (watermark delay + join horizon) × rate, not stream length, and
+    `rows_removed` > 0 is the eviction actually firing. The retention knob
+    spark.sql.streaming.numRecentProgressUpdates (default 100) bounds how
+    far back this sees."""
+    import json
+
+    out = []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        for op in d.get("stateOperators", []):
+            out.append(
+                {
+                    "batch": d.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "rows_total": op.get("numRowsTotal"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                }
+            )
+    return out
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
     output_mode: str = "append",
-) -> DataFrame:
+    return_state_metrics: bool = False,
+):
     """Drive a streaming query over a bounded source to completion; return the
-    materialized result (test harness — the guide's memory-sink idiom)."""
+    materialized result (test harness — the guide's memory-sink idiom).
+    With return_state_metrics, returns (result, state_metrics(query)) so
+    callers can gate state-store growth from the progress history."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -132,9 +162,13 @@ def run_stream_to_memory(
     )
     try:
         q.processAllAvailable()
+        metrics = state_metrics(q) if return_state_metrics else None
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+    result = spark.sql(f"SELECT * FROM {name}")
+    if return_state_metrics:
+        return result, metrics
+    return result
 
 
 def incremental_validate(
