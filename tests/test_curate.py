@@ -121,18 +121,32 @@ def test_cli_end_to_end(spark, tmp_path):
     # tools dir is on sys.path via conftest
     import curate_corpus
 
+    # a tiny frozen corpus (ten docs' text — enough that some certainly
+    # survive the earlier stages) exercises --frozen-corpus through the
+    # CLI: its stage must surface as a `frozen` funnel row in _funnel.json
+    # (r04 VERDICT #3's done-criterion)
+    frozen_dir = str(tmp_path / "frozen_corpus")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(10)
+        .select("text")
+        .write.parquet(frozen_dir)
+    )
     out_dir = str(tmp_path / "curated")
     buf, old = StringIO(), sys.stdout
     sys.stdout = buf
     try:
         rc = curate_corpus.main(
             ["--input", "/root/testdata/sf0.001/documents.parquet",
-             "--output", out_dir, "--seq-len", "128", "--export-shards"]
+             "--output", out_dir, "--seq-len", "128", "--export-shards",
+             "--frozen-corpus", frozen_dir]
         )
     finally:
         sys.stdout = old
     assert rc == 0
     res = json_mod.loads([l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert res["funnel"].get("frozen", 0) >= 1  # the Bloom stage in the manifest
     assert res["docs_kept"] > 0
     assert res["docs_in"] == sum(res["funnel"].values())
     back = spark.read.parquet(out_dir)

@@ -146,7 +146,6 @@ def main() -> int:
             run_full(docs.select("doc_id", fn().alias("n")))
             v_samples[vname].append(time.perf_counter() - t0)
     # semantics check rides along: sequential == marker_diff on the corpus
-    seq = QUERIES  # noqa: F841 — keep import-visible
     a = docs.select("doc_id", variants["sequential"]().alias("n"))
     b = docs.select("doc_id", variants["marker_diff"]().alias("n"))
     mismatch = (
