@@ -203,3 +203,42 @@ def test_encode_plan_is_pure_projection_and_topk_takeordered(spark, sf001_dir, a
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in topk_plan
+
+def test_arrow_encode_bit_identical_to_jvm_encode(spark, art):
+    """pq_encode_arrow is the corpus-scale encoder (the JVM expression form
+    interprets beyond the codegen method limit); its codes must equal
+    pq_encode's EXACTLY — including first-minimal argmin ties, float32→
+    double casts, and the degenerate guard (NULL / ragged / NaN / ±Inf /
+    NULL-element rows)."""
+    import numpy as np
+
+    from wikidataquality_spark.operators.pq import pq_encode_arrow
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    # adversarial: exact duplicate subvectors force argmin ties
+    rows.append((200, [0.0] * 64))
+    rows.append((201, [1.0] * 64))
+    rows.append((300, None))
+    rows.append((301, [1.0] * 63))            # ragged
+    rows.append((302, [float("nan")] + [1.0] * 63))
+    rows.append((303, [float("inf")] + [1.0] * 63))
+    rows.append((304, [None] + [1.0] * 63))   # NULL element
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, art).collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in pq_encode_arrow(df, art).collect()}
+    assert set(a) == set(b)
+    for vid in a:
+        av = None if a[vid] is None else list(a[vid])
+        bv = None if b[vid] is None else list(b[vid])
+        assert av == bv, (vid, av, bv)
+    # and against the float32 storage type the real tables carry
+    f32 = df.selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding")
+    a32 = {r["vec_id"]: r["pq_code"] for r in pq_encode(f32, art).collect()}
+    b32 = {r["vec_id"]: r["pq_code"] for r in pq_encode_arrow(f32, art).collect()}
+    for vid in a32:
+        av = None if a32[vid] is None else list(a32[vid])
+        bv = None if b32[vid] is None else list(b32[vid])
+        assert av == bv, vid

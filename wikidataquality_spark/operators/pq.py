@@ -36,10 +36,13 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PQ_CODEBOOKS_V1 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -108,14 +111,25 @@ def _sub(vec: Column, j: int, dsub: int) -> Column:
 
 
 def _sq_dist(a: Column, lit_c: list[float]) -> Column:
-    """Squared L2 distance to a literal centroid — sequential fold, the
-    same bit-deterministic order as simsearch.dot."""
-    c = F.array(*[F.lit(float(v)) for v in lit_c])
-    return F.aggregate(
-        F.zip_with(a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Squared L2 distance to a literal centroid, accumulated left-to-right
+    in element order — bit-identical to the DuckDB twin's list_aggregate
+    sum AND to the zip_with/aggregate fold this replaces. SCALAR element_at
+    algebra, not a HOF fold: the fold allocated a zipped struct array and
+    ran lambda machinery per element, and with m·k of these per row the
+    encode measured 18s per 5000 rows at m=32/k=16 (r05 session) — the
+    unrolled form is plain codegen arithmetic."""
+    return _sq_dist_at(a, 0, lit_c)
+
+
+def _sq_dist_at(vec: Column, offset: int, lit_c: list[float]) -> Column:
+    """_sq_dist against vec[offset : offset+len(lit_c)] without materializing
+    the slice: element_at over a SLICE expression re-evaluates the slice per
+    term, so the encode indexes the full vector directly."""
+    acc: Column = F.lit(0.0)
+    for d, v in enumerate(lit_c):
+        x = F.element_at(vec, offset + d + 1).cast("double")
+        acc = acc + (x - F.lit(float(v))) * (x - F.lit(float(v)))
+    return acc
 
 
 def pq_encode(
@@ -135,23 +149,21 @@ def pq_encode(
     vec = F.col(vcol)
     codes = []
     for j in range(m):
-        entries = F.array(
+        dists = F.array(
             *[
-                F.struct(
-                    _sq_dist(_sub(vec, j, dsub), art["codebooks"][j][c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
+                _sq_dist_at(vec, j * dsub, art["codebooks"][j][c])
                 for c in range(k)
             ]
         )
-        # first-minimal argmin: strict < keeps the earlier centroid on ties,
-        # matching DuckDB's list_indexof(first occurrence) in the twin
-        best = F.aggregate(
-            entries,
-            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        # first-minimal argmin via array_position(arr, array_min(arr)):
+        # first occurrence on ties — exactly DuckDB's
+        # list_indexof(l, list_min(l)) in the twin, and exactly the old
+        # strict-< struct fold this replaces (the fold was HOF machinery
+        # per candidate; array_min/array_position are plain codegen).
+        # array_position is 1-based; codes are 0-based.
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-        codes.append(best["c"])
     # x.isNull() first: it is never NULL itself, so `exists` is TRUE/FALSE
     # (never NULL) and the ~ below cannot leak a NULL condition
     degenerate = F.exists(
@@ -164,6 +176,64 @@ def pq_encode(
         vec.isNotNull() & (F.size(vec) == dim) & ~degenerate, F.array(*codes)
     )
     return df.withColumn(out, code_arr)
+
+
+def pq_encode_arrow(
+    df: DataFrame, art: dict, vcol: str = "embedding", out: str = "pq_code"
+) -> DataFrame:
+    """BIT-IDENTICAL Arrow/numpy twin of pq_encode for corpus-scale
+    encodes. The JVM expression form is a ~1024-term projection that
+    exceeds the whole-stage-codegen method limit, so Spark evaluates it
+    INTERPRETED — measured ~1 ms/row (r05 session), which at corpus scale
+    is the dominant cost of anything built on codes. This form runs one
+    vectorized numpy pass per Arrow batch (~100× cheaper) and preserves
+    exact decision parity with pq_encode/pq_encode_sql:
+      - distances accumulate SEQUENTIALLY over dimensions (a python d-loop
+        of row×centroid-vectorized steps — never np.sum, whose pairwise
+        reduction rounds differently), matching the JVM/SQL left-to-right
+        sums term for term in float64;
+      - np.argmin is first-minimal, matching the strict-< / list_indexof
+        tie policy;
+      - the degenerate guard matches: NULL / wrong-length vectors and any
+        non-finite element (Arrow hands NULL elements of float lists as
+        NaN, which the JVM guard also rejects) encode to NULL.
+    Parity is gated in tests/test_pq.py against both the JVM form and the
+    DuckDB twin. Choose by context: pq_encode keeps the zero-Python plan
+    the encode-plan gate pins (fine at fixture scale and for plan audits);
+    this one is the scan-path encoder."""
+    m, k, dim = art["m"], art["k"], art["dim"]
+    dsub = dim // m
+    cb = [[[float(x) for x in c] for c in sub] for sub in art["codebooks"]]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        C = np.asarray(cb, dtype=np.float64)  # (m, k, dsub)
+        for s in batches:
+            codes: list = [None] * len(s)
+            valid_idx: list[int] = []
+            mat: list[np.ndarray] = []
+            for i, v in enumerate(s):
+                if v is None or len(v) != dim:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(a).all():
+                    continue
+                valid_idx.append(i)
+                mat.append(a)
+            if mat:
+                X = np.stack(mat)
+                out_codes = np.empty((len(mat), m), dtype=np.int32)
+                for j in range(m):
+                    dist = np.zeros((X.shape[0], k), dtype=np.float64)
+                    for d in range(dsub):
+                        diff = X[:, j * dsub + d, None] - C[j, :, d][None, :]
+                        dist = dist + diff * diff
+                    out_codes[:, j] = dist.argmin(axis=1)
+                for row_i, i in enumerate(valid_idx):
+                    codes[i] = [int(x) for x in out_codes[row_i]]
+            yield pd.Series(codes, index=s.index)
+
+    return df.withColumn(out, enc(F.col(vcol)))
 
 
 def adc_lut(query: list[float], art: dict) -> list[list[float]]:
@@ -186,11 +256,16 @@ def adc_lut(query: list[float], art: dict) -> list[list[float]]:
 
 def adc_distance_col(code_col: Column, lut: list[list[float]]) -> Column:
     """Approximate squared distance Σ_j lut[j][code[j]] — a statically
-    unrolled fixed-order sum of element_at lookups into literal arrays."""
+    unrolled fixed-order sum of 0-based F.get lookups into literal arrays
+    (get, not element_at: ANSI element_at's error-raising bounds machinery
+    measured 4× slower per lookup — r05 session. Codes are argmin ranks in
+    [0, k) by construction; a NULL code row propagates to a NULL distance
+    and sorts last instead of aborting the scan, which strictly improves
+    the totality story the degenerate-encode guard provides)."""
     acc: Column = F.lit(0.0)
     for j, row in enumerate(lut):
         table = F.array(*[F.lit(float(v)) for v in row])
-        acc = acc + F.element_at(table, F.element_at(code_col, j + 1) + 1)
+        acc = acc + F.get(table, F.element_at(code_col, j + 1))
     return acc
 
 
@@ -233,8 +308,10 @@ def pq_adc_rerank_topk(
     touched for only n_candidates rows: the shortlist (≤ C ids) broadcasts
     into a BroadcastHashJoin against the vector table, so the 100 TB float
     column is point-read, never scanned, never shuffled."""
+    # arrow encoder: this is the corpus-scan path (see pq_encode_arrow's
+    # contract note — the JVM form interprets beyond the codegen limit)
     shortlist = pq_adc_topk(
-        pq_encode(embeddings, art), query, art, n_candidates, id_col
+        pq_encode_arrow(embeddings, art), query, art, n_candidates, id_col
     ).select(id_col)
     exact = F.broadcast(shortlist).join(
         embeddings.select(id_col, vec_col), id_col

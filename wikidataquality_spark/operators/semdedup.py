@@ -29,7 +29,18 @@ pair join):
     which is the algorithm's intrinsic cost: |cell|² pairs per cell, never
     N². n_lists is the knob — the paper runs 50k clusters over LAION so
     cells stay ~10³-10⁴ rows; cells skewed by dense regions split under
-    AQE skew-join. Only (cell, id, vec, csim) rows enter that exchange.
+    AQE skew-join, and a hard max_cell_rows split-salt bound caps the
+    worst case. With pq_art (the driver-query default) only (cell, id,
+    csim, two packed code longs) rows enter that exchange — 30 B/row
+    measured, vs 199 B carrying vectors (r04's one wide shuffle) — and
+    the SDC screen + broadcast-re-fetch exact verify keep vectors out of
+    every exchange entirely;
+  - the screened pair list is sealed behind a barrier() so the quadratic
+    stage runs exactly once for its four downstream consumers, and the
+    per-row heavy lifting (PQ encode, SDC gather) runs in vectorized
+    Arrow stages — the equivalent JVM expression trees measured
+    interpreted (past the codegen method limit) with multi-second
+    py4j plan-build, r05 session;
   - the final mark join runs on narrow (id) pairs — vectors never shuffle
     a second time.
 
@@ -51,9 +62,11 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wikidataquality_spark.operators.barrier import barrier
 from wikidataquality_spark.operators.simsearch import (
     _cell_scores,
     dot,
@@ -149,15 +162,59 @@ def _sdc_cos_packed(
     """SDC cosine estimate from two packed code columns: Σ_j
     tab_j[code_a·k + code_b], left-to-right in subspace order (the oracle
     prints the same literals in the same order). Codes address UNIT-vector
-    codebooks, so the sum IS the cosine estimate — no norms involved."""
-    acc: Column = F.lit(0.0)
-    for j, tab in enumerate(tabs):
-        g, off = divmod(j, 16)
-        ia = F.shiftright(pa[g], 4 * off).bitwiseAND(F.lit(15))
-        ib = F.shiftright(pb[g], 4 * off).bitwiseAND(F.lit(15))
-        table = F.array(*[F.lit(float(x)) for x in tab])
-        acc = acc + F.element_at(table, (ia * k + ib + 1).cast("int"))
-    return acc
+    codebooks, so the sum IS the cosine estimate — no norms involved.
+
+    Arrow/numpy evaluation, by measurement (r05 session): the JVM spelling
+    — 32 table lookups per pair against 256-literal arrays — lost THREE
+    ways: ~8 200 py4j calls of driver plan-build (~5 s per invocation),
+    ANSI element_at's 4×-per-lookup bounds machinery, and interpreted/
+    boxed-array indexing at ~13 µs per pair on the quadratic stage. The
+    vectorized gather runs the same j-sequential float64 sums
+    (bit-identical to the oracle's left-to-right literals; never np.sum's
+    pairwise reduction) at numpy speed, and the whole expression is one
+    py4j call. NULL packed codes surface as NaN inputs and yield NULL —
+    the caller's bypass arm admits those rows to exact verify either way."""
+    m = len(tabs)
+    tab_np = [[float(x) for x in t] for t in tabs]
+    n_packs = len(pa)
+
+    def _compute(a_cols: list, b_cols: list) -> pd.Series:
+        T3 = np.asarray(tab_np, dtype=np.float64)  # (m, k·k)
+        cols = list(a_cols) + list(b_cols)
+        na = None
+        for c in cols:
+            cna = c.isna()
+            na = cna if na is None else (na | cna)
+        A = [c.fillna(0).to_numpy(dtype=np.int64) for c in a_cols]
+        B = [c.fillna(0).to_numpy(dtype=np.int64) for c in b_cols]
+        acc = np.zeros(len(cols[0]), dtype=np.float64)
+        for j in range(m):
+            g, off = divmod(j, 16)
+            ia = (A[g] >> (4 * off)) & 15
+            ib = (B[g] >> (4 * off)) & 15
+            acc = acc + T3[j, ia * k + ib]
+        out = pd.Series(acc, index=cols[0].index, dtype="float64")
+        out[na] = None
+        return out
+
+    # fixed arities: the type-hint UDF machinery rejects *args signatures
+    if n_packs == 1:
+
+        @F.pandas_udf("double")
+        def sdc1(a0: pd.Series, b0: pd.Series) -> pd.Series:
+            return _compute([a0], [b0])
+
+        return sdc1(pa[0], pb[0])
+    if n_packs == 2:
+
+        @F.pandas_udf("double")
+        def sdc2(
+            a0: pd.Series, a1: pd.Series, b0: pd.Series, b1: pd.Series
+        ) -> pd.Series:
+            return _compute([a0, a1], [b0, b1])
+
+        return sdc2(pa[0], pa[1], pb[0], pb[1])
+    raise ValueError(f"unsupported pack count {n_packs} (m ≤ 32 supported)")
 
 
 def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
@@ -274,14 +331,19 @@ def semdedup_marks(
             raise ValueError(
                 f"pq artifact dim {pq_art['dim']} != embedding dim {dim}"
             )
-        from wikidataquality_spark.operators.pq import pq_encode
+        from wikidataquality_spark.operators.pq import pq_encode_arrow
 
         m = pq_art["m"]
         # unit projection referencing the MATERIALIZED _nrm attribute (a
         # lambda over the norm FOLD would re-evaluate it per element — the
         # module's documented HOF-inlining hazard), then encode, then pack;
-        # the vector exits the lineage here, before any exchange
-        enc = pq_encode(
+        # the vector exits the lineage here, before any exchange. The
+        # ARROW encoder, deliberately: the JVM expression encode is a
+        # ~1024-term projection that falls out of whole-stage codegen into
+        # interpreted evaluation (~1 ms/row measured — 18 s for 5k rows),
+        # while the numpy twin is bit-identical and ~100× cheaper
+        # (pq.pq_encode_arrow's contract; parity gated in test_pq).
+        enc = pq_encode_arrow(
             base.withColumn(
                 "_unit",
                 F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")),
@@ -400,7 +462,16 @@ def semdedup_marks(
         screen = (
             F.col("_pc0").isNull() | F.col("_npc0").isNull() | (sdc >= F.lit(cut))
         )
-        shortlist = candidates.filter(priority).filter(screen).select(id_col, "_nid")
+        # the quadratic screen runs ONCE: the shortlist feeds four
+        # downstream consumers (both ver_ids arms, both vsigs broadcast
+        # subtrees, the dropped join), and without a hard boundary each
+        # would replay the |cell|² candidate join + screen — measured 69 s
+        # vs ~3 s at sf0.1 (r05 session). barrier() materializes the
+        # candidate-scale pair list eagerly (reliable checkpoint on a real
+        # cluster, localCheckpoint in the sandbox — operators/barrier.py).
+        shortlist = barrier(
+            candidates.filter(priority).filter(screen).select(id_col, "_nid")
+        )
         # exact verify on the shortlist only: candidate ids broadcast into a
         # semi join against the embeddings SCAN (point re-read of the vector
         # column — it never enters an exchange), then both pair sides join
